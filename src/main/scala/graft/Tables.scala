@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared table readers and determinism helpers for every query in the
+  * engine.
+  *
+  * The reference (`/root/reference/README.md:2`) declares only the intent
+  * of a football-analytics batch pipeline; schemas come from the driver
+  * fixtures (FIXTURES.md). Determinism rules implemented here are
+  * SURVEY.md §5.3: exact DECIMAL money arithmetic (both Spark and the
+  * DuckDB oracle round half-away-from-zero when casting the fixture's
+  * 2-dp doubles), microsecond-or-coarser event times, and explicit
+  * ORDER BY in every oracle-checked output.
+  */
+object Tables {
+
+  /** Signature of every `SparkEntry.queries` entry. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Single chokepoint for `events` (SURVEY.md §7.4 risk 1).
+    *
+    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * 4.1.2 rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`;
+    * with the flag, `ts` arrives as LongType nanos-since-epoch.
+    *
+    * `ts_us` MUST use integer division (`div`): epoch-nanos for 2024 are
+    * ~1.7e18, beyond double's 53-bit mantissa, so `col("ts") / 1000`
+    * (double division) would corrupt microseconds. The DuckDB oracle's
+    * `epoch_us(ts)` truncates identically.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Money cast for aggregation inputs (SURVEY.md §5.3.2). All fixture
+    * money doubles are exact 2-dp values (verified), so this cast is
+    * bit-identical in Spark and DuckDB.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Narrow money cast used as a multiplication operand so chained
+    * decimal products keep precision <= 38 without Spark's
+    * precision-loss scale truncation kicking in.
+    */
+  def money12(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Rate-like columns (discount, tax): small 2-dp values. */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Exact decimal literal 1.00 for `1 - discount` style expressions. */
+  val oneDec: Column = lit(1).cast(DecimalType(3, 2))
+
+  /** `l_extendedprice * (1 - l_discount)` as exact decimal, scale 4.
+    * Mirrors the oracle's
+    * `CAST(ep AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(d AS DECIMAL(4,2)))`.
+    */
+  def revenue(ep: Column, disc: Column): Column =
+    money12(ep) * (oneDec - rate(disc))
+
+  /** Deterministic cross-engine average: exact decimal sum cast to
+    * double, divided by the count (IEEE division is identical in both
+    * engines). Avoids DuckDB's `avg(DECIMAL) -> DOUBLE` accumulation
+    * differences. SQL mirror: `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / count(*)`.
+    */
+  def avgOfMoney(c: Column): Column =
+    sum(money(c)).cast(DoubleType) / count(lit(1))
+
+  /** The flagship aggregation (TPC-H Q1 shape, SURVEY.md §7.1):
+    * league-standings-style grouped rollup over `lineitem`.
+    */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = lineitem(spark, sfDir)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(money(col("l_quantity"))).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")) *
+          (oneDec + rate(col("l_tax")))).as("sum_charge"),
+        avgOfMoney(col("l_quantity")).as("avg_qty"),
+        avgOfMoney(col("l_extendedprice")).as("avg_price"),
+        avgOfMoney(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val flagshipSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+}

@@ -1,0 +1,225 @@
+package graft.functions
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.H — scalar function surface (string / date / math /
+  * conditional / array / map / json / struct).
+  *
+  * Football reading: name normalization, season extraction, per-90
+  * math, event-JSON parsing (derived — `/root/reference/README.md:2`).
+  *
+  * All expressions here are Catalyst built-ins (whole-stage codegen'd);
+  * no UDFs in this file. Cross-engine notes are inline where Spark and
+  * DuckDB semantics needed aligning.
+  */
+object ScalarQueries {
+
+  val queries: Map[String, Q] = Map(
+    "fn_string_basic" -> ((s, d) =>
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          length(col("c_name")).as("len"),
+          substring(col("c_name"), 1, 8).as("sub8"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("tagged"),
+          lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"))
+        .orderBy(col("c_custkey"))),
+
+    "fn_string_regex" -> ((s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1)
+            .cast(IntegerType).as("brand_num"),
+          // DuckDB regexp_replace needs the 'g' flag to match Spark's
+          // replace-all semantics.
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          size(split(col("p_name"), " ")).as("n_words"),
+          instr(col("p_name"), "red").as("red_at"))
+        .orderBy(col("p_partkey"))),
+
+    "fn_date_extract" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          // Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0.
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .orderBy(col("o_orderkey"))),
+
+    "fn_date_arith" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          datediff(col("o_orderdate").cast(DateType), lit("1995-01-01"))
+            .as("days_since"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("plus_30"),
+          // Whole-month difference == DuckDB date_diff('month', ...)
+          // (boundary-crossing count) when both sides are
+          // month-truncated first.
+          months_between(date_trunc("month", col("o_orderdate")),
+            lit("1995-01-01").cast(TimestampType))
+            .cast(IntegerType).as("months_since"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy(col("o_orderkey"))),
+
+    "fn_math" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - 1000.0).as("abs_diff"),
+          // DuckDB ceil/floor return DOUBLE; Spark returns LONG — cast
+          // both to BIGINT in the oracle.
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_quantity")).as("qty_floor"),
+          sqrt(col("l_quantity")).as("qty_sqrt"), // IEEE correctly-rounded
+          pow(lit(2.0), col("l_linenumber")).as("pow2"), // exact powers of 2
+          // ln/log10 are libm-dependent; round via exact double ops
+          // (floor(x*1e6+0.5)/1e6) identically on both engines.
+          (floor(log(col("l_quantity") + 1.0) * 1e6 + 0.5) / 1e6).as("ln6"),
+          round(money(col("l_extendedprice")), 1).as("price_r1"), // decimal round: HALF_UP both
+          pmod(col("l_orderkey"), lit(7)).as("key_mod"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "fn_conditional_null" -> ((s, d) =>
+      customer(s, d)
+        .select(
+          col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("NONE"))
+            .as("seg_or_none"),
+          greatest(col("c_acctbal"), lit(1000.0)).as("floor_bal"),
+          least(col("c_acctbal"), lit(9000.0)).as("cap_bal"))
+        .orderBy(col("c_custkey"))),
+
+    "fn_array_ops" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          array_join(slice(sort_array(col("toks")), 1, 5), ",").as("first5"))
+        .orderBy(col("doc_id"))),
+
+    // Word count via explode (Generator surface).
+    "fn_explode_wordcount" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)),
+
+    // Map construction + element_at + explode to rows (stable output).
+    "fn_map_ops" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("m", map(
+          lit("prio"), col("o_orderpriority"),
+          lit("status"), col("o_orderstatus")))
+        .withColumn("prio_v", element_at(col("m"), "prio"))
+        .select(col("o_orderkey"), explode(col("m")).as(Seq("k", "v")),
+          col("prio_v"))
+        .orderBy(col("o_orderkey"), col("k"))),
+
+    "fn_json" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k_typed"))
+        .orderBy(col("event_id"))),
+
+    "fn_struct_nested" -> ((s, d) =>
+      customer(s, d)
+        .withColumn("s", struct(col("c_nationkey").as("nkey"),
+          col("c_acctbal").as("bal")))
+        .select(
+          col("c_custkey"),
+          col("s").getField("nkey").as("nkey_out"),
+          money(col("s").getField("bal")).as("bal_dec"))
+        .orderBy(col("c_custkey")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string_basic" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        |  length(c_name) AS len, substring(c_name, 1, 8) AS sub8,
+        |  concat_ws('-', c_mktsegment, c_name) AS tagged,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_string_regex" ->
+      """SELECT p_partkey,
+        |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+        |  regexp_replace(p_name, ' ', '_', 'g') AS snake,
+        |  len(string_split(p_name, ' ')) AS n_words,
+        |  strpos(p_name, 'red') AS red_at
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date_extract" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m, day(o_orderdate) AS dom,
+        |  dayofweek(o_orderdate) AS dow,
+        |  date_trunc('month', o_orderdate) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_date_arith" ->
+      """SELECT o_orderkey,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus_30,
+        |  CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS months_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice - 1000.0) AS abs_diff,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  power(2.0, l_linenumber) AS pow2,
+        |  floor(ln(l_quantity + 1.0) * 1e6 + 0.5) / 1e6 AS ln6,
+        |  round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS price_r1,
+        |  l_orderkey % 7 AS key_mod
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_conditional_null" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg_or_none,
+        |  greatest(c_acctbal, 1000.0) AS floor_bal,
+        |  least(c_acctbal, 9000.0) AS cap_bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_array_ops" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_toks,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |  array_to_string((list_sort(string_split(text, ' ')))[1:5], ',') AS first5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_explode_wordcount" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY n DESC, token ASC""".stripMargin,
+    "fn_map_ops" ->
+      """SELECT o_orderkey, k, v, o_orderpriority AS prio_v FROM (
+        |  SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'status' AS k, o_orderstatus AS v, o_orderpriority FROM orders) t
+        |ORDER BY o_orderkey, k""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_struct_nested" ->
+      """SELECT c_custkey, c_nationkey AS nkey_out,
+        |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

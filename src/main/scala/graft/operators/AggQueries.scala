@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.D — aggregations.
+  *
+  * Football reading: league standings, per-player season totals,
+  * distinct opponents (derived surface — the reference snapshot
+  * `/root/reference/README.md:2` declares the pipeline, contains no code).
+  *
+  * Scale notes (100 TB): every query here is a partial+final
+  * HashAggregate — map-side combine before the shuffle keeps shuffled
+  * bytes proportional to |groups|, not |rows|. Grouping keys are
+  * low-cardinality, so the final agg is tiny regardless of input size.
+  */
+object AggQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Flagship — TPC-H Q1 shape (SURVEY.md §7.1).
+    "agg_group_sums" -> ((s, d) => flagship(s, d)),
+
+    // Exact distinct (expands to a two-phase aggregate).
+    "agg_count_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    // HLL++ approximate distinct — no oracle (approximate); unit test
+    // asserts |approx - exact| <= 2% of exact.
+    "agg_approx_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // Hierarchical subtotals; grouping_id() bit order matches DuckDB's
+    // grouping_id(a,b). Null group keys disambiguated from real data
+    // nulls via grouping_id (fixture keys are non-null).
+    "agg_rollup" -> ((s, d) =>
+      customer(s, d)
+        .rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(money(col("c_acctbal"))).as("sum_bal"))
+        .select(
+          grouping_id().as("gid"),
+          col("c_nationkey"), col("c_mktsegment"), col("n"), col("sum_bal"))
+        .orderBy(col("gid"),
+          asc_nulls_first("c_nationkey"), asc_nulls_first("c_mktsegment"))),
+
+    "agg_cube" -> ((s, d) =>
+      customer(s, d)
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .select(grouping_id().as("gid"), col("c_mktsegment"),
+          col("c_nationkey"), col("n"))
+        .orderBy(col("gid"),
+          asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))),
+
+    // Explicit grouping sets via SQL (the one §2 operator that is
+    // SQL-only in the public Dataset API).
+    "agg_grouping_sets" -> ((s, d) => {
+      lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        """SELECT grouping_id() AS gid, l_returnflag, l_linestatus,
+          |  count(1) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          |FROM graft_lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Post-aggregation filter (HAVING).
+    "agg_having" -> ((s, d) =>
+      customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+        .filter(col("n_cust") > 60)
+        .orderBy(col("c_nationkey"))),
+
+    // min/max/count + decimal sum; stddev/variance live in the
+    // tolerance-checked unit suite, not the hash-matched oracle
+    // (SURVEY.md §5.3.6).
+    "agg_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(money(col("l_quantity"))).as("min_qty"),
+          max(money(col("l_quantity"))).as("max_qty"),
+          sum(money(col("l_extendedprice"))).as("sum_price"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Ordered per-group list, serialized to a string so the parquet /
+    // DuckDB comparison is scale-proof.
+    "agg_collect_list" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(sort_array(collect_list(col("o_orderpriority"))), ",")
+          .as("prios"))
+        .orderBy(col("o_custkey"))),
+
+    // Row-valued argmax/argmin with deterministic struct tie-break.
+    "agg_min_max_by" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"),
+          max(money(col("o_totalprice"))).as("best_price"))
+        .orderBy(col("o_custkey")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_group_sums" -> flagshipSql,
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_rollup" ->
+      """SELECT grouping_id(c_nationkey, c_mktsegment) AS gid, c_nationkey, c_mktsegment,
+        |  count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        |FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+        |ORDER BY gid, c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT grouping_id(c_mktsegment, c_nationkey) AS gid, c_mktsegment, c_nationkey, count(*) AS n
+        |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+        |ORDER BY gid, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT grouping_id(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
+        |  count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_having" ->
+      """SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |GROUP BY c_nationkey HAVING count(*) > 60 ORDER BY c_nationkey""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
+        |  max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  min(l_shipdate) AS first_ship,
+        |  max(l_shipdate) AS last_ship,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_collect_list" ->
+      """SELECT o_custkey, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+        |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_min_max_by" ->
+      """SELECT o_custkey,
+        |  max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS best_order,
+        |  max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS worst_order,
+        |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS best_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+        |  FROM orders) t
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  )
+}

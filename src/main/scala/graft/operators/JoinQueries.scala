@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.C — joins.
+  *
+  * Football reading: match⋈team⋈league dimension joins, player↔event
+  * joins, as-of "state at event time" (derived surface —
+  * `/root/reference/README.md:2`).
+  *
+  * Scale notes (100 TB): dimension joins broadcast explicitly
+  * (`broadcast()` hint → BroadcastHashJoin, no shuffle of the fact
+  * side); fact-fact joins shuffle on the join key and rely on AQE for
+  * skew splitting; the as-of join is a single-shuffle window
+  * formulation instead of a point-lookup join (no per-row probe).
+  */
+object JoinQueries {
+
+  val queries: Map[String, Q] = Map(
+    // Fact ⋈ broadcast dims (customer⋈nation⋈region).
+    "join_inner_broadcast" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"), "inner")
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Large-large equi join: shuffle path (SMJ; AQE may elect BHJ at
+    // small sf — same semantics).
+    "join_inner_shuffle" -> ((s, d) =>
+      orders(s, d)
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "inner")
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          col("l_quantity"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))),
+
+    // Left outer: customers with no orders get count 0.
+    "join_left_outer" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))),
+
+    // Right outer: parts never shipped appear with count 0.
+    "join_right_outer" -> ((s, d) =>
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"), "right")
+        .groupBy(col("p_partkey"))
+        .agg(count(col("l_orderkey")).as("n_ship"))
+        .orderBy(col("p_partkey"))),
+
+    // Full outer over two aggregated keysets with coalesced key.
+    "join_full_outer" -> ((s, d) => {
+      val rich = customer(s, d).filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey"))
+      val spend = orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      rich.join(spend, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("n_orders"))
+        .orderBy(col("custkey"))
+    }),
+
+    // EXISTS — customers having >= 1 urgent order.
+    "join_left_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // NOT EXISTS — parts never shipped.
+    "join_left_anti" -> ((s, d) =>
+      part(s, d)
+        .join(lineitem(s, d), col("p_partkey") === col("l_partkey"),
+          "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))),
+
+    // Cartesian product of the two small dims (bounded: 5 x 25 rows).
+    "join_cross" -> ((s, d) =>
+      region(s, d).crossJoin(nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // Theta join: equi key + range condition on dates, aggregated.
+    "join_theta_range" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "inner")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(money(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))),
+
+    // As-of join: each event paired with the user's most recent
+    // strictly-prior signup. Single shuffle on user_id via a range-frame
+    // window — scales linearly, unlike a correlated probe.
+    "join_asof" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .withColumn("signup_us",
+          when(col("event_type") === "signup", col("ts_us")))
+        .withColumn("last_signup_us", max(col("signup_us")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("last_signup_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // 5-way star join (TPC-H Q5 shape) + group aggregation.
+    "join_multiway" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("n_name"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("n_name")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_broadcast" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_inner_shuffle" ->
+      """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_right_outer" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_ship
+        |FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, n_orders
+        |FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0) r
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) sp
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_theta_range" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem JOIN orders
+        |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_asof" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  (SELECT max(epoch_us(s.ts)) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND epoch_us(s.ts) < epoch_us(e.ts)) AS last_signup_us
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+    "join_multiway" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.K — LLM-training-data pipeline extensions (north-star
+  * mandate, BASELINE.json: dedup, similarity search, text analysis over
+  * the `documents`/`embeddings` fixtures).
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = hash-groupBy: one shuffle on the digest, map-side
+  *    combine keeps shuffled bytes ∝ |distinct|;
+  *  - MinHash/LSH: signatures computed per-row (narrow), candidates
+  *    discovered by shuffling (band, signature) buckets — never an all-
+  *    pairs comparison; exact Jaccard verified only on bucket cohabitants;
+  *  - ANN: LSH-style bucketing via sign-random-projection would be the
+  *    100 TB path; the brute-force top-k here is the correctness
+  *    baseline and stays bounded by restricting the query side
+  *    (nq queries × N candidates, broadcast the queries).
+  */
+object LlmQueries {
+
+  /** 3-word shingles of the space-tokenized text. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles",
+        when(size(col("toks")) < 3, array(array_join(col("toks"), " ")))
+          .otherwise(expr(
+            "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+
+  /** 16-permutation MinHash signature over the shingle set, as an
+    * expression pipeline (xxhash64 with per-permutation salt).
+    */
+  private val minhashSig =
+    expr("""transform(sequence(0, 15),
+           |  i -> array_min(transform(array_distinct(shingles),
+           |         s -> xxhash64(concat(cast(i AS STRING), ':', s)))))""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    // Per-language corpus statistics.
+    "text_stats" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          sum(size(split(col("text"), " "))).as("total_toks"))
+        .orderBy(col("lang"))),
+
+    // Exact-duplicate groups via md5 digest.
+    "dedup_exact_text" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("h"))),
+
+    // Language routing + per-source quality gate.
+    "text_lang_filter" -> ((s, d) =>
+      documents(s, d)
+        .filter(col("lang").isin("en", "de") &&
+          col("n_chars").between(100L, 2000L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash + LSH near-dup candidates (4 bands x 4 rows), verified
+    // with exact Jaccard over distinct-shingle sets. N-operator: unit
+    // tests assert planted near-dups are recalled; no oracle (hash
+    // values are Spark-specific).
+    "dedup_minhash" -> ((s, d) => {
+      val sig = shingled(documents(s, d))
+        .withColumn("sig", minhashSig)
+        .withColumn("sh_set", array_distinct(col("shingles")))
+        .select(col("doc_id"), col("sig"), col("sh_set"))
+      val bands = sig.select(
+        col("doc_id"), col("sh_set"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band", "band_sig")))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sh_set").as("sh_a"), col("b.sh_set").as("sh_b"))
+        .distinct()
+      pairs
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Brute-force exact top-1 cosine neighbor for a bounded query set
+    // (vec_id < 10), id-only output (float scores never leave the plan —
+    // SURVEY.md §5.3.4). N-operator: unit tests assert self-similarity,
+    // symmetry, and agreement with an independent implementation.
+    "sim_search_cosine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val dot = expr(
+        "aggregate(zip_with(q_vec, c_vec, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val norm: String => org.apache.spark.sql.Column = v => sqrt(expr(
+        s"aggregate(transform($v, x -> CAST(x AS DOUBLE) * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      val queriesDf = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cands = emb
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = broadcast(queriesDf).join(cands, col("q_id") =!= col("c_id"))
+        .withColumn("cos", dot / (norm("q_vec") * norm("c_vec")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+        .orderBy(col("q_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  sum(len(string_split(text, ' '))) AS total_toks
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_exact_text" ->
+      """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    "text_lang_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 2000
+        |ORDER BY doc_id""".stripMargin
+  )
+}

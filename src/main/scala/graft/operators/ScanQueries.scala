@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.A — scans, sources, sinks.
+  *
+  * Football reading: ingest of match/event/player files
+  * (`/root/reference/README.md:2` — the reference declares a
+  * football-analytics ETL pipeline; it contains no code, so these are the
+  * canonical source/sink operators any realization needs).
+  */
+object ScanQueries {
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> ((s, d) =>
+      nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))),
+
+    // Column pruning through to the vectorized parquet reader: only 2 of
+    // lineitem's 11 columns may appear in the scan's ReadSchema
+    // (asserted in PlanShapeSpec).
+    "scan_parquet_pruned" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Nanosecond-timestamp scan via the single events chokepoint.
+    "scan_events_nanos" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), col("ts_us"), col("event_type"))
+        .orderBy(col("event_id"))),
+
+    // CSV round-trip: write with header + explicit schema read-back.
+    // No oracle (round-trip equality asserted in unit tests; driver does
+    // a rows-only check).
+    "scan_csv_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      nation(s, d).write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.schema(nationSchema).option("header", "true").csv(dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // JSON-lines round-trip.
+    "scan_json_roundtrip" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+      nation(s, d).write.mode("overwrite").json(dir)
+      s.read.schema(nationSchema).json(dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // Partitioned sink + partition-pruned read-back: only the
+    // l_returnflag=A directory is listed by the pruned scan.
+    "sink_partitioned" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("l_returnflag") === "A")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(money(col("l_quantity"))).as("sum_qty"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "scan_parquet_pruned" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_events_nanos" ->
+      "SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events ORDER BY event_id",
+    "sink_partitioned" ->
+      """SELECT count(*) AS n_rows, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.G — set operations and deduplication.
+  *
+  * Scale notes (100 TB): UNION ALL is metadata-only (no shuffle);
+  * distinct set ops shuffle once on the full row. `dedup_distinct`
+  * deliberately uses groupBy+min instead of dropDuplicates: the survivor
+  * is deterministic and the physical plan is the same single shuffle.
+  */
+object SetQueries {
+
+  // Two overlapping order subsets so bag vs set semantics differ.
+  private def urgentish(s: org.apache.spark.sql.SparkSession, d: String) =
+    orders(s, d).filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+  private def pricey(s: org.apache.spark.sql.SparkSession, d: String) =
+    orders(s, d).filter(col("o_totalprice") > 50000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+
+  val queries: Map[String, Q] = Map(
+    "set_union_all" -> ((s, d) =>
+      urgentish(s, d).unionByName(pricey(s, d))
+        .orderBy(col("o_orderkey"), col("o_orderpriority"))),
+
+    "set_union_distinct" -> ((s, d) =>
+      urgentish(s, d).union(pricey(s, d)).distinct()
+        .orderBy(col("o_orderkey"), col("o_orderpriority"))),
+
+    "set_intersect" -> ((s, d) => {
+      val a = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val b = customer(s, d).filter(col("c_acctbal") > 5000.0)
+        .select(col("c_custkey").as("o_custkey"))
+      a.intersect(b).orderBy(col("o_custkey"))
+    }),
+
+    "set_except" -> ((s, d) => {
+      val all = customer(s, d).select(col("c_custkey"))
+      val active = orders(s, d).select(col("o_custkey").as("c_custkey"))
+      all.except(active).orderBy(col("c_custkey"))
+    }),
+
+    // Deterministic-survivor dedup (SURVEY.md §5.3.5): groupBy + min
+    // instead of dropDuplicates.
+    "dedup_distinct" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("event_id")).as("first_event"),
+          min(col("ts_us")).as("first_ts_us"))
+        .orderBy(col("user_id"), col("event_type")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "set_union_all" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 50000.0
+        |ORDER BY o_orderkey, o_orderpriority""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |UNION
+        |SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 50000.0
+        |ORDER BY o_orderkey, o_orderpriority""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY o_custkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin,
+    "dedup_distinct" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event,
+        |  min(epoch_us(ts)) AS first_ts_us
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,181 @@
+package graft.streaming
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY.md §2.I — Structured Streaming over `events`.
+  *
+  * Football reading: live match feed — minute-windowed possession/shots,
+  * session = one attack sequence, late events from flaky collectors
+  * (derived — `/root/reference/README.md:2`).
+  *
+  * Batch/stream parity is the design (Dataflow-model discipline): each
+  * windowed shape is a batch query over `events` (DuckDB-oracle-checked)
+  * and is replayed through a real `MemoryStream` micro-batch execution
+  * either here (the `stream_exec_*`-style entries below) or in
+  * StreamingParitySpec. Event times are µs-truncated throughout
+  * (SURVEY.md §1.3).
+  *
+  * Scale notes: all stateful ops key by user/window — state is bounded
+  * by |keys|, watermarks bound it in time; memory-sink collection is
+  * test-harness-only, production sinks would be files/Kafka.
+  */
+object StreamingQueries {
+
+  /** µs-domain event row used for deterministic MemoryStream replay. */
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long,
+                event_type: String, value: Double)
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Events as a typed, ts-sorted dataset for replay. */
+  private def evSet(s: SparkSession, d: String): Array[Ev] = {
+    import s.implicits._
+    events(s, d)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(e => (e.ts_us, e.event_id))
+  }
+
+  /** Run a MemoryStream pipeline to completion through a memory sink and
+    * return the sink table. Chunks are fed with processAllAvailable
+    * between feeds, so micro-batch boundaries (and therefore watermark
+    * advancement) are deterministic.
+    */
+  private def runStream(s: SparkSession, name: String, chunks: Seq[Seq[Ev]],
+                        mode: OutputMode)(
+                         pipe: Dataset[Ev] => DataFrame): DataFrame = {
+    import s.implicits._
+    s.catalog.dropTempView(name) // stale sink table from a prior run
+    val src = MemoryStream[Ev](implicitly, s.sqlContext)
+    val q = pipe(src.toDS())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      chunks.foreach { c => src.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // ---- batch forms of the windowed shapes (oracle-paired) ----
+
+    // 1-hour tumbling count+sum by event_type via window().
+    "stream_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_val"))
+        .select(unix_micros(col("w.start")).as("win_start_us"),
+          col("event_type"), col("n"), col("sum_val"))
+        .orderBy(col("win_start_us"), col("event_type"))),
+
+    // 1-hour window sliding every 15 minutes (4 windows per event).
+    "stream_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts_ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_val"))
+        .select(unix_micros(col("w.start")).as("win_start_us"), col("n"),
+          col("sum_val"))
+        .orderBy(col("win_start_us"))),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "stream_session" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_val"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
+          col("n"), col("sum_val"))
+        .orderBy(col("user_id"), col("sess_start_us"))),
+
+    // ---- real streaming executions (MemoryStream micro-batches) ----
+
+    // Late-data handling: 200-ish deterministically-chosen events are
+    // held back to the last chunk; by then the watermark has passed
+    // them, so append-mode windows exclude them. No oracle (the drop set
+    // depends on micro-batch boundaries) — rows-only + unit tests.
+    "stream_watermark_late" -> ((s, d) => {
+      val all = evSet(s, d)
+      val (late, main) = all.partition(_.event_id % 50 == 0)
+      val quarter = math.max(1, main.length / 4)
+      val chunks = main.grouped(quarter).map(_.toSeq).toSeq :+ late.toSeq
+      runStream(s, "graft_sink_late", chunks, OutputMode.Append()) { ds =>
+        ds.withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("win_start_us"), col("n"))
+      }.orderBy(col("win_start_us"))
+    }),
+
+    // Stateful streaming dedup: every event is fed twice (same chunk),
+    // dropDuplicatesWithinWatermark keeps exactly one. Result equals the
+    // batch per-type counts, so this IS oracle-paired.
+    "stream_dedup" -> ((s, d) => {
+      val all = evSet(s, d)
+      val chunkLen = math.max(1, all.length / 4)
+      val chunks = all.grouped(chunkLen).map(c => c.toSeq ++ c.toSeq).toSeq
+      runStream(s, "graft_sink_dedup", chunks, OutputMode.Append()) { ds =>
+        ds.withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "30 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+      }.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Arbitrary stateful per-user running aggregate via
+    // flatMapGroupsWithState; the per-user count is monotone, so the max
+    // over all Update-mode emissions is the final total — oracle-paired
+    // against the batch GROUP BY.
+    "stream_stateful_count" -> ((s, d) => {
+      val all = evSet(s, d)
+      val chunkLen = math.max(1, all.length / 4)
+      val chunks = all.grouped(chunkLen).map(_.toSeq).toSeq
+      val out = runStream(s, "graft_sink_state", chunks, OutputMode.Update()) { ds =>
+        import ds.sparkSession.implicits._
+        ds.groupByKey(_.user_id)
+          .flatMapGroupsWithState[Long, (Long, Long)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+            (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+              val n = state.getOption.getOrElse(0L) + rows.size
+              state.update(n)
+              Iterator((user, n))
+          }.toDF("user_id", "n_running")
+      }
+      out.groupBy(col("user_id"))
+        .agg(max(col("n_running")).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT ((epoch_us(ts) // 900000000) - i) * 900000000 AS win_start_us,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_val
+        |FROM events, range(4) t(i)
+        |GROUP BY 1 ORDER BY win_start_us""".stripMargin,
+    "stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |), l AS (
+        |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS pt FROM e
+        |), s AS (
+        |  SELECT *, sum(CASE WHEN pt IS NULL OR tus - pt >= 1800000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id, min(tus) AS sess_start_us, count(*) AS n, sum(v) AS sum_val
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_stateful_count" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
