@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.{ScalarQueries, UdfQueries}
+import graft.operators._
+import graft.streaming.StreamingQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates every operator category's `queries`/`oracle` maps into the
+  * single map the driver's Verify/Bench harness consumes. Key uniqueness
+  * across categories is asserted at first use (a silent `++` overwrite
+  * would make an operator vanish from the correctness gate).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape, SURVEY.md §7.1) on sf0.001;
+    * driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Tables.flagship(spark, "/root/testdata/sf0.001")
+
+  private val categories: Seq[(Map[String, Tables.Q], Map[String, String])] =
+    Seq(
+      (ScanQueries.queries, ScanQueries.oracle),
+      (FilterQueries.queries, FilterQueries.oracle),
+      (AggQueries.queries, AggQueries.oracle),
+      (JoinQueries.queries, JoinQueries.oracle),
+      (WindowQueries.queries, WindowQueries.oracle),
+      (SetQueries.queries, SetQueries.oracle),
+      (ScalarQueries.queries, ScalarQueries.oracle),
+      (UdfQueries.queries, UdfQueries.oracle),
+      (LlmQueries.queries, LlmQueries.oracle),
+      (StreamingQueries.queries, StreamingQueries.oracle)
+    )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = categories.flatMap(_._1)
+    require(all.size == all.map(_._1).distinct.size,
+      "duplicate query key across operator categories")
+    all.toMap
+  }
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (driver records a weaker rows-only check for those).
+    */
+  val oracleSql: Map[String, String] = {
+    val all = categories.flatMap(_._2)
+    require(all.map(_._1).toSet.subsetOf(queries.keySet),
+      "oracle declared for a key with no query")
+    all.toMap
+  }
 }

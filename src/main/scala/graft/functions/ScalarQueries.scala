@@ -52,7 +52,10 @@ object ScalarQueries {
           dayofmonth(col("o_orderdate")).as("dom"),
           // Spark dayofweek: Sunday=1; DuckDB dayofweek: Sunday=0.
           (dayofweek(col("o_orderdate")) - 1).as("dow"),
-          date_trunc("month", col("o_orderdate")).as("month_start"))
+          // DuckDB date_trunc('month', ts) yields DATE; cast Spark's
+          // timestamp result to match.
+          date_trunc("month", col("o_orderdate")).cast(DateType)
+            .as("month_start"))
         .orderBy(col("o_orderkey"))),
 
     "fn_date_arith" -> ((s, d) =>
@@ -87,7 +90,10 @@ object ScalarQueries {
           (floor(log(col("l_quantity") + 1.0) * 1e6 + 0.5) / 1e6).as("ln6"),
           round(money(col("l_extendedprice")), 1).as("price_r1"), // decimal round: HALF_UP both
           pmod(col("l_orderkey"), lit(7)).as("key_mod"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        // lineitem (orderkey, linenumber) is non-unique — order by the
+        // full output row for cross-engine stability.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_diff"),
+          col("qty_sqrt"), col("pow2"))),
 
     "fn_conditional_null" -> ((s, d) =>
       customer(s, d)
@@ -168,7 +174,7 @@ object ScalarQueries {
       """SELECT o_orderkey, year(o_orderdate) AS y, quarter(o_orderdate) AS q,
         |  month(o_orderdate) AS m, day(o_orderdate) AS dom,
         |  dayofweek(o_orderdate) AS dow,
-        |  date_trunc('month', o_orderdate) AS month_start
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_date_arith" ->
       """SELECT o_orderkey,
@@ -187,7 +193,7 @@ object ScalarQueries {
         |  floor(ln(l_quantity + 1.0) * 1e6 + 0.5) / 1e6 AS ln6,
         |  round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS price_r1,
         |  l_orderkey % 7 AS key_mod
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, abs_diff, qty_sqrt, pow2""".stripMargin,
     "fn_conditional_null" ->
       """SELECT c_custkey,
         |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg_or_none,

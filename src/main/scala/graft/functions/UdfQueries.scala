@@ -31,7 +31,7 @@ object UdfQueries {
       def finish(b: (BigDecimal, BigDecimal)): Double =
         if (b._2.signum == 0) 0.0 else b._1.toDouble / b._2.toDouble
       def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
-        Encoders.tuple(Encoders.scalaBigDecimal, Encoders.scalaBigDecimal)
+        Encoders.product[(BigDecimal, BigDecimal)]
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
@@ -44,7 +44,8 @@ object UdfQueries {
         .withColumn("band", band(col("l_discount")))
         .filter(col("band") =!= "LOW")
         .select(col("l_orderkey"), col("l_linenumber"), col("band"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // lineitem (orderkey, linenumber) is non-unique — include band.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("band"))
     }),
 
     // Typed UDAF: quantity-weighted average extended price per flag.
@@ -73,7 +74,7 @@ object UdfQueries {
         |FROM lineitem
         |WHERE (CASE WHEN l_discount < 0.03 THEN 'LOW'
         |       WHEN l_discount < 0.07 THEN 'MID' ELSE 'HIGH' END) <> 'LOW'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, band""".stripMargin,
     "udaf_weighted_avg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

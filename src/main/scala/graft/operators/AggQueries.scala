@@ -44,9 +44,10 @@ object AggQueries {
     "agg_rollup" -> ((s, d) =>
       customer(s, d)
         .rollup(col("c_nationkey"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), sum(money(col("c_acctbal"))).as("sum_bal"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(money(col("c_acctbal"))).as("sum_bal"))
         .select(
-          grouping_id().as("gid"),
+          col("gid"),
           col("c_nationkey"), col("c_mktsegment"), col("n"), col("sum_bal"))
         .orderBy(col("gid"),
           asc_nulls_first("c_nationkey"), asc_nulls_first("c_mktsegment"))),
@@ -54,8 +55,8 @@ object AggQueries {
     "agg_cube" -> ((s, d) =>
       customer(s, d)
         .cube(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"))
-        .select(grouping_id().as("gid"), col("c_mktsegment"),
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(col("gid"), col("c_mktsegment"),
           col("c_nationkey"), col("n"))
         .orderBy(col("gid"),
           asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"))),

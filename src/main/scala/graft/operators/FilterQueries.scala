@@ -21,7 +21,9 @@ object FilterQueries {
           col("l_orderkey"),
           col("l_linenumber").as("line_no"),
           revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
-        .orderBy(col("l_orderkey"), col("line_no"))),
+        // lineitem has no unique key (FIXTURES) — order by every output
+        // column so duplicate (orderkey, linenumber) rows sort stably.
+        .orderBy(col("l_orderkey"), col("line_no"), col("revenue"))),
 
     // <, <=, >, >=, <> over numeric and timestamp columns.
     "filter_comparison" -> ((s, d) =>
@@ -31,7 +33,7 @@ object FilterQueries {
         .filter(col("l_returnflag") =!= "A")
         .filter(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
 
     // IN list + BETWEEN on dates.
     "filter_in_between" -> ((s, d) =>
@@ -91,12 +93,12 @@ object FilterQueries {
     "project_select" ->
       """SELECT l_orderkey, l_linenumber AS line_no,
         |  CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, line_no, revenue""".stripMargin,
     "filter_comparison" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 30.0 AND l_tax <= 0.05 AND l_returnflag <> 'A'
         |  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "filter_in_between" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')

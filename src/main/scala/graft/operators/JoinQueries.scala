@@ -37,7 +37,10 @@ object JoinQueries {
         .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "inner")
         .select(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
           col("l_quantity"))
-        .orderBy(col("o_orderkey"), col("l_linenumber"))),
+        // lineitem rows can collide on (orderkey, linenumber) — order by
+        // all output columns for a stable cross-engine order.
+        .orderBy(col("o_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          col("l_quantity"))),
 
     // Left outer: customers with no orders get count 0.
     "join_left_outer" -> ((s, d) =>
@@ -142,7 +145,7 @@ object JoinQueries {
     "join_inner_shuffle" ->
       """SELECT o_orderkey, l_linenumber, o_orderstatus, l_quantity
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY o_orderkey, l_linenumber, o_orderstatus, l_quantity""".stripMargin,
     "join_left_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

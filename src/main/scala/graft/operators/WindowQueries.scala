@@ -62,17 +62,23 @@ object WindowQueries {
     }),
 
     // 3-row moving average (player-form shape); exact decimal sum /
-    // window count for cross-engine determinism.
+    // window count for cross-engine determinism. The fixture's lineitem
+    // has NO unique key (duplicate (orderkey,linenumber,suppkey) rows
+    // exist), so the window sort includes the measure columns: rows that
+    // remain tied are identical in l_quantity, making every admissible
+    // frame produce the same sum. Output ordered by all columns for the
+    // same reason.
     "win_moving_avg" -> ((s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
         .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
+          col("l_linenumber").asc, col("l_quantity").asc,
+          col("l_extendedprice").asc)
         .rowsBetween(-2, Window.currentRow)
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           (sum(money(col("l_quantity"))).over(w).cast(DoubleType) /
             count(lit(1)).over(w)).as("mov_avg_qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("mov_avg_qty"))
     }),
 
     // Value-range frame: trailing 30 days per customer over epoch-day.
@@ -150,8 +156,8 @@ object WindowQueries {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS mov_avg_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC, l_extendedprice ASC ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber, mov_avg_qty""".stripMargin,
     "win_range_frame" ->
       """SELECT o_orderkey,
         |  count(*) OVER w AS n_30d,

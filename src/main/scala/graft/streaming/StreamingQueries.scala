@@ -50,7 +50,7 @@ object StreamingQueries {
                          pipe: Dataset[Ev] => DataFrame): DataFrame = {
     import s.implicits._
     s.catalog.dropTempView(name) // stale sink table from a prior run
-    val src = MemoryStream[Ev](implicitly, s.sqlContext)
+    val src = MemoryStream[Ev](s)
     val q = pipe(src.toDS())
       .writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
