@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: time a named subset of SparkEntry.queries (all args are
+  * query names; no args = list keys). Same session conf as Bench.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    if (args.isEmpty) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen path once so timings are comparable
+    SparkEntry.entry(spark).count()
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"BENCHONE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

