@@ -32,6 +32,9 @@ object SparkEntry {
       (ScalarQueries.queries, ScalarQueries.oracle),
       (UdfQueries.queries, UdfQueries.oracle),
       (LlmQueries.queries, LlmQueries.oracle),
+      (TextQueries.queries, TextQueries.oracle),
+      (SimilarityQueries.queries, SimilarityQueries.oracle),
+      (MultimodalQueries.queries, MultimodalQueries.oracle),
       (StreamingQueries.queries, StreamingQueries.oracle)
     )
 

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star mandate, BASELINE.json):
+  * image/audio/video payloads are opaque `binary` columns with typed
+  * metadata; decode / feature-extract runs partition-wise in batches.
+  *
+  * No binary fixture exists (SURVEY.md §7.5), so the payload is the
+  * UTF-8 encoding of `documents.text` — the Spark-side plumbing
+  * (BinaryType schema, metadata struct, partition-wise batched
+  * processing, batch shape) is real and tested; only the media decode
+  * itself is a STUB.
+  *
+  * Scale notes (100 TB): binary payloads never enter a shuffle — the
+  * metadata path is a narrow projection, and the feature extraction is
+  * mapPartitions with bounded batch buffers (the exact shape a GPU/codec
+  * inference stage needs: fixed batch size, one model/codec init per
+  * partition, streaming iterator in and out).
+  */
+object MultimodalQueries {
+
+  /** Feature row emitted by the stubbed decoder. */
+  final case class MmFeature(doc_id: Long, n_bytes: Long, batch_len: Long,
+                             feat_sum: Long, feat_head: Long)
+
+  /** STUB decode: stands in for an image/audio decoder (the real codec
+    * libraries are not in this container). Deterministic byte-level
+    * "features" keep the pipeline testable; a real implementation swaps
+    * only this function, the batching around it is production-shaped.
+    */
+  private def decodeStub(payload: Array[Byte]): (Long, Long) = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+    val head = payload.take(8).foldLeft(0L)((acc, b) => acc * 256 + (b & 0xff))
+    (sum, head)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Typed-metadata path: binary payload + struct metadata, flattened
+    // for output. Oracle-paired on the byte-accurate metadata.
+    "mm_binary_meta" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("meta", struct(
+          // fake modality tag — deterministic routing key of the kind a
+          // real multimodal table carries
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("lang").as("src_lang")))
+        .select(col("doc_id"), col("meta.modality").as("modality"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.src_lang").as("src_lang"))
+        .orderBy(col("doc_id"))),
+
+    // Batched partition-wise feature extraction over the binary column:
+    // fixed batch size 32, decoder "initialized" once per partition,
+    // iterator in / iterator out (no materialization of the partition).
+    // N-operator (rows-only + unit tests on batch shape/determinism).
+    "mm_feature_extract" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          // one decoder init per partition would go here (STUB)
+          rows.grouped(32).flatMap { batch =>
+            val bl = batch.length.toLong
+            batch.iterator.map { case (id, payload) =>
+              val (fsum, fhead) = decodeStub(payload)
+              MmFeature(id, payload.length.toLong, bl, fsum, fhead)
+            }
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lang AS src_lang
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

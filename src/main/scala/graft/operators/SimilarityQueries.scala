@@ -1,0 +1,315 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Near-duplicate detection and similarity search beyond MinHash
+  * (north-star mandate, BASELINE.json): SimHash, character-n-gram
+  * Jaccard, embedding-cosine near-dup via sign-random-projection LSH,
+  * and ANN top-k with an LSH candidate stage.
+  *
+  * Scale notes (100 TB):
+  *  - SimHash/ngram/embedding dedup all follow the same shape as
+  *    `dedup_minhash`: narrow per-row signature, candidate discovery by
+  *    bucket join on compact keys, exact verification only on bucket
+  *    cohabitants — never all pairs.
+  *  - The n-gram blocking key (lang, length bucket) is a stand-in for
+  *    whatever cheap blocking a corpus affords; the candidate join is
+  *    payload-light either way.
+  *  - ANN: brute force stays the correctness baseline (bounded query
+  *    side, broadcast); the LSH variant is the scale path — candidates
+  *    per query are a small fraction of the corpus and the per-bucket
+  *    join parallelizes on the bucket key.
+  */
+object SimilarityQueries {
+
+  // --- SimHash -----------------------------------------------------
+
+  /** Pack `n` sign bits of the 64 counter columns starting at `off`
+    * into a long (bit = 1 iff counter >= 0).
+    */
+  private def packBits(off: Int, n: Int): Column =
+    (off until off + n).map(b =>
+        when(col(s"s$b") >= 0, 1L).otherwise(0L))
+      .reduce((acc, bit) => acc * 2 + bit)
+
+  // --- sign-random-projection LSH for embeddings -------------------
+
+  /** 64 deterministic random hyperplanes in R^64 (fixed seed — part of
+    * the operator definition, like MinHash's permutation constants),
+    * shipped as ONE nested-array literal so the signature is a single
+    * compact expression instead of 64 unrolled dot-product columns
+    * (keeps analysis/codegen time flat as the signature widens).
+    */
+  private lazy val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** 8 x 8-bit sign-random-projection band values. 8-bit bands keep the
+    * bucket collision rate at 1/256 per band for unrelated vectors (the
+    * knob that keeps candidate volume ~linear at corpus scale), while
+    * true near-dups (cos >= 0.9, per-bit agreement ~0.86) still land in
+    * a shared bucket with probability ~0.93 across the 8 bands.
+    */
+  private val bandCols: Column = {
+    val hp = typedLit(hyperplanes)
+    transform(sequence(lit(0), lit(7)), b =>
+      aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) =>
+        acc * 2 + when(
+          aggregate(
+            zip_with(col("embedding"),
+              element_at(hp, (b * 8 + i + 1).cast("int")),
+              (x, y) => x.cast(DoubleType) * y),
+            lit(0.0), (a2, v) => a2 + v) >= 0, 1L).otherwise(0L)))
+  }
+
+  /** (vec_id, emb_n) with the embedding pre-normalized: per-pair
+    * cosine is then a single dot product, and this 2-column table is
+    * small enough to broadcast for candidate join-backs.
+    */
+  private def embN(s: org.apache.spark.sql.SparkSession,
+                   d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast(DoubleType) * x),
+        lit(0.0), (acc, v) => acc + v)))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType) / col("nrm"))
+          .as("emb_n"))
+
+  /** (vec_id, band, band_val), one row per LSH band — ids only, so the
+    * bucket self-join shuffles no vector payload at all.
+    */
+  private def lshBands(s: org.apache.spark.sql.SparkSession,
+                       d: String): DataFrame =
+    embeddings(s, d)
+      .withColumn("bands", bandCols)
+      .select(col("vec_id"),
+        posexplode(col("bands")).as(Seq("band", "band_val")))
+
+  /** Dot product of two pre-normalized vectors (= cosine). */
+  private def dotN(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (u, v) => u * v),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Exact cosine between two embedding columns as an ordered left
+    * fold (same summation order as the DuckDB oracle formulation).
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast(DoubleType) * v),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // SimHash near-dup: 4 x 16-bit band join guarantees recall of all
+    // pairs with hamming distance <= 3 (pigeonhole), verified exactly
+    // via bit_count(xor). N-operator (hash values are Spark-specific).
+    "dedup_simhash" -> ((s, d) => {
+      // Term-frequency-weighted 64-bit SimHash, computed as an
+      // explode + 64-column hash aggregate: the per-(token, bit) sign
+      // sums run inside whole-stage codegen with map-side partial
+      // aggregation — the shape that scales to long documents and
+      // many executors (a per-row fold would be interpreted and
+      // single-threaded per document).
+      val sums = documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(
+          sum(when(col("h").bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L))
+            .as("s0"),
+          (1 until 64).map(b =>
+            sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1,
+              1L).otherwise(-1L)).as(s"s$b")): _*)
+      val sigs = sums
+        // two 32-bit halves: a single 64-bit pack overflows ANSI long
+        .withColumn("sim_lo", packBits(0, 32))
+        .withColumn("sim_hi", packBits(32, 32))
+        // candidate blocking: 16-bit signature bands + a coarse length
+        // bucket (near-dup documents have near-equal length; the
+        // bucket keeps shared-vocabulary corpora from flooding the
+        // bucket join)
+        .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+          expr("n_chars div 32").as("len_bkt"),
+          posexplode(array(
+            packBits(0, 16), packBits(16, 16),
+            packBits(32, 16), packBits(48, 16)))
+            .as(Seq("band", "band_val")))
+      sigs.as("a")
+        .join(sigs.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.len_bkt") === col("b.len_bkt") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+            bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi"))))
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Character-5-gram Jaccard near-dup with (lang, length-bucket)
+    // blocking; integer intersect/union counts keep it oracle-exact.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      // Word-bigram Jaccard (the word-n-gram flavor of n-gram dedup —
+      // char-n-gram sets are ~10x larger per doc for the same corpus
+      // and the same candidate pairs, with no extra signal here).
+      // Grams are 64-bit-hashed before the pair join: set sizes and
+      // intersections over longs are identical to the string-set
+      // counts up to negligible collision probability, the pair join
+      // shuffles far fewer bytes, and union size is derived as
+      // |A| + |B| - |A∩B| so only ONE set operation runs per pair.
+      val grams = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams", array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> xxhash64(concat_ws(' ', toks[i - 1], toks[i])))")))
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars div 16").as("len_bkt"), col("grams"),
+          size(col("grams")).cast("long").as("n_grams"))
+      grams.as("a")
+        .join(grams.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.len_bkt") === col("b.len_bkt") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          size(array_intersect(col("a.grams"), col("b.grams")))
+            .cast("long").as("inter_sz"),
+          (col("a.n_grams") + col("b.n_grams")).as("sz_sum"))
+        .select(col("doc_a"), col("doc_b"), col("inter_sz"),
+          (col("sz_sum") - col("inter_sz")).as("union_sz"))
+        .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding near-dup: LSH buckets -> exact cosine >= 0.45 on
+    // cohabitants. Id-only output (floats never leave the plan).
+    // N-operator: LSH recall is probabilistic by construction; unit
+    // tests pin the planted-pair behavior.
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val bands = lshBands(s, d)
+      val nrm = embN(s, d)
+      // id-only bucket join -> distinct pairs -> broadcast join-back of
+      // the normalized vectors -> ONE dot product per unique pair
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+        .join(broadcast(nrm.select(col("vec_id").as("vec_a"),
+          col("emb_n").as("na"))), "vec_a")
+        .join(broadcast(nrm.select(col("vec_id").as("vec_b"),
+          col("emb_n").as("nb"))), "vec_b")
+        .filter(dotN(col("na"), col("nb")) >= 0.45)
+        .select(col("vec_a"), col("vec_b"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Brute-force exact top-3 cosine neighbors for a bounded query set,
+    // id-only. The ordered-fold cosine is bit-identical to the DuckDB
+    // formulation, so this IS oracle-paired (floats are computed, but
+    // only ids are emitted and the ranking is reproducible).
+    "sim_search_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ANN: same top-1-per-query shape, but candidates restricted to
+    // vectors sharing >= 1 LSH band with the query — the scale path
+    // (bucket join instead of query x corpus product). N-operator:
+    // recall vs brute force is probabilistic; unit-tested.
+    "ann_lsh_topk" -> ((s, d) => {
+      val bands = lshBands(s, d)
+      val nrm = embN(s, d)
+      val cands = broadcast(bands.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("band"), col("band_val")))
+        .join(bands.select(col("vec_id").as("c_id"),
+          col("band"), col("band_val")),
+          Seq("band", "band_val"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"))
+        .distinct()
+        .join(broadcast(nrm.select(col("vec_id").as("q_id"),
+          col("emb_n").as("q_n"))), "q_id")
+        .join(broadcast(nrm.select(col("vec_id").as("c_id"),
+          col("emb_n").as("c_n"))), "c_id")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      cands
+        .withColumn("cos", dotN(col("q_n"), col("c_n")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+        .orderBy(col("q_id"))
+    })
+  )
+
+  /** DuckDB ordered-fold dot product over zipped lists — the same
+    * left-to-right double summation Spark's `aggregate` performs, so
+    * cosine ranks match bit-for-bit.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($a)),
+       |    i -> CAST($a[i] AS DOUBLE) * $b[i])), (x, y) -> x + y)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars // 16 AS len_bkt,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang, len_bkt,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - 1, 1)),
+        |      i -> concat_ws(' ', toks[i], toks[i + 1]))) AS grams
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_sz,
+        |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS union_sz
+        |FROM g a JOIN g b
+        |  ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+        |      len(list_distinct(list_concat(a.grams, b.grams))) * 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "sim_search_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id AS c_id,
+         |    ${duckCos("q.q_vec", "c.embedding")} AS cos
+         |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, c_id AS neighbor_id FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (north-star
+  * mandate, BASELINE.json: language-ID, quality scoring, token counting,
+  * document fingerprinting over `documents`).
+  *
+  * Determinism: every score is integer arithmetic (counts, basis points
+  * via integer division, modular rolling hash) so the DuckDB oracle
+  * hash-matches bit-for-bit — no float ratios (SURVEY.md §5.3).
+  *
+  * Scale notes (100 TB): all four are narrow per-row map stages followed
+  * by at most one aggregation — no joins, no skew risk; the only shuffle
+  * is the final ORDER BY (and at scale you would sort within partitions
+  * or skip the global sort entirely).
+  */
+object TextQueries {
+
+  /** Marker-token profiles for the n-gram/stopword language-ID
+    * heuristic. The fixture corpus is synthetic shared-vocabulary text,
+    * so the profiles are over that vocabulary; with real corpora these
+    * would be per-language stopword lists (the operator shape — score
+    * per profile, argmax with deterministic tie-break — is identical).
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "de" -> Seq("der", "die", "das", "und", "table", "row"),
+    "es" -> Seq("el", "la", "los", "query", "data", "column"),
+    "fr" -> Seq("le", "la", "les", "scan", "merge", "join"))
+
+  val queries: Map[String, Q] = Map(
+    // Language-ID: score text against each profile, pick argmax
+    // (ties broken by profile order = score desc, lang asc).
+    "text_langid" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val scores = profiles.map { case (lang, words) =>
+        val hits = size(array_intersect(
+          array_distinct(toks), array(words.map(lit): _*)))
+        struct(hits.as("score"), lit(lang).as("lang"))
+      }
+      documents(s, d)
+        .withColumn("best",
+          sort_array(array(scores: _*), asc = false).getItem(0))
+        .select(col("doc_id"), col("best.lang").as("pred_lang"),
+          col("best.score").as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: token count, mean token length (centi-chars),
+    // stopword ratio and short-token ratio in basis points, plus a
+    // boolean gate — all integer math.
+    "text_quality_score" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stop = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
+      documents(s, d)
+        .withColumn("tok_cnt", size(toks).cast("long"))
+        .withColumn("char_cnt",
+          aggregate(transform(toks, t => length(t).cast("long")),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("stop_cnt",
+          size(filter(toks, t => array_position(stop, t) > 0)).cast("long"))
+        .withColumn("short_cnt",
+          size(filter(toks, t => length(t) <= lit(2))).cast("long"))
+        .select(
+          col("doc_id"), col("tok_cnt"),
+          expr("char_cnt * 100 div tok_cnt").as("mean_tok_len_c"),
+          expr("stop_cnt * 10000 div tok_cnt").as("stop_bp"),
+          expr("short_cnt * 10000 div tok_cnt").as("short_bp"),
+          (col("tok_cnt") >= 20 &&
+            expr("stop_cnt * 10000 div tok_cnt") < 4000).as("passes_gate"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens, BPE-ish regex tokens (letter
+    // runs / digit runs / single other chars), distinct tokens.
+    "text_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+            .as("re_tokens"),
+          size(array_distinct(split(col("text"), " "))).cast("long")
+            .as("distinct_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprint: polynomial rolling hash over the character
+    // codepoints, mod 1e9+7 (products stay < 2^63 so Spark and DuckDB
+    // agree exactly — no wrap-around semantics involved).
+    "text_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          aggregate(
+            transform(sequence(lit(1), length(col("text"))),
+              i => ascii(substring(col("text"), i, lit(1))).cast("long")),
+            lit(0L),
+            (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> {
+      val scoreSql = profiles.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"{'score': len(list_intersect(list_distinct(string_split(text, ' ')), $arr)), 'lang': '$lang'}"
+      }.mkString(", ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    list_reverse_sort([$scoreSql]) AS ranked
+         |  FROM documents)
+         |SELECT doc_id, ranked[1].lang AS pred_lang,
+         |  ranked[1].score AS score
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "text_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS tok_cnt,
+        |    CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS char_cnt,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS stop_cnt,
+        |    CAST(len(list_filter(toks, t -> len(t) <= 2)) AS BIGINT) AS short_cnt
+        |  FROM t)
+        |SELECT doc_id, tok_cnt,
+        |  char_cnt * 100 // tok_cnt AS mean_tok_len_c,
+        |  stop_cnt * 10000 // tok_cnt AS stop_bp,
+        |  short_cnt * 10000 // tok_cnt AS short_bp,
+        |  tok_cnt >= 20 AND stop_cnt * 10000 // tok_cnt < 4000 AS passes_gate
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, len(text)),
+        |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
