@@ -169,17 +169,19 @@ object SimilarityQueries {
       // counts up to negligible collision probability, the pair join
       // shuffles far fewer bytes, and union size is derived as
       // |A| + |B| - |A∩B| so only ONE set operation runs per pair.
+      // blocking: length bucket ONLY — near-dups have near-identical
+      // length, and metadata keys like `lang` can differ between true
+      // duplicates (the fixture's cross-lang exact dups prove it)
       val grams = documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("grams", array_distinct(expr(
           "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> xxhash64(concat_ws(' ', toks[i - 1], toks[i])))")))
-        .select(col("doc_id"), col("lang"),
-          expr("n_chars div 16").as("len_bkt"), col("grams"),
+        .select(col("doc_id"),
+          expr("n_chars div 8").as("len_bkt"), col("grams"),
           size(col("grams")).cast("long").as("n_grams"))
       grams.as("a")
         .join(grams.as("b"),
-          col("a.lang") === col("b.lang") &&
-            col("a.len_bkt") === col("b.len_bkt") &&
+          col("a.len_bkt") === col("b.len_bkt") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           size(array_intersect(col("a.grams"), col("b.grams")))
@@ -281,11 +283,11 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "dedup_ngram_jaccard" ->
       """WITH t AS (
-        |  SELECT doc_id, lang, n_chars // 16 AS len_bkt,
+        |  SELECT doc_id, n_chars // 8 AS len_bkt,
         |    string_split(text, ' ') AS toks
         |  FROM documents
         |), g AS (
-        |  SELECT doc_id, lang, len_bkt,
+        |  SELECT doc_id, len_bkt,
         |    list_distinct(list_transform(
         |      generate_series(1, greatest(len(toks) - 1, 1)),
         |      i -> concat_ws(' ', toks[i], toks[i + 1]))) AS grams
@@ -294,7 +296,7 @@ object SimilarityQueries {
         |  CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter_sz,
         |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS union_sz
         |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+        |  ON a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
         |      len(list_distinct(list_concat(a.grams, b.grams))) * 2
         |ORDER BY doc_a, doc_b""".stripMargin,

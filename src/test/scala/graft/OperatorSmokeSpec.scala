@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared operator must at least execute and (except genuinely
+  * empty-by-construction results) return rows at sf0.001 — the same
+  * contract the driver's rows-only check enforces, moved into `sbt test`
+  * so a broken operator fails fast.
+  */
+class OperatorSmokeSpec extends SparkSpecBase {
+
+  // session-window/stateful streaming runs are exercised by
+  // StreamingParitySpec; running them twice doubles suite time
+  private val coveredElsewhere = Set(
+    "stream_dedup", "stream_stateful_count", "stream_watermark_late")
+
+  // legitimately empty at sf0.001 (oracle agrees: both engines emit 0
+  // rows); the smoke check only requires successful execution
+  private val emptyOkAtSmallSf = Set(
+    "agg_having", "join_left_anti", "set_except")
+
+  SparkEntry.queries.keys.toSeq.sorted
+    .filterNot(coveredElsewhere).foreach { name =>
+      test(s"$name executes and returns rows") {
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        if (emptyOkAtSmallSf(name)) assert(n >= 0)
+        else assert(n > 0, s"$name returned 0 rows")
+      }
+    }
+
+  test("oracleSql keys all have matching query entries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("csv round-trip preserves the aggregated table exactly") {
+    val out = SparkEntry.queries("scan_csv_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val direct = Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(out == direct)
+  }
+
+  test("json round-trip preserves the aggregated table exactly") {
+    val out = SparkEntry.queries("scan_json_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val direct = Tables.nation(spark, sfDir)
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(out == direct)
+  }
+
+  test("approx_count_distinct is within declared rsd of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
+      .collect()(0).getLong(0)
+    val exact = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+/** SURVEY.md §5.2.3 — plan-shape assertions: the optimizations the 100 TB
+  * design depends on must actually engage in the physical plan.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("scan_parquet_pruned reads only the projected columns") {
+    val p = plan("scan_parquet_pruned")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_linenumber"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"))
+  }
+
+  test("filter_comparison pushes predicates into the parquet scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pushed = SparkEntry.queries("filter_comparison")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f.metadata("PushedFilters")
+      }.mkString
+    assert(pushed.contains("GreaterThan(l_quantity,30.0)"), pushed)
+    assert(pushed.contains("LessThanOrEqual(l_tax,0.05)"), pushed)
+  }
+
+  test("join_inner_broadcast uses a broadcast hash join") {
+    assert(plan("join_inner_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("sort_limit_topk fuses to TakeOrderedAndProject") {
+    assert(plan("sort_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_group_sums does partial (map-side) + final hash aggregation") {
+    val p = plan("agg_group_sums")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final HashAggregate pair")
+  }
+
+  test("flagship plan keeps the scan inside whole-stage codegen") {
+    // under AQE the codegen stages only appear in the FINAL plan, so
+    // execute first, then inspect
+    val df = Tables.flagship(spark, sfDir)
+    df.collect()
+    // codegen stages print as "*(n)" node prefixes in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p)
+  }
+
+  test("LSH dedup joins never degenerate to cartesian products") {
+    for (name <- Seq("dedup_minhash", "dedup_simhash",
+      "dedup_ngram_jaccard", "dedup_embedding_cosine")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name contains a cartesian product")
+    }
+  }
+
+  test("embedding join-backs broadcast the normalized-vector table") {
+    assert(plan("dedup_embedding_cosine").contains("BroadcastHashJoin"))
+    assert(plan("ann_lsh_topk").contains("BroadcastHashJoin"))
+  }
+}

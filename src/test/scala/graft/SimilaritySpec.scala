@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §5.2.2 — unit verification for the N-operators (no DuckDB
+  * oracle): recall/precision properties of the dedup family and exact
+  * agreement of the similarity-search family with an independent
+  * in-test implementation.
+  */
+class SimilaritySpec extends SparkSpecBase {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  /** The only fixture scale with exact-duplicate documents is sf0.1 —
+    * the dup-recall properties run there.
+    */
+  private val dupDir = "/root/testdata/sf0.1"
+  private def runAtDupScale(name: String) =
+    SparkEntry.queries(name)(spark, dupDir)
+
+  /** All unordered exact-duplicate pairs (same full text). */
+  private lazy val exactDupPairs: Set[(Long, Long)] = {
+    val groups = Tables.documents(spark, dupDir)
+      .groupBy(col("text"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids")).collect()
+    groups.flatMap { r =>
+      val ids = r.getSeq[Long](0).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+  }
+
+  private def pairSet(name: String): Set[(Long, Long)] =
+    run(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dedup_minhash recalls every exact-duplicate pair") {
+    assert(exactDupPairs.nonEmpty, "fixture has no exact dups at sf0.1")
+    val found = runAtDupScale("dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDupPairs.subsetOf(found),
+      s"missing: ${exactDupPairs -- found}")
+  }
+
+  test("dedup_simhash recalls every exact-duplicate pair (hamming 0)") {
+    val found = runAtDupScale("dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDupPairs.subsetOf(found),
+      s"missing: ${exactDupPairs -- found}")
+  }
+
+  test("dedup_ngram_jaccard recalls every exact-duplicate pair") {
+    val found = runAtDupScale("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactDupPairs.subsetOf(found),
+      s"missing: ${exactDupPairs -- found}")
+  }
+
+  test("dedup_ngram_jaccard pairs all satisfy jaccard >= 0.4 exactly") {
+    run("dedup_ngram_jaccard").collect().foreach { r =>
+      val (inter, union) = (r.getLong(2), r.getLong(3))
+      assert(inter * 5 >= union * 2, s"pair $r below threshold")
+    }
+  }
+
+  // --- independent cosine implementation for cross-checks ---
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }.toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("dedup_embedding_cosine: every reported pair truly has cos >= 0.45") {
+    val found = pairSet("dedup_embedding_cosine")
+    assert(found.nonEmpty)
+    found.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.4499999,
+        s"pair ($a,$b) cos=${cos(vecs(a), vecs(b))}")
+    }
+  }
+
+  test("sim_search_topk matches an independent brute-force ranking") {
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .take(3).zipWithIndex
+        .map { case ((c, _), i) => Row(q, i + 1, c) }
+    }
+    val got = run("sim_search_topk").collect()
+      .map(r => Row(r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("ann_lsh_topk returns each query's true best within its candidates") {
+    val got = run("ann_lsh_topk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == vecs.keys.filter(_ < 10).toSet)
+    // neighbor must be strictly better-or-equal than any other vector
+    // sharing a band is hard to recheck without reimplementing LSH;
+    // minimally: the reported neighbor's cosine must be within the
+    // brute-force top-50 for that query (sanity against garbage)
+    got.foreach { case (q, n) =>
+      val rank = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, cos(vecs(q), vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }
+        .indexWhere(_._1 == n)
+      assert(rank >= 0 && rank < 50, s"query $q neighbor $n rank=$rank")
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.I / §5.2.5 — batch/stream parity (Dataflow-model
+  * discipline): the MemoryStream replays must agree with the equivalent
+  * batch computation over the same events, and watermarking must
+  * actually drop the held-back late rows.
+  */
+class StreamingParitySpec extends SparkSpecBase {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("stream_dedup equals batch per-type counts (duplicates collapsed)") {
+    val streamed = run("stream_dedup").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("stream_stateful_count equals batch per-user counts") {
+    val streamed = run("stream_stateful_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+  }
+
+  test("stream_watermark_late: emitted windows contain on-time rows only") {
+    val sink = run("stream_watermark_late").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sink.nonEmpty)
+    // every held-back row (event_id % 50 == 0) was delivered after the
+    // watermark passed its window, so each emitted window's count must
+    // equal the main-feed-only batch count for that window
+    val mainOnly = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 50 =!= 0)
+      .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("w"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sink.foreach { case (w, n) =>
+      assert(mainOnly.get(w).contains(n),
+        s"window $w: sink=$n mainOnly=${mainOnly.get(w)}")
+    }
+  }
+
+  test("stream_tumbling (batch form) equals a raw-SQL bucketing") {
+    val viaWindow = run("stream_tumbling").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val viaDiv = ev
+      .groupBy(expr("(ts_us div 3600000000) * 3600000000").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaWindow == viaDiv)
+  }
+}
