@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Fused dot product over two double arrays as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * The built-in formulation — `aggregate(zip_with(a, b, (x, y) -> x*y),
+  * 0d, (acc, v) -> acc + v)` — is a higher-order function: Catalyst
+  * evaluates the lambda per element in interpreted mode and `zip_with`
+  * materializes an intermediate array per row. For the similarity-search
+  * family that per-candidate-pair cost dominates, which is exactly the
+  * "drop to a custom `Expression` only where built-ins genuinely can't
+  * express it [efficiently]" case: `doGenCode` emits a tight primitive
+  * loop (no allocation, no virtual calls) that fuses into the
+  * surrounding generated pipeline.
+  *
+  * Semantics: left-to-right summation, identical to the ordered fold of
+  * the built-in formulation AND to the DuckDB oracle's `list_reduce`
+  * formulation, so results remain bit-identical across all three.
+  * Array elements must be non-null (embedding vectors are); a null or
+  * shorter-than-left right array yields the dot over the common prefix.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two array<double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_dot"
+}
+
+object DotProductExpr {
+  /** Column-API entry point: `dot(a, b)` over `array<double>` columns
+    * (cast `array<float>` inputs first — the cast is codegen'd too).
+    */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

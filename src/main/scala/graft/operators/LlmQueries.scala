@@ -118,16 +118,17 @@ object LlmQueries {
     // symmetry, and agreement with an independent implementation.
     "sim_search_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
-      val dot = expr(
-        "aggregate(zip_with(q_vec, c_vec, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-      val norm: String => org.apache.spark.sql.Column = v => sqrt(expr(
-        s"aggregate(transform($v, x -> CAST(x AS DOUBLE) * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+      // codegen'd fused dot product (graft.functions.DotProductExpr) —
+      // same left-to-right summation as the interpreted fold
+      def dotD(a: String, b: String) = graft.functions.DotProductExpr.dot(
+        col(a).cast(ArrayType(DoubleType)), col(b).cast(ArrayType(DoubleType)))
       val queriesDf = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val cands = emb
         .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
       val scored = broadcast(queriesDf).join(cands, col("q_id") =!= col("c_id"))
-        .withColumn("cos", dot / (norm("q_vec") * norm("c_vec")))
+        .withColumn("cos", dotD("q_vec", "c_vec") /
+          (sqrt(dotD("q_vec", "q_vec")) * sqrt(dotD("c_vec", "c_vec"))))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id").asc)
       scored

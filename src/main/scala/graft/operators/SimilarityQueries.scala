@@ -4,7 +4,7 @@ import graft.Tables._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Near-duplicate detection and similarity search beyond MinHash
   * (north-star mandate, BASELINE.json): SimHash, character-n-gram
@@ -91,18 +91,20 @@ object SimilarityQueries {
       .select(col("vec_id"),
         posexplode(col("bands")).as(Seq("band", "band_val")))
 
-  /** Dot product of two pre-normalized vectors (= cosine). */
+  /** Dot product of two pre-normalized vectors (= cosine), via the
+    * codegen'd custom expression (graft.functions.DotProductExpr) —
+    * left-to-right summation, bit-identical to the interpreted fold.
+    */
   private def dotN(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (u, v) => u * v),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.dot(a, b)
 
-  /** Exact cosine between two embedding columns as an ordered left
-    * fold (same summation order as the DuckDB oracle formulation).
+  /** Exact cosine between two embedding columns (same summation order
+    * as the DuckDB oracle formulation — bit-identical results).
     */
   private def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u.cast(DoubleType) * v),
-        lit(0.0), (acc, v) => acc + v)
+      graft.functions.DotProductExpr.dot(
+        x.cast(ArrayType(DoubleType)), y.cast(ArrayType(DoubleType)))
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
