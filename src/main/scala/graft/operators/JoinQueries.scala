@@ -133,7 +133,63 @@ object JoinQueries {
         .groupBy(col("n_name"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
           .as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy(col("n_name")))
+        .orderBy(col("n_name"))),
+
+    // Skew-salted join: l_returnflag has only 3 values, so a plain
+    // shuffle join on it puts a third of lineitem on one reducer.
+    // Salting fans each key over 8 sub-partitions (fact side gets a
+    // deterministic per-row salt, the tiny dim side is exploded 8x),
+    // restoring parallelism. Result is identical to the unsalted join
+    // (oracle-verified) — the salt exists only inside the shuffle.
+    // At 100 TB this is the manual fallback where AQE's runtime skew
+    // splitting can't help (e.g. a skewed AGGREGATION key feeding a
+    // join); here it also documents the technique.
+    "join_skew_salted" -> ((s, d) => {
+      val flags = lineitem(s, d).select(col("l_returnflag")).distinct()
+        .withColumn("flag_tag",
+          concat(lit("flag:"), col("l_returnflag")))
+      val salted = lineitem(s, d)
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"),
+          col("l_linenumber")), lit(8)))
+      val dimSalted = flags
+        .withColumn("salt", explode(sequence(lit(0L), lit(7L))))
+      salted
+        .join(dimSalted, Seq("l_returnflag", "salt"))
+        .groupBy(col("l_returnflag"), col("flag_tag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(money(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Bucketed co-located join: both fact tables written bucketed (and
+    // sorted) by the join key, so the join needs NO shuffle of either
+    // side — the 100 TB pattern for repeated fact-fact joins, where
+    // one bucketed write amortizes over every later join on that key.
+    // (Bucket-locality is asserted in PlanShapeSpec; the bucketed
+    // write itself is part of the measured cost here.)
+    "join_bucketed" -> ((s, d) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      // project to the needed columns before the bucketed write — the
+      // write cost is the amortized index-build, keep it lean
+      orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .option("path", s"$wh/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .option("path", s"$wh/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+      s.table("graft_orders_b")
+        .join(s.table("graft_lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(money(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -194,6 +250,17 @@ object JoinQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT l_returnflag, 'flag:' || l_returnflag AS flag_tag,
+        |  count(*) AS n_rows,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

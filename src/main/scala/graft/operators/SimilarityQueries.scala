@@ -244,6 +244,50 @@ object SimilarityQueries {
     // vectors sharing >= 1 LSH band with the query — the scale path
     // (bucket join instead of query x corpus product). N-operator:
     // recall vs brute force is probabilistic; unit-tested.
+    // IVF (inverted-file) ANN: vectors are assigned to their nearest
+    // coarse centroid (one inverted list per centroid); a query probes
+    // its nprobe=2 nearest centroids and ranks only those lists — the
+    // classic alternative scale path to LSH. Centroids here are a
+    // fixed deterministic sample of the corpus (a k-means refinement
+    // would be an offline build step, not part of the query); the
+    // assignment is one broadcast-nested-loop over 16 centroids + one
+    // window, so the whole index build is two narrow passes.
+    // N-operator: unit tests recompute the IVF structure independently
+    // and require exact agreement.
+    "ann_ivf_topk" -> ((s, d) => {
+      val nrm = embN(s, d)
+      val cents = broadcast(
+        nrm.filter(col("vec_id").between(100, 115))
+          .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id").asc)
+      val assigned = nrm.crossJoin(cents)
+        .withColumn("cos", dotN(col("emb_n"), col("cent_vec")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("vec_id").as("c_id"),
+          col("emb_n").as("c_n"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("cent_id").asc)
+      val probes = nrm.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb_n").as("q_n"))
+        .crossJoin(cents)
+        .withColumn("cos", dotN(col("q_n"), col("cent_vec")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("q_n"), col("cent_id"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("qc_cos").desc, col("c_id").asc)
+      broadcast(probes)
+        .join(assigned, "cent_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("qc_cos", dotN(col("q_n"), col("c_n")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id").as("neighbor_id"))
+        .orderBy(col("q_id"))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val bands = lshBands(s, d)
       val nrm = embN(s, d)

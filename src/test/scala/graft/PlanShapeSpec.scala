@@ -65,4 +65,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan("dedup_embedding_cosine").contains("BroadcastHashJoin"))
     assert(plan("ann_lsh_topk").contains("BroadcastHashJoin"))
   }
+
+  test("bucketed join needs no shuffle of either side") {
+    // build the bucketed tables via the operator itself
+    SparkEntry.queries("join_bucketed")(spark, sfDir).count()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the bucket-co-located sort-merge path is
+      // what the planner must choose
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        "bucketed join should not shuffle either side")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }

@@ -102,6 +102,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("ann_ivf_topk agrees exactly with an independent IVF recomputation") {
+    val centIds = vecs.keys.filter(id => id >= 100 && id <= 115).toSeq.sorted
+    def nearestCents(v: Array[Double], n: Int): Seq[Long] =
+      centIds.map(c => (c, cos(v, vecs(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(n).map(_._1)
+    val assignment: Map[Long, Long] =
+      vecs.map { case (id, v) => id -> nearestCents(v, 1).head }
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.map { q =>
+      val probed = nearestCents(vecs(q), 2).toSet
+      val cands = assignment.collect {
+        case (id, c) if probed(c) && id != q => id
+      }
+      val best = cands.map(c => (c, cos(vecs(q), vecs(c))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.head._1
+      (q, best)
+    }
+    val got = run("ann_ivf_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
   test("ann_lsh_topk returns each query's true best within its candidates") {
     val got = run("ann_lsh_topk").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
