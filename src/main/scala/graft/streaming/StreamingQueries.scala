@@ -4,7 +4,8 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY.md §2.I — Structured Streaming over `events`.
   *
@@ -29,6 +30,25 @@ object StreamingQueries {
   case class Ev(event_id: Long, ts_us: Long, user_id: Long,
                 event_type: String, value: Double)
 
+  /** Per-user running money sum via the Spark 4 `transformWithState`
+    * StatefulProcessor API (typed ValueState, RocksDB state store).
+    * Value is kept in exact cents (long) so the emitted running totals
+    * are decimal-deterministic.
+    */
+  private class RunningCents extends StatefulProcessor[Long, Ev, (Long, Long)] {
+    @transient private var sum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sum = getHandle.getValueState[Long](
+        "sum_cents", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val add = rows.map(e => math.round(e.value * 100)).sum
+      val s = (if (sum.exists()) sum.get() else 0L) + add
+      sum.update(s)
+      Iterator((user, s))
+    }
+  }
+
   private val HourUs = 3600L * 1000000L
 
   /** Events as a typed, ts-sorted array for replay, memoized per sfDir —
@@ -52,7 +72,7 @@ object StreamingQueries {
     * advancement) are deterministic.
     */
   private def runStream(s0: SparkSession, name: String, chunks: Seq[Seq[Ev]],
-                        mode: OutputMode)(
+                        mode: OutputMode, rocksDb: Boolean = false)(
                          pipe: Dataset[Ev] => DataFrame): DataFrame = {
     // Stateful micro-batch execution pays per-partition state-store
     // load/commit on EVERY batch, so state partition count should track
@@ -62,6 +82,9 @@ object StreamingQueries {
     // knob you'd tune per-stream for state-store fan-out.
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    if (rocksDb) // transformWithState requires the RocksDB provider
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s.implicits._
     s.catalog.dropTempView(name) // stale sink table from a prior run
     val src = MemoryStream[Ev](s)
@@ -164,6 +187,31 @@ object StreamingQueries {
       out.groupBy(col("user_id"))
         .agg(max(col("n_running")).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // Same running-aggregate shape on the MODERN stateful API:
+    // `transformWithState` + typed ValueState on the RocksDB state
+    // store (Spark 4's replacement for [flat]mapGroupsWithState).
+    // Exact integer cents keep it oracle-pairable; values are
+    // non-negative so the running sum is monotone and the max over
+    // Update-mode emissions is the final per-user total.
+    "stream_tws_running_sum" -> ((s, d) => {
+      val all = evSet(s, d)
+      val chunkLen = math.max(1, (all.length + 1) / 2)
+      val chunks = all.grouped(chunkLen).map(_.toSeq).toSeq
+      val out = runStream(s, "graft_sink_tws", chunks, OutputMode.Update(),
+        rocksDb = true) { ds =>
+        import ds.sparkSession.implicits._
+        implicit val outEnc: Encoder[(Long, Long)] =
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        ds.groupByKey(_.user_id)
+          .transformWithState(new RunningCents, TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "cents_running")
+      }
+      out.groupBy(col("user_id"))
+        .agg(max(col("cents_running")).as("total_cents"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -193,6 +241,10 @@ object StreamingQueries {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_stateful_count" ->
       """SELECT user_id, count(*) AS n_events FROM events
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_tws_running_sum" ->
+      """SELECT user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
