@@ -116,7 +116,46 @@ object AggQueries {
           min_by(col("o_orderkey"),
             struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"),
           max(money(col("o_totalprice"))).as("best_price"))
-        .orderBy(col("o_custkey")))
+        .orderBy(col("o_custkey"))),
+
+    // Pivot (wide reshape): returnflag rows x linestatus columns.
+    // Pivot values are declared explicitly so plan construction stays
+    // lazy (no eager distinct-collect job — Bench contract §3.3).
+    "agg_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(money(col("l_quantity"))))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy(col("l_returnflag"))),
+
+    // Unpivot/melt (long reshape): the inverse operation, one row per
+    // (flag, measure).
+    "reshape_unpivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(money(col("l_quantity"))).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty").cast(DecimalType(38, 2)).as("sum_qty"),
+            col("sum_price").cast(DecimalType(38, 2)).as("sum_price")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure"))),
+
+    // Discrete percentiles (SQL-standard percentile_disc picks actual
+    // data values — deterministic across engines, unlike interpolating
+    // percentile_cont under float arithmetic).
+    "agg_percentile_disc" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p25_qty"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p50_qty"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p90_price"))
+        .orderBy(col("l_returnflag")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +203,27 @@ object AggQueries {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
         |  FROM orders) t
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "reshape_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM agg
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "agg_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25_qty,
+        |  quantile_disc(l_quantity, 0.5) AS p50_qty,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
