@@ -38,6 +38,26 @@ object MultimodalQueries {
     (sum, head)
   }
 
+  /** STUB frame sampling: stands in for video frame extraction —
+    * deterministic every-k-th 16-byte window as a "frame", hashed.
+    * Real decoder would replace the window arithmetic only.
+    */
+  private def sampleFrames(payload: Array[Byte],
+                           stride: Int): Seq[(Int, Long)] = {
+    val frames = Seq.newBuilder[(Int, Long)]
+    var idx = 0
+    var off = 0
+    while (off + 16 <= payload.length) {
+      var h = 1125899906842597L // FNV-ish deterministic window hash
+      var i = off
+      while (i < off + 16) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+      frames += ((idx, h))
+      idx += 1
+      off += stride
+    }
+    frames.result()
+  }
+
   val queries: Map[String, Q] = Map(
     // Typed-metadata path: binary payload + struct metadata, flattened
     // for output. Oracle-paired on the byte-accurate metadata.
@@ -78,6 +98,27 @@ object MultimodalQueries {
         }
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // Frame-sampling path: one output row per sampled "frame" (stride
+    // 64 bytes), generator-style fan-out from the binary column. The
+    // per-doc frame count is payload-proportional, the plumbing
+    // (iterator-in/iterator-out, no partition materialization) is what
+    // a real video sampler needs. N-operator (unit + rows-only).
+    "mm_frame_sample" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.flatMap { case (id, payload) =>
+            sampleFrames(payload, 64).iterator
+              .map { case (idx, h) => (id, idx, h) }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_hash")
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
   )
 

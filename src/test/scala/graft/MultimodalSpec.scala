@@ -42,6 +42,20 @@ class MultimodalSpec extends SparkSpecBase {
       }
   }
 
+  test("mm_frame_sample emits stride-64 frame windows per document") {
+    val byDoc = run("mm_frame_sample").collect()
+      .groupBy(_.getLong(0))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect().take(30).foreach { r =>
+        val nBytes = r.getString(1).getBytes("UTF-8").length
+        val expFrames = math.max(0, (nBytes - 16) / 64 + 1)
+        val got = byDoc.getOrElse(r.getLong(0), Array.empty)
+        assert(got.length == expFrames,
+          s"doc ${r.getLong(0)}: ${got.length} frames, expected $expFrames")
+        assert(got.map(_.getInt(1)).sorted.toSeq == (0 until expFrames))
+      }
+  }
+
   test("modality routing is a total deterministic function of doc_id") {
     run("mm_binary_meta").collect().foreach { r =>
       val expected = Seq("image", "audio", "video")((r.getLong(0) % 3).toInt)

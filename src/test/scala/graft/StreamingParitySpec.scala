@@ -48,6 +48,46 @@ class StreamingParitySpec extends SparkSpecBase {
     }
   }
 
+  test("session_window streaming replay equals the batch session agg") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val ev = Tables.events(s, sfDir)
+      .select(col("user_id"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2)
+    // one far-future sentinel per user pushes the watermark past every
+    // real session so append mode emits them all; sentinel sessions
+    // themselves stay unemitted
+    val maxTs = ev.map(_._2).max
+    val sentinels = ev.map(_._1).distinct.map(u => (u, maxTs + 86400000000L))
+    val src = MemoryStream[(Long, Long)](s)
+    val q = src.toDS().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        col("n"))
+      .writeStream.format("memory").queryName("graft_sess_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(ev.toSeq); q.processAllAvailable()
+      src.addData(sentinels.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = s.table("graft_sess_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Tables.events(s, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts_ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("w.start")), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream_tumbling (batch form) equals a raw-SQL bucketing") {
     val viaWindow = run("stream_tumbling").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
