@@ -88,6 +88,34 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("file-source stream (Trigger.AvailableNow) equals batch counts") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stage the single-file events table as a streaming source dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val schema = Tables.table(s, sfDir, "events").schema
+    val q = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts_fix", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts_fix", "10 minutes")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("graft_file_src")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = s.table("graft_file_src").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(s, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("stream_tumbling (batch form) equals a raw-SQL bucketing") {
     val viaWindow = run("stream_tumbling").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
