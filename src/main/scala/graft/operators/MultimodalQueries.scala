@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star mandate, BASELINE.json):
   * image/audio/video payloads are opaque `binary` columns with typed
-  * metadata; decode / feature-extract runs partition-wise in batches.
+  * metadata; decode / feature-extract / frame-sample run partition-wise
+  * in batches. The reference (`/root/reference/README.md:1-2`) contains
+  * no code; this surface is derived per SURVEY.md §0/§2.K.
   *
   * No binary fixture exists (SURVEY.md §7.5), so the payload is the
   * UTF-8 encoding of `documents.text` — the Spark-side plumbing

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Near-duplicate detection and similarity search beyond MinHash
-  * (north-star mandate, BASELINE.json): SimHash, character-n-gram
-  * Jaccard, embedding-cosine near-dup via sign-random-projection LSH,
-  * and ANN top-k with an LSH candidate stage.
+  * (north-star mandate, BASELINE.json): SimHash, word-n-gram Jaccard,
+  * embedding-cosine near-dup via sign-random-projection LSH, and ANN
+  * top-k with LSH and IVF candidate stages. The reference
+  * (`/root/reference/README.md:1-2`) contains no code; this surface is
+  * derived per SURVEY.md §0/§2.K.
   *
   * Scale notes (100 TB):
   *  - SimHash/ngram/embedding dedup all follow the same shape as

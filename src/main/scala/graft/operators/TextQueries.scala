@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline (north-star
   * mandate, BASELINE.json: language-ID, quality scoring, token counting,
-  * document fingerprinting over `documents`).
+  * document fingerprinting over `documents`). The reference
+  * (`/root/reference/README.md:1-2`) contains no code; this surface is
+  * derived per SURVEY.md §0/§2.K.
   *
   * Determinism: every score is integer arithmetic (counts, basis points
   * via integer division, modular rolling hash) so the DuckDB oracle
