@@ -105,6 +105,20 @@ object WindowQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // first/last/nth value over an explicitly-framed window (frame must
+    // be full-partition for last/nth to be deterministic).
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, d)
+        .select(col("c_custkey"),
+          first(col("c_custkey")).over(w).as("seg_top"),
+          last(col("c_custkey")).over(w).as("seg_bottom"),
+          nth_value(col("c_custkey"), 2).over(w).as("seg_second"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Top-3 orders per customer (top-scorers shape).
     "topk_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -172,6 +186,15 @@ object WindowQueries {
         |  cume_dist() OVER w AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT c_custkey,
+        |  first_value(c_custkey) OVER w AS seg_top,
+        |  last_value(c_custkey) OVER w AS seg_bottom,
+        |  nth_value(c_custkey, 2) OVER w AS seg_second
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_custkey""".stripMargin,
     "topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
