@@ -153,7 +153,27 @@ object ScalarQueries {
           col("c_custkey"),
           col("s").getField("nkey").as("nkey_out"),
           money(col("s").getField("bal")).as("bal_dec"))
-        .orderBy(col("c_custkey")))
+        .orderBy(col("c_custkey"))),
+
+    // Bitwise operators over integer keys.
+    "fn_bitwise" -> ((s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(lit(255L)).as("and_lo"),
+          col("l_orderkey").bitwiseOR(lit(4096L)).as("or_hi"),
+          col("l_orderkey").bitwiseXOR(col("l_linenumber").cast(LongType))
+            .as("xored"),
+          shiftleft(col("l_linenumber"), 3).as("shl3"),
+          shiftright(col("l_orderkey"), 2).as("shr2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("xored"))),
+
+    // Cryptographic digests (content-addressing / dedup keys).
+    "fn_hash_digest" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .orderBy(col("doc_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -226,6 +246,17 @@ object ScalarQueries {
     "fn_struct_nested" ->
       """SELECT c_custkey, c_nationkey AS nkey_out,
         |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS and_lo,
+        |  l_orderkey | 4096 AS or_hi,
+        |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xored,
+        |  l_linenumber << 3 AS shl3,
+        |  l_orderkey >> 2 AS shr2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, xored""".stripMargin,
+    "fn_hash_digest" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -142,6 +142,16 @@ object AggQueries {
           "measure", "val")
         .orderBy(col("l_returnflag"), col("measure"))),
 
+    // Boolean aggregation + filtered counts per priority class.
+    "agg_bool" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "P").as("any_pending"),
+          count_if(col("o_totalprice") > 100000.0).as("n_big"))
+        .orderBy(col("o_orderpriority"))),
+
     // Discrete percentiles (SQL-standard percentile_disc picks actual
     // data values — deterministic across engines, unlike interpolating
     // percentile_cont under float arithmetic).
@@ -219,6 +229,12 @@ object AggQueries {
         |UNION ALL
         |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM agg
         |ORDER BY l_returnflag, measure""".stripMargin,
+    "agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_percentile_disc" ->
       """SELECT l_returnflag,
         |  quantile_disc(l_quantity, 0.25) AS p25_qty,

@@ -60,6 +60,22 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // Multi-file parallel scan: the table split into 8 part files and
+    // read back as one dataset — the layout every distributed write
+    // produces (one file per task), and the unit of scan parallelism
+    // at cluster scale. Aggregate must equal the single-file read.
+    "scan_parquet_multifile" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_multifile").toString
+      lineitem(s, d).repartition(8)
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(money(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // Partitioned sink + partition-pruned read-back: only the
     // l_returnflag=A directory is listed by the pruned scan.
     "sink_partitioned" -> ((s, d) => {
@@ -82,6 +98,10 @@ object ScanQueries {
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_events_nanos" ->
       "SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events ORDER BY event_id",
+    "scan_parquet_multifile" ->
+      """SELECT l_linestatus, count(*) AS n_rows,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "sink_partitioned" ->
       """SELECT count(*) AS n_rows, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin
