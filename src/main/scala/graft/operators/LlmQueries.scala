@@ -112,6 +112,52 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Duplicate-cluster assembly: connected components over the
+    // exact-duplicate pair graph via 4 unrolled rounds of min-label
+    // propagation (pure plan — no driver-side iteration, so Bench
+    // still measures one action; diameter of dup cliques is 1, and
+    // ClusterConvergenceSpec asserts a 5th round is a no-op). The
+    // DuckDB oracle computes the same clusters by a COMPLETELY
+    // different algorithm (min doc_id per md5 group) — algorithmic
+    // double-entry bookkeeping. At 100 TB each round is one shuffle
+    // on doc_id; rounds grow with cluster diameter, not corpus size.
+    "dedup_cc_clusters" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+      val groups = docs.groupBy(col("h"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      val members = docs.join(broadcast(groups.select(col("h"))), "h")
+        .select(col("doc_id"), col("h"))
+      // undirected edges within each dup group (clique), + self-loops
+      val edges = members.as("a")
+        .join(members.as("b"), col("a.h") === col("b.h"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      var labels = members.select(col("doc_id").as("v"),
+        col("doc_id").as("label"))
+      for (_ <- 1 to 4)
+        labels = edges.join(labels, col("dst") === col("v"))
+          .groupBy(col("src"))
+          .agg(min(col("label")).as("label"))
+          .select(col("src").as("v"), col("label"))
+      labels
+        .select(col("v").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dedup materialization: keep exactly one canonical document per
+    // content hash (the min-doc_id survivor) — the operator that
+    // actually shrinks the training corpus.
+    "dedup_keep_canonical" -> ((s, d) => {
+      val keepers = documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      documents(s, d)
+        .join(keepers, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Brute-force exact top-1 cosine neighbor for a bounded query set
     // (vec_id < 10), id-only output (float scores never leave the plan —
     // SURVEY.md §5.3.4). N-operator: unit tests assert self-similarity,
@@ -151,6 +197,19 @@ object LlmQueries {
     "text_lang_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 2000
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_cc_clusters" ->
+      """WITH g AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    count(*) OVER (PARTITION BY md5(text)) AS n,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+        |  FROM documents)
+        |SELECT doc_id, cluster_id FROM g WHERE n > 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_keep_canonical" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -17,7 +17,8 @@ class OperatorSmokeSpec extends SparkSpecBase {
   // legitimately empty at sf0.001 (oracle agrees: both engines emit 0
   // rows); the smoke check only requires successful execution
   private val emptyOkAtSmallSf = Set(
-    "agg_having", "join_left_anti", "set_except")
+    "agg_having", "join_left_anti", "set_except",
+    "dedup_cc_clusters") // no dup groups exist at sf0.001
 
   SparkEntry.queries.keys.toSeq.sorted
     .filterNot(coveredElsewhere).foreach { name =>
