@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Offline IVF index refinement: Lloyd's k-means over the embedding
+  * corpus. This is the BUILD step that `ann_ivf_topk`'s fixed-centroid
+  * query abstracts away — iterative, driver-coordinated, one
+  * assign+recompute job per round, the canonical "iterative algorithm
+  * on DataFrames" shape (each round: one broadcast join + two narrow
+  * maps + one shuffle on (centroid, dim)).
+  *
+  * Scale notes (100 TB): per round the corpus is read once; the only
+  * shuffle carries (cluster, dim, partial sums) — k×64 groups, so the
+  * reduce side is tiny regardless of corpus size. Centroid means are
+  * float-summation-order dependent (documented): index QUALITY is
+  * reproducible-in-distribution, not bit-stable — which is why the
+  * oracle-facing query keeps fixed centroids and the builder lives
+  * outside the correctness gate.
+  */
+object IvfIndexBuilder {
+
+  /** One Lloyd round: assign to nearest centroid (by cosine over
+    * pre-normalized vectors), then recompute each centroid as the
+    * element-wise mean of its members (re-normalized).
+    */
+  def lloydRound(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id"), col("emb_n"))
+    val means = assigned
+      .select(col("cent_id"),
+        posexplode(col("emb_n")).as(Seq("dim", "x")))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(map_from_arrays(collect_list(col("dim")),
+        collect_list(col("m"))).as("dm"))
+      .select(col("cent_id"),
+        expr("transform(sequence(0, 63), i -> dm[i])").as("cent_raw"))
+    means
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("cent_raw"), x => x * x),
+        lit(0.0), (acc, v) => acc + v)))
+      .select(col("cent_id"),
+        transform(col("cent_raw"), x => x / col("nrm")).as("cent_vec"))
+  }
+
+  /** Normalized corpus + k seed centroids (deterministic id sample). */
+  def prepare(s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
+    val vecs = embeddings(s, d)
+      .withColumn("emb_d", col("embedding").cast(ArrayType(DoubleType)))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("emb_d"), x => x * x), lit(0.0), (acc, v) => acc + v)))
+      .select(col("vec_id"),
+        transform(col("emb_d"), x => x / col("nrm")).as("emb_n"))
+    val cents = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
+      .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec"))
+    (vecs, cents)
+  }
+
+  /** Mean cosine of each vector to its assigned centroid — the
+    * objective Lloyd's algorithm (non-strictly) improves.
+    */
+  def objective(vecs: DataFrame, cents: DataFrame): Double = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .agg(avg(col("cos"))).collect()(0).getDouble(0)
+  }
+}
+
+/** CLI: `runMain graft.operators.BuildIvfIndex <sfDir> <outDir> [k] [rounds]`
+  * — writes refined centroids to `<outDir>/centroids.parquet`.
+  */
+object BuildIvfIndex {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_ivf")
+    val k = args.lift(2).map(_.toInt).getOrElse(16)
+    val rounds = args.lift(3).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (vecs, cents0) = IvfIndexBuilder.prepare(spark, sfDir, k)
+    var cents = cents0
+    println(f"round 0 objective ${IvfIndexBuilder.objective(vecs, cents)}%.4f")
+    for (r <- 1 to rounds) {
+      cents = IvfIndexBuilder.lloydRound(vecs, cents)
+        .localCheckpoint() // cut the growing lineage between rounds
+      println(f"round $r objective ${IvfIndexBuilder.objective(vecs, cents)}%.4f")
+    }
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/centroids.parquet")
+    println(s"wrote $outDir/centroids.parquet (k=$k, rounds=$rounds)")
+    spark.stop()
+  }
+}
