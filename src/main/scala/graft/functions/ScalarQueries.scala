@@ -173,7 +173,44 @@ object ScalarQueries {
       documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("h_md5"),
           sha2(col("text"), 256).as("h_sha256"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Parse a delimited string column with an explicit schema
+    // (from_csv — embedded delimited payloads without a re-read).
+    "fn_from_csv" -> ((s, d) =>
+      customer(s, d)
+        .withColumn("line", concat_ws(",",
+          col("c_custkey"), col("c_nationkey"), col("c_mktsegment")))
+        .withColumn("parsed", from_csv(col("line"),
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("nk", IntegerType),
+            StructField("seg", StringType))),
+          Map.empty[String, String]))
+        .select(col("c_custkey"),
+          col("parsed.id").as("id"), col("parsed.nk").as("nk"),
+          col("parsed.seg").as("seg"))
+        .orderBy(col("c_custkey"))),
+
+    // Key=value string -> map -> typed lookups (str_to_map).
+    "fn_str_to_map" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("kv", concat(lit("status="), col("o_orderstatus"),
+          lit(";prio="), col("o_orderpriority")))
+        .withColumn("m", expr("str_to_map(kv, ';', '=')"))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "status").as("status_val"),
+          element_at(col("m"), "prio").as("prio_val"))
+        .orderBy(col("o_orderkey"))),
+
+    // stack(): generator that pivots N column groups into rows (the
+    // inline-table cousin of unpivot).
+    "fn_stack" -> ((s, d) =>
+      nation(s, d)
+        .select(col("n_nationkey"),
+          expr("stack(2, 'name', n_name, 'region_key', cast(n_regionkey AS STRING))")
+            .as(Seq("attr", "val")))
+        .orderBy(col("n_nationkey"), col("attr")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -257,6 +294,19 @@ object ScalarQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, xored""".stripMargin,
     "fn_hash_digest" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_from_csv" ->
+      """SELECT c_custkey, c_custkey AS id, c_nationkey AS nk,
+        |  c_mktsegment AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_str_to_map" ->
+      """SELECT o_orderkey, o_orderstatus AS status_val,
+        |  o_orderpriority AS prio_val
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_stack" ->
+      """SELECT n_nationkey, 'name' AS attr, n_name AS val FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, 'region_key', CAST(n_regionkey AS VARCHAR) FROM nation
+        |ORDER BY n_nationkey, attr""".stripMargin
   )
 }
