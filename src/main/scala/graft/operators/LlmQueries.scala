@@ -112,6 +112,28 @@ object LlmQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Source-level similarity via the custom MinHashSketchAgg
+    // TypedImperativeAggregate: each source's distinct-token set is
+    // reduced to a 64-long mergeable sketch (map-side partial agg →
+    // k longs per group through the shuffle, NEVER the token sets),
+    // then pairwise Jaccard is estimated from position agreement.
+    // Deterministic but not DuckDB-expressible (seeded xxhash) —
+    // N-operator; MinHashSketchSpec checks the estimate against exact
+    // Jaccard and the merge path against repartitioned runs.
+    "source_minhash_sim" -> ((s, d) => {
+      val sketches = documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"))
+        .agg(graft.functions.MinHashSketchAgg.sketch(col("tok")).as("sk"))
+      sketches.select(col("source").as("src_a"), col("sk").as("ska"))
+        .join(sketches.select(col("source").as("src_b"), col("sk").as("skb")),
+          col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          size(filter(zip_with(col("ska"), col("skb"),
+            (x, y) => x === y), b => b)).cast("long").as("agree64"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Duplicate-cluster assembly: connected components over the
     // exact-duplicate pair graph via 4 unrolled rounds of min-label
     // propagation (pure plan — no driver-side iteration, so Bench
