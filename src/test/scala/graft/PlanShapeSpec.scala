@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan("ann_lsh_topk").contains("BroadcastHashJoin"))
   }
 
+  test("MinHash sketch aggregate runs partial+final object hash agg") {
+    val p = plan("source_minhash_sim")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_graft_minhash_sketch"),
+      "expected map-side partial sketch aggregation")
+  }
+
   test("bucketed join needs no shuffle of either side") {
     // build the bucketed tables via the operator itself
     SparkEntry.queries("join_bucketed")(spark, sfDir).count()
