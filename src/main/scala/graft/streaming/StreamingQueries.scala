@@ -189,6 +189,27 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Stream-static enrichment join: each micro-batch of the event
+    // stream broadcast-joins the static dimension table (no state, no
+    // watermark needed — the canonical "enrich the feed" shape). The
+    // user->nation mapping is a synthetic FK (user_id % 25) since the
+    // fixtures carry no user dim; oracle-paired against the identical
+    // batch join.
+    "stream_static_join" -> ((s, d) => {
+      val all = evSet(s, d)
+      val chunkLen = math.max(1, (all.length + 1) / 2)
+      val chunks = all.grouped(chunkLen).map(_.toSeq).toSeq
+      runStream(s, "graft_sink_enrich", chunks, OutputMode.Append()) { ds =>
+        val dim = nation(ds.sparkSession, d)
+          .select(col("n_nationkey"), col("n_name"))
+        ds.join(broadcast(dim),
+            pmod(col("user_id"), lit(25)).cast("int") === col("n_nationkey"))
+          .select(col("event_id"), col("n_name"))
+      }.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_name"))
+    }),
+
     // Same running-aggregate shape on the MODERN stateful API:
     // `transformWithState` + typed ValueState on the RocksDB state
     // store (Spark 4's replacement for [flat]mapGroupsWithState).
@@ -245,6 +266,10 @@ object StreamingQueries {
     "stream_tws_running_sum" ->
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_static_join" ->
+      """SELECT n_name, count(*) AS n_events
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

@@ -12,7 +12,8 @@ class OperatorSmokeSpec extends SparkSpecBase {
   // session-window/stateful streaming runs are exercised by
   // StreamingParitySpec; running them twice doubles suite time
   private val coveredElsewhere = Set(
-    "stream_dedup", "stream_stateful_count", "stream_watermark_late")
+    "stream_dedup", "stream_stateful_count", "stream_watermark_late",
+    "stream_tws_running_sum", "stream_static_join")
 
   // legitimately empty at sf0.001 (oracle agrees: both engines emit 0
   // rows); the smoke check only requires successful execution
