@@ -66,6 +66,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan("ann_lsh_topk").contains("BroadcastHashJoin"))
   }
 
+  test("topk_per_group pushes the rank limit below the window") {
+    // WindowGroupLimit keeps only the per-partition top-k BEFORE the
+    // full window computation — the difference between shuffling k
+    // rows per group and shuffling every row at 100 TB
+    assert(plan("topk_per_group").contains("WindowGroupLimit"))
+  }
+
   test("MinHash sketch aggregate runs partial+final object hash agg") {
     val p = plan("source_minhash_sim")
     assert(p.contains("ObjectHashAggregate"), p)
