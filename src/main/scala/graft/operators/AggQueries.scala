@@ -142,6 +142,27 @@ object AggQueries {
           "measure", "val")
         .orderBy(col("l_returnflag"), col("measure"))),
 
+    // Mergeable distinct-count sketches (DataSketches HLL): per-group
+    // sketches, estimates, AND a union row proving sketch
+    // mergeability — the 100 TB pattern where per-partition/per-day
+    // sketches are built once and unioned at query time instead of
+    // re-scanning. Estimates are deterministic (register state depends
+    // only on the value set), but engine-specific — N-operator with
+    // tolerance tests against exact counts.
+    "agg_hll_union" -> ((s, d) => {
+      val sk = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          countDistinct(col("l_partkey")).as("exact"))
+      val per = sk.select(col("l_returnflag"),
+        hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+      val all = sk.agg(hll_union_agg(col("sk")).as("sku"),
+          sum(lit(0L)).as("ignore"))
+        .select(lit("ALL").as("l_returnflag"),
+          hll_sketch_estimate(col("sku")).as("est"), lit(-1L).as("exact"))
+      per.unionByName(all).orderBy(col("l_returnflag"))
+    }),
+
     // Boolean aggregation + filtered counts per priority class.
     "agg_bool" -> ((s, d) =>
       orders(s, d)

@@ -56,6 +56,21 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(out == direct)
   }
 
+  test("HLL sketch estimates and their union are within 5% of exact") {
+    val rows = SparkEntry.queries("agg_hll_union")(spark, sfDir).collect()
+    val (allRow, perRows) = rows.partition(_.getString(0) == "ALL")
+    perRows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+    val globalExact = Tables.lineitem(spark, sfDir)
+      .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val unionEst = allRow.head.getLong(1)
+    assert(math.abs(unionEst - globalExact).toDouble / globalExact < 0.05,
+      s"union est=$unionEst exact=$globalExact")
+  }
+
   test("approx_count_distinct is within declared rsd of exact") {
     val approx = SparkEntry.queries("agg_approx_distinct")(spark, sfDir)
       .collect()(0).getLong(0)
