@@ -116,6 +116,31 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("foreachBatch parquet sink accumulates exactly the fed rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingQueries.Ev
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_feb_sink").toString
+    val ev = Tables.events(s, sfDir)
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value")).as[Ev].collect().toSeq
+    val src = MemoryStream[Ev](s)
+    val q = src.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Ev], id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .start()
+    try {
+      ev.grouped(400).foreach { c => src.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val sunk = s.read.parquet(out)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    assert(sunk.toSeq == ev.map(_.event_id).sorted)
+  }
+
   test("stream_tumbling (batch form) equals a raw-SQL bucketing") {
     val viaWindow = run("stream_tumbling").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
