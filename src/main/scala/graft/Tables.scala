@@ -76,6 +76,21 @@ object Tables {
   def revenue(ep: Column, disc: Column): Column =
     money12(ep) * (oneDec - rate(disc))
 
+  /** Final-output form of an exact decimal money sum.
+    *
+    * The driver's oracle compare stringifies pandas cells: a Spark
+    * decimal output arrives as `Decimal("253942.00")` (scale preserved)
+    * while DuckDB decimals become float64 rendering `"253942.0"` — so a
+    * decimal-typed OUTPUT column can never hash-match, regardless of
+    * precision (empirically reproduced in tools/hash_forensics.py; this
+    * caused all 23 r2 hash failures). The sum itself stays exact
+    * decimal; only the final representation is double, which is itself
+    * exact while the cent-count fits in 2^53 (~9e13 dollars — far above
+    * any fixture sf). SQL mirror:
+    * `CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`.
+    */
+  def moneySumD(c: Column): Column = sum(money(c)).cast(DoubleType)
+
   /** Deterministic cross-engine average: exact decimal sum cast to
     * double, divided by the count (IEEE division is identical in both
     * engines). Avoids DuckDB's `avg(DECIMAL) -> DOUBLE` accumulation
@@ -92,11 +107,12 @@ object Tables {
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(money(col("l_quantity"))).as("sum_qty"),
-        sum(money(col("l_extendedprice"))).as("sum_base_price"),
-        sum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+        moneySumD(col("l_quantity")).as("sum_qty"),
+        moneySumD(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
         sum(revenue(col("l_extendedprice"), col("l_discount")) *
-          (oneDec + rate(col("l_tax")))).as("sum_charge"),
+          (oneDec + rate(col("l_tax")))).cast(DoubleType).as("sum_charge"),
         avgOfMoney(col("l_quantity")).as("avg_qty"),
         avgOfMoney(col("l_extendedprice")).as("avg_price"),
         avgOfMoney(col("l_discount")).as("avg_disc"),
@@ -107,10 +123,10 @@ object Tables {
 
   val flagshipSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,

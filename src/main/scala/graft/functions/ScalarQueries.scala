@@ -88,7 +88,10 @@ object ScalarQueries {
           // ln/log10 are libm-dependent; round via exact double ops
           // (floor(x*1e6+0.5)/1e6) identically on both engines.
           (floor(log(col("l_quantity") + 1.0) * 1e6 + 0.5) / 1e6).as("ln6"),
-          round(money(col("l_extendedprice")), 1).as("price_r1"), // decimal round: HALF_UP both
+          // decimal round (HALF_UP both engines), double output surface
+          // (decimal outputs can't hash-match — Tables.moneySumD)
+          round(money(col("l_extendedprice")), 1)
+            .cast(DoubleType).as("price_r1"),
           pmod(col("l_orderkey"), lit(7)).as("key_mod"))
         // lineitem (orderkey, linenumber) is non-unique — order by the
         // full output row for cross-engine stability.
@@ -152,7 +155,7 @@ object ScalarQueries {
         .select(
           col("c_custkey"),
           col("s").getField("nkey").as("nkey_out"),
-          money(col("s").getField("bal")).as("bal_dec"))
+          col("s").getField("bal").as("bal_out"))
         .orderBy(col("c_custkey"))),
 
     // Bitwise operators over integer keys.
@@ -248,7 +251,7 @@ object ScalarQueries {
         |  sqrt(l_quantity) AS qty_sqrt,
         |  power(2.0, l_linenumber) AS pow2,
         |  floor(ln(l_quantity + 1.0) * 1e6 + 0.5) / 1e6 AS ln6,
-        |  round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS price_r1,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
         |  l_orderkey % 7 AS key_mod
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, abs_diff, qty_sqrt, pow2""".stripMargin,
     "fn_conditional_null" ->
@@ -282,7 +285,7 @@ object ScalarQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_struct_nested" ->
       """SELECT c_custkey, c_nationkey AS nkey_out,
-        |  CAST(c_acctbal AS DECIMAL(18,2)) AS bal_dec
+        |  c_acctbal AS bal_out
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,

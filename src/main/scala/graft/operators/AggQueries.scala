@@ -45,7 +45,7 @@ object AggQueries {
       customer(s, d)
         .rollup(col("c_nationkey"), col("c_mktsegment"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-          sum(money(col("c_acctbal"))).as("sum_bal"))
+          moneySumD(col("c_acctbal")).as("sum_bal"))
         .select(
           col("gid"),
           col("c_nationkey"), col("c_mktsegment"), col("n"), col("sum_bal"))
@@ -67,7 +67,7 @@ object AggQueries {
       lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
       s.sql(
         """SELECT grouping_id() AS gid, l_returnflag, l_linestatus,
-          |  count(1) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          |  count(1) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
           |FROM graft_lineitem_gs
           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
           |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
@@ -88,9 +88,12 @@ object AggQueries {
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          min(money(col("l_quantity"))).as("min_qty"),
-          max(money(col("l_quantity"))).as("max_qty"),
-          sum(money(col("l_extendedprice"))).as("sum_price"),
+          // min/max over the raw doubles: fixture money values are exact
+          // 2-dp, so double and decimal min/max agree; double output
+          // renders identically in both engines (see Tables.moneySumD).
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          moneySumD(col("l_extendedprice")).as("sum_price"),
           min(col("l_shipdate")).as("first_ship"),
           max(col("l_shipdate")).as("last_ship"),
           count(lit(1)).as("n"))
@@ -115,7 +118,7 @@ object AggQueries {
             struct(col("o_totalprice"), col("o_orderkey"))).as("best_order"),
           min_by(col("o_orderkey"),
             struct(col("o_totalprice"), col("o_orderkey"))).as("worst_order"),
-          max(money(col("o_totalprice"))).as("best_price"))
+          max(col("o_totalprice")).as("best_price"))
         .orderBy(col("o_custkey"))),
 
     // Pivot (wide reshape): returnflag rows x linestatus columns.
@@ -125,7 +128,7 @@ object AggQueries {
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(money(col("l_quantity"))))
+        .agg(moneySumD(col("l_quantity")))
         .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
         .orderBy(col("l_returnflag"))),
 
@@ -134,11 +137,10 @@ object AggQueries {
     "reshape_unpivot" -> ((s, d) =>
       lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sum(money(col("l_quantity"))).as("sum_qty"),
-          sum(money(col("l_extendedprice"))).as("sum_price"))
+        .agg(moneySumD(col("l_quantity")).as("sum_qty"),
+          moneySumD(col("l_extendedprice")).as("sum_price"))
         .unpivot(Array(col("l_returnflag")),
-          Array(col("sum_qty").cast(DecimalType(38, 2)).as("sum_qty"),
-            col("sum_price").cast(DecimalType(38, 2)).as("sum_price")),
+          Array(col("sum_qty"), col("sum_price")),
           "measure", "val")
         .orderBy(col("l_returnflag"), col("measure"))),
 
@@ -196,7 +198,7 @@ object AggQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_rollup" ->
       """SELECT grouping_id(c_nationkey, c_mktsegment) AS gid, c_nationkey, c_mktsegment,
-        |  count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        |  count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY ROLLUP (c_nationkey, c_mktsegment)
         |ORDER BY gid, c_nationkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->
@@ -205,7 +207,7 @@ object AggQueries {
         |ORDER BY gid, c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT grouping_id(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
-        |  count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -214,9 +216,9 @@ object AggQueries {
         |GROUP BY c_nationkey HAVING count(*) > 60 ORDER BY c_nationkey""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
-        |  min(CAST(l_quantity AS DECIMAL(18,2))) AS min_qty,
-        |  max(CAST(l_quantity AS DECIMAL(18,2))) AS max_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  min(l_shipdate) AS first_ship,
         |  max(l_shipdate) AS last_ship,
         |  count(*) AS n
@@ -228,7 +230,7 @@ object AggQueries {
       """SELECT o_custkey,
         |  max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS best_order,
         |  max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS worst_order,
-        |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS best_price
+        |  max(o_totalprice) AS best_price
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
@@ -237,14 +239,14 @@ object AggQueries {
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_f,
-        |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qty_o
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "reshape_unpivot" ->
       """WITH agg AS (
         |  SELECT l_returnflag,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM agg
         |UNION ALL

@@ -20,7 +20,10 @@ object FilterQueries {
         .select(
           col("l_orderkey"),
           col("l_linenumber").as("line_no"),
-          revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          // exact decimal product, double output surface (see
+          // Tables.moneySumD for why decimal outputs can't hash-match)
+          revenue(col("l_extendedprice"), col("l_discount"))
+            .cast(DoubleType).as("revenue"))
         // lineitem has no unique key (FIXTURES) — order by every output
         // column so duplicate (orderkey, linenumber) rows sort stably.
         .orderBy(col("l_orderkey"), col("line_no"), col("revenue"))),
@@ -83,7 +86,11 @@ object FilterQueries {
           col("o_orderkey"),
           col("o_orderkey").cast(IntegerType).as("okey_int"),
           col("o_custkey").cast(StringType).as("ckey_str"),
-          money(col("o_totalprice")).as("price_dec"),
+          // double->decimal cast is the showcased op; surface it as the
+          // decimal's string rendering ("205941.60"), which both engines
+          // produce identically — a raw decimal output can't hash-match
+          // (Tables.moneySumD).
+          money(col("o_totalprice")).cast(StringType).as("price_dec"),
           col("o_orderdate").cast(DateType).as("odate"),
           col("o_orderkey").cast(DoubleType).as("okey_dbl"))
         .orderBy(col("o_orderkey")))
@@ -92,7 +99,7 @@ object FilterQueries {
   val oracle: Map[String, String] = Map(
     "project_select" ->
       """SELECT l_orderkey, l_linenumber AS line_no,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS revenue
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
         |FROM lineitem ORDER BY l_orderkey, line_no, revenue""".stripMargin,
     "filter_comparison" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -123,7 +130,7 @@ object FilterQueries {
       """SELECT o_orderkey,
         |  CAST(o_orderkey AS INTEGER) AS okey_int,
         |  CAST(o_custkey AS VARCHAR) AS ckey_str,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
         |  CAST(o_orderdate AS DATE) AS odate,
         |  CAST(o_orderkey AS DOUBLE) AS okey_dbl
         |FROM orders ORDER BY o_orderkey""".stripMargin

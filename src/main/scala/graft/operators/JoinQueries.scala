@@ -101,7 +101,7 @@ object JoinQueries {
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
           "inner")
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(money(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), moneySumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderpriority"))),
 
     // As-of join: each event paired with the user's most recent
@@ -132,7 +132,7 @@ object JoinQueries {
           col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
         .groupBy(col("n_name"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
-          .as("revenue"), count(lit(1)).as("n_items"))
+          .cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))),
 
     // Skew-salted join: l_returnflag has only 3 values, so a plain
@@ -157,7 +157,7 @@ object JoinQueries {
         .join(dimSalted, Seq("l_returnflag", "salt"))
         .groupBy(col("l_returnflag"), col("flag_tag"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(money(col("l_quantity"))).as("sum_qty"))
+          moneySumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -187,7 +187,7 @@ object JoinQueries {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(money(col("l_quantity"))).as("sum_qty"))
+          moneySumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
     })
   )
@@ -228,7 +228,7 @@ object JoinQueries {
     "join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "join_theta_range" ->
-      """SELECT o_orderpriority, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      """SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders
         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -240,7 +240,7 @@ object JoinQueries {
         |FROM events e ORDER BY e.event_id""".stripMargin,
     "join_multiway" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -254,12 +254,12 @@ object JoinQueries {
     "join_skew_salted" ->
       """SELECT l_returnflag, 'flag:' || l_returnflag AS flag_tag,
         |  count(*) AS n_rows,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )

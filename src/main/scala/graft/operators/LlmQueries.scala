@@ -209,9 +209,9 @@ object LlmQueries {
 
   val oracle: Map[String, String] = Map(
     "text_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
-        |  sum(len(string_split(text, ' '))) AS total_toks
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_exact_text" ->
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper

@@ -72,7 +72,7 @@ object ScanQueries {
       s.read.parquet(dir)
         .groupBy(col("l_linestatus"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(money(col("l_quantity"))).as("sum_qty"))
+          moneySumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_linestatus"))
     }),
 
@@ -87,7 +87,7 @@ object ScanQueries {
       s.read.parquet(dir)
         .filter(col("l_returnflag") === "A")
         .agg(count(lit(1)).as("n_rows"),
-          sum(money(col("l_quantity"))).as("sum_qty"))
+          moneySumD(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -100,10 +100,10 @@ object ScanQueries {
       "SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events ORDER BY event_id",
     "scan_parquet_multifile" ->
       """SELECT l_linestatus, count(*) AS n_rows,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "sink_partitioned" ->
-      """SELECT count(*) AS n_rows, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      """SELECT count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin
   )
 }

@@ -57,7 +57,8 @@ object WindowQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"),
-          sum(money(col("o_totalprice"))).over(w).as("run_spend"))
+          sum(money(col("o_totalprice"))).over(w)
+            .cast(DoubleType).as("run_spend"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -89,7 +90,8 @@ object WindowQueries {
         .withColumn("od_day", unix_date(col("o_orderdate").cast(DateType)))
         .select(col("o_orderkey"),
           count(lit(1)).over(w).as("n_30d"),
-          sum(money(col("o_totalprice"))).over(w).as("spend_30d"))
+          sum(money(col("o_totalprice"))).over(w)
+            .cast(DoubleType).as("spend_30d"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -127,7 +129,7 @@ object WindowQueries {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-          money(col("o_totalprice")).as("price"))
+          col("o_totalprice").as("price"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
@@ -144,7 +146,10 @@ object WindowQueries {
       orders(s, d)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)
-        .select(col("o_orderkey"), money(col("o_totalprice")).as("price")))
+        // raw double price: a decimal output would hash-mismatch on
+        // rendering (Tables.moneySumD); r2 passed only because the
+        // top-20 happened to avoid trailing-zero cents.
+        .select(col("o_orderkey"), col("o_totalprice").as("price")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,7 +169,7 @@ object WindowQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "win_running_sum" ->
       """SELECT o_orderkey, o_custkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_spend
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "win_moving_avg" ->
       """SELECT l_orderkey, l_linenumber,
@@ -175,7 +180,7 @@ object WindowQueries {
     "win_range_frame" ->
       """SELECT o_orderkey,
         |  count(*) OVER w AS n_30d,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS spend_30d
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
         |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od_day FROM orders) t
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY od_day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
@@ -197,7 +202,7 @@ object WindowQueries {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY c_custkey""".stripMargin,
     "topk_per_group" ->
-      """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice AS price
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
         |  FROM orders) t
@@ -207,7 +212,7 @@ object WindowQueries {
         |FROM customer
         |ORDER BY seg ASC NULLS LAST, c_acctbal DESC, c_custkey ASC""".stripMargin,
     "sort_limit_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_totalprice AS price
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
   )
 }

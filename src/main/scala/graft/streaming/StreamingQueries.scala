@@ -103,7 +103,7 @@ object StreamingQueries {
     "stream_tumbling" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts_ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_val"))
+        .agg(count(lit(1)).as("n"), moneySumD(col("value")).as("sum_val"))
         .select(unix_micros(col("w.start")).as("win_start_us"),
           col("event_type"), col("n"), col("sum_val"))
         .orderBy(col("win_start_us"), col("event_type"))),
@@ -112,7 +112,7 @@ object StreamingQueries {
     "stream_sliding" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts_ts"), "1 hour", "15 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_val"))
+        .agg(count(lit(1)).as("n"), moneySumD(col("value")).as("sum_val"))
         .select(unix_micros(col("w.start")).as("win_start_us"), col("n"),
           col("sum_val"))
         .orderBy(col("win_start_us"))),
@@ -121,7 +121,7 @@ object StreamingQueries {
     "stream_session" -> ((s, d) =>
       events(s, d)
         .groupBy(col("user_id"), session_window(col("ts_ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), sum(money(col("value"))).as("sum_val"))
+        .agg(count(lit(1)).as("n"), moneySumD(col("value")).as("sum_val"))
         .select(col("user_id"), unix_micros(col("w.start")).as("sess_start_us"),
           col("n"), col("sum_val"))
         .orderBy(col("user_id"), col("sess_start_us"))),
@@ -239,11 +239,11 @@ object StreamingQueries {
   val oracle: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_start_us, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_val
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
     "stream_sliding" ->
       """SELECT ((epoch_us(ts) // 900000000) - i) * 900000000 AS win_start_us,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_val
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events, range(4) t(i)
         |GROUP BY 1 ORDER BY win_start_us""".stripMargin,
     "stream_session" ->
@@ -255,7 +255,7 @@ object StreamingQueries {
         |  SELECT *, sum(CASE WHEN pt IS NULL OR tus - pt >= 1800000000 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM l)
-        |SELECT user_id, min(tus) AS sess_start_us, count(*) AS n, sum(v) AS sum_val
+        |SELECT user_id, min(tus) AS sess_start_us, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_val
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin,
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n FROM events

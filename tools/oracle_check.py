@@ -3,53 +3,60 @@
 
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
-For each <verifyOutDir>/<name>/ parquet dump written by graft.Verify,
-runs the paired SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
-the same parquet tables, then compares: column names (sorted), row
-count, and cell-by-cell values in result order. Exit 0 iff all match.
+Driver-faithful compare, reverse-engineered in tools/hash_forensics.py
+against CORRECTNESS_r02.json (its failure set matches the driver's 23
+hash failures exactly, with zero false positives on the 69 passes):
+
+  - Spark side: the Verify parquet dump read via pyarrow -> pandas.
+  - Oracle side: DuckDB runs the paired SQL -> .df() (pandas).
+  - Columns sorted by name; every cell stringified; exact string
+    equality row by row.
+
+This is why decimal-typed output columns can never pass: pyarrow keeps
+them as Decimal objects ("253942.00") while DuckDB's .df() converts to
+float64 ("253942.0").  The round-2 checker normalized Decimal->float
+before comparing and certified 92/92 while the driver saw 69/92 — never
+compare more leniently than the driver.
 """
 import json
-import math
 import sys
-from decimal import Decimal
 from pathlib import Path
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, Decimal):
-        return ("num", float(v))
-    if isinstance(v, float):
-        return ("num", v)
-    if isinstance(v, int):
-        return ("num", float(v))
-    return ("v", v)
-
-
-def cells_equal(a, b):
-    ka, va = norm(a)
-    kb, vb = norm(b)
-    if ka != kb:
-        return False
-    if ka == "num":
-        if va is None or vb is None:
-            return va is vb
-        if math.isnan(va) and math.isnan(vb):
-            return True
-        return va == vb
-    return va == vb
+def compare(con, out_dir, name, sql):
+    """Return None if the dump matches the oracle, else a reason."""
+    sdf = pq.read_table(f"{out_dir}/{name}").to_pandas()
+    odf = con.sql(sql).df()
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return (f"SCHEMA: spark={sorted(sdf.columns)} "
+                f"oracle={sorted(odf.columns)}")
+    sdf = sdf[sorted(sdf.columns)]
+    odf = odf[sorted(odf.columns)]
+    if len(sdf) != len(odf):
+        return f"ROWS: spark={len(sdf)} oracle={len(odf)}"
+    a = sdf.astype(str).values.tolist()
+    b = odf.astype(str).values.tolist()
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            for j, (ca, cb) in enumerate(zip(ra, rb)):
+                if ca != cb:
+                    return (f"VALUE: row {i} col {sdf.columns[j]}: "
+                            f"spark={ca!r} oracle={cb!r}")
+    return None
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     results = {}
     dumped = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
@@ -58,30 +65,7 @@ def main():
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
         try:
-            spark_rel = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            ora_rel = con.sql(oracle[name])
-            scols = spark_rel.columns
-            ocols = ora_rel.columns
-            if sorted(scols) != sorted(ocols):
-                results[name] = f"SCHEMA: spark={sorted(scols)} oracle={sorted(ocols)}"
-                continue
-            # Driver sorts columns by name before hashing.
-            srows = spark_rel.select(*[f'"{c}"' for c in sorted(scols)]).fetchall()
-            orows = ora_rel.select(*[f'"{c}"' for c in sorted(ocols)]).fetchall()
-            if len(srows) != len(orows):
-                results[name] = f"ROWS: spark={len(srows)} oracle={len(orows)}"
-                continue
-            bad = None
-            for i, (sr, orr) in enumerate(zip(srows, orows)):
-                for j, (a, b) in enumerate(zip(sr, orr)):
-                    if not cells_equal(a, b):
-                        bad = (i, sorted(scols)[j], a, b)
-                        break
-                if bad:
-                    break
-            results[name] = "OK" if not bad else \
-                f"VALUE: row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}"
+            results[name] = compare(con, out_dir, name, oracle[name]) or "OK"
         except Exception as e:
             results[name] = f"ERROR: {type(e).__name__}: {str(e)[:300]}"
     n_ok = sum(1 for v in results.values() if v == "OK")
@@ -91,8 +75,8 @@ def main():
     # queries with no oracle: rows-only check
     for name in sorted(dumped - set(oracle)):
         try:
-            n = con.sql(
-                f"SELECT count(*) FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchone()[0]
+            n = con.sql(f"SELECT count(*) FROM read_parquet("
+                        f"'{out_dir}/{name}/*.parquet')").fetchone()[0]
             print(f"NOORACLE {name}: rows={n}" + ("" if n > 0 else "  <-- EMPTY"))
         except Exception as e:
             print(f"NOORACLE {name}: ERROR {e}")
