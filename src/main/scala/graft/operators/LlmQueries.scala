@@ -35,15 +35,17 @@ object LlmQueries {
   /** 16-permutation MinHash signature over the shingle set.
     *
     * One string hash per distinct shingle (`hset`), then 16 cheap
-    * long-domain re-hashes (`xxhash64(h, i)`) instead of 16 string
-    * concat+hash passes — ~10x less per-row work than the naive
-    * per-permutation string hashing, same LSH guarantees.
+    * long-domain re-hashes instead of 16 string concat+hash passes —
+    * ~10x less per-row work than naive per-permutation string hashing,
+    * same LSH guarantees. The signature itself is the codegen'd
+    * MinHashSigExpr (bit-identical to the interpreted
+    * `transform(sequence(0,15), i -> array_min(transform(hset, h ->
+    * xxhash64(h, i))))` it replaces — asserted in SimilaritySpec).
     */
   private val hashedShingles =
     expr("array_distinct(transform(shingles, s -> xxhash64(s)))")
   private val minhashSig =
-    expr("""transform(sequence(0, 15),
-           |  i -> array_min(transform(hset, h -> xxhash64(h, i))))""".stripMargin)
+    graft.functions.MinHashSigExpr.sig(col("hset"), 16)
 
   val queries: Map[String, Q] = Map(
     // Per-language corpus statistics.

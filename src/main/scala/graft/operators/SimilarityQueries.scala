@@ -56,32 +56,29 @@ object SimilarityQueries {
     * knob that keeps candidate volume ~linear at corpus scale), while
     * true near-dups (cos >= 0.9, per-bit agreement ~0.86) still land in
     * a shared bucket with probability ~0.93 across the 8 bands.
+    * Computed by the codegen'd SignProjectionExpr — one fused loop nest
+    * per row instead of 64 interpreted higher-order-function dot
+    * products (the round-2 bench's dominant cost for this family).
     */
-  private val bandCols: Column = {
-    val hp = typedLit(hyperplanes)
-    transform(sequence(lit(0), lit(7)), b =>
-      aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) =>
-        acc * 2 + when(
-          aggregate(
-            zip_with(col("embedding"),
-              element_at(hp, (b * 8 + i + 1).cast("int")),
-              (x, y) => x.cast(DoubleType) * y),
-            lit(0.0), (a2, v) => a2 + v) >= 0, 1L).otherwise(0L)))
-  }
+  private val bandCols: Column =
+    graft.functions.SignProjectionExpr.bands(col("embedding"), hyperplanes, 8)
 
   /** (vec_id, emb_n) with the embedding pre-normalized: per-pair
     * cosine is then a single dot product, and this 2-column table is
     * small enough to broadcast for candidate join-backs.
     */
   private def embN(s: org.apache.spark.sql.SparkSession,
-                   d: String): DataFrame =
+                   d: String): DataFrame = {
+    // codegen'd self-dot for the norm (same left-to-right summation as
+    // the interpreted fold it replaces)
+    val embD = col("embedding").cast(ArrayType(DoubleType))
     embeddings(s, d)
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("embedding"), x => x.cast(DoubleType) * x),
-        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("nrm",
+        sqrt(graft.functions.DotProductExpr.dot(embD, embD)))
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType) / col("nrm"))
           .as("emb_n"))
+  }
 
   /** (vec_id, band, band_val), one row per LSH band — ids only, so the
     * bucket self-join shuffles no vector payload at all.

@@ -139,4 +139,43 @@ class SimilaritySpec extends SparkSpecBase {
       assert(rank >= 0 && rank < 50, s"query $q neighbor $n rank=$rank")
     }
   }
+
+  // --- codegen'd signature expressions vs their interpreted forms ---
+
+  test("SignProjectionExpr is bit-identical to the interpreted HOF form") {
+    import org.apache.spark.sql.types.DoubleType
+    val rnd = new scala.util.Random(42)
+    val planes = Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian()))
+    val hp = typedLit(planes)
+    val interpreted = transform(sequence(lit(0), lit(7)), b =>
+      aggregate(sequence(lit(0), lit(7)), lit(0L), (acc, i) =>
+        acc * 2 + when(
+          aggregate(
+            zip_with(col("embedding"),
+              element_at(hp, (b * 8 + i + 1).cast("int")),
+              (x, y) => x.cast(DoubleType) * y),
+            lit(0.0), (a2, v) => a2 + v) >= 0, 1L).otherwise(0L)))
+    val mismatches = Tables.embeddings(spark, sfDir)
+      .select(
+        functions.SignProjectionExpr.bands(col("embedding"), planes, 8)
+          .as("cg"),
+        interpreted.as("ip"))
+      .filter(col("cg") =!= col("ip"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("MinHashSigExpr is bit-identical to the interpreted HOF form") {
+    val interpreted = expr(
+      "transform(sequence(0, 15), i -> array_min(transform(hset, h -> xxhash64(h, i))))")
+    val mismatches = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hset",
+        expr("array_distinct(transform(toks, t -> xxhash64(t)))"))
+      .select(functions.MinHashSigExpr.sig(col("hset"), 16).as("cg"),
+        interpreted.as("ip"))
+      .filter(col("cg") =!= col("ip"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
