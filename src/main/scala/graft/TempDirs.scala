@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+/** Per-JVM scoped temp directories for queries that materialize an
+  * intermediate layout (bucketed tables, multi-file scans, partitioned
+  * sinks, stream source chunks).
+  *
+  * One directory per (kind, input-dir) key, reused across repeated
+  * Verify/Bench/test invocations in the same JVM — round 2 created a
+  * fresh `Files.createTempDirectory` on EVERY query invocation with no
+  * cleanup, accumulating /tmp garbage across harness runs. A shutdown
+  * hook removes everything this JVM created. Writers use
+  * `mode("overwrite")`, so reuse is idempotent.
+  */
+object TempDirs {
+
+  private val dirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+
+  /** Stable directory for `kind` scoped to input dir `d` (different
+    * scale factors must not share layouts).
+    */
+  def scoped(kind: String, d: String): String = {
+    val key = s"${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    dirs.getOrElseUpdate(key, {
+      val p = Files.createTempDirectory(s"graft_$key")
+      sys.addShutdownHook(deleteRecursively(p))
+      p.toString
+    })
+  }
+}

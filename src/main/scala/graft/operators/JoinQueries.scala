@@ -79,11 +79,16 @@ object JoinQueries {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
-    // NOT EXISTS — parts never shipped.
+    // NOT EXISTS — parts with no shipment in the final fixture year.
+    // (Unfiltered "never shipped" is vacuously empty at every fixture
+    // scale — every part ships; the date cutoff leaves a real
+    // remainder: 9 rows at sf0.001, 49 at sf0.01.)
     "join_left_anti" -> ((s, d) =>
       part(s, d)
-        .join(lineitem(s, d), col("p_partkey") === col("l_partkey"),
-          "left_anti")
+        .join(lineitem(s, d)
+            .filter(col("l_shipdate") >=
+              lit("2001-01-01").cast(TimestampType)),
+          col("p_partkey") === col("l_partkey"), "left_anti")
         .select(col("p_partkey"), col("p_name"))
         .orderBy(col("p_partkey"))),
 
@@ -168,8 +173,7 @@ object JoinQueries {
     // (Bucket-locality is asserted in PlanShapeSpec; the bucketed
     // write itself is part of the measured cost here.)
     "join_bucketed" -> ((s, d) => {
-      val wh = java.nio.file.Files
-        .createTempDirectory("graft_bucketed").toString
+      val wh = graft.TempDirs.scoped("bucketed", d)
       // project to the needed columns before the bucketed write — the
       // write cost is the amortized index-build, keep it lean
       orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
@@ -223,7 +227,9 @@ object JoinQueries {
         |ORDER BY c_custkey""".stripMargin,
     "join_left_anti" ->
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
         |ORDER BY p_partkey""".stripMargin,
     "join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",

@@ -137,29 +137,38 @@ object LlmQueries {
     }),
 
     // Duplicate-cluster assembly: connected components over the
-    // exact-duplicate pair graph via 4 unrolled rounds of min-label
-    // propagation (pure plan — no driver-side iteration, so Bench
-    // still measures one action; diameter of dup cliques is 1, and
-    // ClusterConvergenceSpec asserts a 5th round is a no-op). The
-    // DuckDB oracle computes the same clusters by a COMPLETELY
-    // different algorithm (min doc_id per md5 group) — algorithmic
+    // NEAR-dup pair graph (the word-bigram Jaccard >= 0.4 pairs from
+    // SimilarityQueries — non-empty at every fixture scale, unlike the
+    // exact-dup graph which is empty below sf0.1) via 6 unrolled
+    // rounds of min-label propagation (pure plan — no driver-side
+    // iteration, so Bench still measures one action;
+    // ClusterConvergenceSpec asserts a further round is a no-op).
+    // Edge volume is linear in the pair count — near-dup CLIQUES are
+    // never materialized (an exact-dup group contributes its pairs,
+    // not k^2 clique edges). The DuckDB oracle computes the same
+    // clusters by a COMPLETELY different algorithm (recursive-CTE
+    // transitive closure + min reachable id) — algorithmic
     // double-entry bookkeeping. At 100 TB each round is one shuffle
     // on doc_id; rounds grow with cluster diameter, not corpus size.
     "dedup_cc_clusters" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
-      val groups = docs.groupBy(col("h"))
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-      val members = docs.join(broadcast(groups.select(col("h"))), "h")
-        .select(col("doc_id"), col("h"))
-      // undirected edges within each dup group (clique), + self-loops
-      val edges = members.as("a")
-        .join(members.as("b"), col("a.h") === col("b.h"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      var labels = members.select(col("doc_id").as("v"),
-        col("doc_id").as("label"))
-      for (_ <- 1 to 4)
-        labels = edges.join(labels, col("dst") === col("v"))
+      // persist: the pair set is referenced by BOTH union branches of
+      // the edge list and by every propagation round — without it the
+      // whole near-dup discovery subplan re-executes once per round
+      // (Spark does no cross-branch common-subplan reuse). Lazy: the
+      // cache fills on first use inside the one measured action.
+      val pairs = SimilarityQueries.ngramCandidatePairs(s, d)
+        .select(col("doc_a"), col("doc_b"))
+        .persist()
+      val edges = pairs
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val verts = edges.select(col("src").as("v")).distinct()
+      // self-loops keep each vertex's own label in the min
+      val withSelf = edges
+        .union(verts.select(col("v").as("src"), col("v").as("dst")))
+      var labels = verts.select(col("v"), col("v").as("label"))
+      for (_ <- 1 to 6)
+        labels = withSelf.join(labels, col("dst") === col("v"))
           .groupBy(col("src"))
           .agg(min(col("label")).as("label"))
           .select(col("src").as("v"), col("label"))
@@ -223,12 +232,25 @@ object LlmQueries {
         |WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 2000
         |ORDER BY doc_id""".stripMargin,
     "dedup_cc_clusters" ->
-      """WITH g AS (
-        |  SELECT doc_id, md5(text) AS h,
-        |    count(*) OVER (PARTITION BY md5(text)) AS n,
-        |    min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
-        |  FROM documents)
-        |SELECT doc_id, cluster_id FROM g WHERE n > 1
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, n_chars // 8 AS len_bkt, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, len_bkt, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS grams FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM g a JOIN g b ON a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+        |        len(list_distinct(list_concat(a.grams, b.grams))) * 2
+        |), e AS (
+        |  SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p
+        |), reach AS (
+        |  SELECT src AS v, src AS u FROM e
+        |  UNION
+        |  SELECT r.v, e.dst FROM reach r JOIN e ON e.src = r.u
+        |)
+        |SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
         |ORDER BY doc_id""".stripMargin,
     "dedup_keep_canonical" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

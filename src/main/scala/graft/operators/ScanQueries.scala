@@ -42,7 +42,7 @@ object ScanQueries {
     // No oracle (round-trip equality asserted in unit tests; driver does
     // a rows-only check).
     "scan_csv_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val dir = graft.TempDirs.scoped("csv", d)
       nation(s, d).write.mode("overwrite").option("header", "true").csv(dir)
       s.read.schema(nationSchema).option("header", "true").csv(dir)
         .groupBy(col("n_regionkey"))
@@ -52,7 +52,7 @@ object ScanQueries {
 
     // JSON-lines round-trip.
     "scan_json_roundtrip" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val dir = graft.TempDirs.scoped("json", d)
       nation(s, d).write.mode("overwrite").json(dir)
       s.read.schema(nationSchema).json(dir)
         .groupBy(col("n_regionkey"))
@@ -65,8 +65,7 @@ object ScanQueries {
     // produces (one file per task), and the unit of scan parallelism
     // at cluster scale. Aggregate must equal the single-file read.
     "scan_parquet_multifile" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_multifile").toString
+      val dir = graft.TempDirs.scoped("multifile", d)
       lineitem(s, d).repartition(8)
         .write.mode("overwrite").parquet(dir)
       s.read.parquet(dir)
@@ -79,7 +78,7 @@ object ScanQueries {
     // Partitioned sink + partition-pruned read-back: only the
     // l_returnflag=A directory is listed by the pruned scan.
     "sink_partitioned" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val dir = graft.TempDirs.scoped("part", d)
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"))

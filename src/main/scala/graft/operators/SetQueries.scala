@@ -37,10 +37,16 @@ object SetQueries {
       a.intersect(b).orderBy(col("o_custkey"))
     }),
 
+    // Customers who never placed an URGENT order. (Subtracting ALL
+    // order-placing customers would be vacuously empty at every
+    // fixture scale — every customer has orders; the urgent subset
+    // leaves a real remainder: 18 rows at sf0.001, 203 at sf0.01.)
     "set_except" -> ((s, d) => {
       val all = customer(s, d).select(col("c_custkey"))
-      val active = orders(s, d).select(col("o_custkey").as("c_custkey"))
-      all.except(active).orderBy(col("c_custkey"))
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      all.except(urgent).orderBy(col("c_custkey"))
     }),
 
     // Deterministic-survivor dedup (SURVEY.md §5.3.5): groupBy + min
@@ -72,7 +78,7 @@ object SetQueries {
     "set_except" ->
       """SELECT c_custkey FROM customer
         |EXCEPT
-        |SELECT o_custkey FROM orders
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
     "dedup_distinct" ->
       """SELECT user_id, event_type, min(event_id) AS first_event,

@@ -107,6 +107,70 @@ object SimilarityQueries {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Word-bigram Jaccard >= 0.4 near-dup pairs (the word-n-gram flavor
+    * of n-gram dedup — char-n-gram sets are ~10x larger per doc for the
+    * same corpus and the same candidate pairs, with no extra signal
+    * here). Grams are 64-bit-hashed before the pair join: set sizes and
+    * intersections over longs are identical to the string-set counts up
+    * to negligible collision probability, the pair join shuffles far
+    * fewer bytes, and union size is derived as |A| + |B| - |A∩B| so
+    * only ONE set operation runs per pair. Shared by
+    * `dedup_ngram_jaccard` and the `dedup_cc_clusters` pair graph
+    * (LlmQueries).
+    *
+    * Blocking: length bucket (near-dups have near-identical length) +
+    * size-ratio pruning in the join condition (j >= 0.4 implies
+    * 5*min(|A|,|B|) >= 2*max — prunes before any array work); metadata
+    * keys like `lang` are deliberately NOT blocking keys — true
+    * duplicates can differ there (the fixture's cross-lang exact dups
+    * prove it). The verify stage is the codegen'd
+    * SortedIntersectCountExpr merge walk over hash-sorted gram arrays
+    * — no per-pair hash-set allocation.
+    *
+    * An EXACT AllPairs/PPJoin prefix filter (df-ascending canonical
+    * order, prefix length n - ceil(0.4 n) + 1, id-only equi-join on
+    * exploded prefix grams) was implemented and measured at sf0.1: the
+    * fixture's synthetic vocabulary has only 931 distinct bigrams over
+    * 256k gram instances (avg document frequency 275), so even
+    * rarest-first prefixes share hot grams — 135k prefix candidates vs
+    * 197k bucket all-pairs (1.4x, not the >= 5x a natural-vocabulary
+    * corpus gives), while the df ordering costs three extra shuffles
+    * of the full gram multiset (11.5 s vs 4.0 s end to end). On a real
+    * corpus (vocabulary ~ corpus size, Zipfian df) the prefix filter
+    * is the correct 100 TB candidate stage and drops in here by
+    * reintroducing the df-ordered prefix join (see git history);
+    * against this fixture it is strictly worse, so the shipped plan
+    * blocks on (len_bkt, ratio) only. A probabilistic MinHash-band
+    * prefilter was rejected outright: a borderline j = 0.4 pair shares
+    * a 4x4 band with probability ~0.10, which breaks the exact oracle
+    * pairing and the dedup_cc_clusters component structure.
+    */
+  private[operators] def ngramCandidatePairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      // sorted ascending for the merge-walk intersect
+      .withColumn("grams", array_sort(array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> xxhash64(concat_ws(' ', toks[i - 1], toks[i])))"))))
+      .select(col("doc_id"),
+        expr("n_chars div 8").as("len_bkt"), col("grams"),
+        size(col("grams")).cast("long").as("n_grams"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.len_bkt") === col("b.len_bkt") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // size-ratio pruning: j >= 0.4 forces min/max >= 0.4
+          least(col("a.n_grams"), col("b.n_grams")) * 5 >=
+            greatest(col("a.n_grams"), col("b.n_grams")) * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.SortedIntersectCountExpr
+          .count(col("a.grams"), col("b.grams")).as("inter_sz"),
+        (col("a.n_grams") + col("b.n_grams")).as("sz_sum"))
+      .select(col("doc_a"), col("doc_b"), col("inter_sz"),
+        (col("sz_sum") - col("inter_sz")).as("union_sz"))
+      .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
+  }
+
   val queries: Map[String, Q] = Map(
     // SimHash near-dup: 4 x 16-bit band join guarantees recall of all
     // pairs with hamming distance <= 3 (pigeonhole), verified exactly
@@ -143,11 +207,20 @@ object SimilarityQueries {
             packBits(0, 16), packBits(16, 16),
             packBits(32, 16), packBits(48, 16)))
             .as(Seq("band", "band_val")))
-      sigs.as("a")
+      // probe side fans out to the three adjacent length buckets, so a
+      // pair is never lost to an arbitrary 32-char bucket BOUNDARY:
+      // recall is guaranteed for hamming <= 3 pairs whose length
+      // difference is <= 32 chars (pairs with a larger length gap are
+      // out of blocking scope by design — stated in SURVEY §2.K).
+      // Equi-keys stay (band, band_val, bucket); probe volume is 3x.
+      val probes = sigs
+        .withColumn("len_bkt_probe", explode(array(
+          col("len_bkt") - 1, col("len_bkt"), col("len_bkt") + 1)))
+      probes.as("a")
         .join(sigs.as("b"),
           col("a.band") === col("b.band") &&
             col("a.band_val") === col("b.band_val") &&
-            col("a.len_bkt") === col("b.len_bkt") &&
+            col("a.len_bkt_probe") === col("b.len_bkt") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
@@ -161,38 +234,8 @@ object SimilarityQueries {
 
     // Character-5-gram Jaccard near-dup with (lang, length-bucket)
     // blocking; integer intersect/union counts keep it oracle-exact.
-    "dedup_ngram_jaccard" -> ((s, d) => {
-      // Word-bigram Jaccard (the word-n-gram flavor of n-gram dedup —
-      // char-n-gram sets are ~10x larger per doc for the same corpus
-      // and the same candidate pairs, with no extra signal here).
-      // Grams are 64-bit-hashed before the pair join: set sizes and
-      // intersections over longs are identical to the string-set
-      // counts up to negligible collision probability, the pair join
-      // shuffles far fewer bytes, and union size is derived as
-      // |A| + |B| - |A∩B| so only ONE set operation runs per pair.
-      // blocking: length bucket ONLY — near-dups have near-identical
-      // length, and metadata keys like `lang` can differ between true
-      // duplicates (the fixture's cross-lang exact dups prove it)
-      val grams = documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("grams", array_distinct(expr(
-          "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> xxhash64(concat_ws(' ', toks[i - 1], toks[i])))")))
-        .select(col("doc_id"),
-          expr("n_chars div 8").as("len_bkt"), col("grams"),
-          size(col("grams")).cast("long").as("n_grams"))
-      grams.as("a")
-        .join(grams.as("b"),
-          col("a.len_bkt") === col("b.len_bkt") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          size(array_intersect(col("a.grams"), col("b.grams")))
-            .cast("long").as("inter_sz"),
-          (col("a.n_grams") + col("b.n_grams")).as("sz_sum"))
-        .select(col("doc_a"), col("doc_b"), col("inter_sz"),
-          (col("sz_sum") - col("inter_sz")).as("union_sz"))
-        .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 
     // Embedding near-dup: LSH buckets -> exact cosine >= 0.45 on
     // cohabitants. Id-only output (floats never leave the plan).

@@ -96,6 +96,34 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Run a FILE-SOURCE streaming pipeline to completion: reads the
+    * parquet chunk files under `dir` as a stream (one file per
+    * micro-batch via maxFilesPerTrigger; Trigger.AvailableNow honors
+    * the limit and terminates when the backlog drains) into a memory
+    * sink. Unlike the MemoryStream replays this never collects the
+    * input to the driver — the scale path, where the "stream" is a
+    * directory an upstream job appends to.
+    */
+  private def runFileStream(s0: SparkSession, name: String, dir: String,
+                            mode: OutputMode)(
+                             pipe: Dataset[Ev] => DataFrame): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    import s.implicits._
+    s.catalog.dropTempView(name)
+    val src = s.readStream
+      .schema(Encoders.product[Ev].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .as[Ev]
+    val q = pipe(src)
+      .writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- batch forms of the windowed shapes (oracle-paired) ----
 
@@ -149,16 +177,27 @@ object StreamingQueries {
       }.orderBy(col("win_start_us"))
     }),
 
-    // Stateful streaming dedup: every event is fed twice (same chunk),
-    // dropDuplicatesWithinWatermark keeps exactly one. Result equals the
-    // batch per-type counts, so this IS oracle-paired.
+    // Stateful streaming dedup over a FILE source: the doubled event
+    // set is written as two parquet chunk files (a distributed write —
+    // no driver collect anywhere on this path, unlike the MemoryStream
+    // replays), streamed back one file per micro-batch, and
+    // dropDuplicatesWithinWatermark keeps exactly one copy of each
+    // event. The watermark delay exceeds the fixture's event-time span,
+    // so no row is ever late-dropped regardless of which chunk file a
+    // micro-batch picks first — the final distinct set is
+    // order-independent and the result equals the batch per-type
+    // counts, so this IS oracle-paired.
     "stream_dedup" -> ((s, d) => {
-      val all = evSet(s, d)
-      val chunkLen = math.max(1, (all.length + 1) / 2)
-      val chunks = all.grouped(chunkLen).map(c => c.toSeq ++ c.toSeq).toSeq
-      runStream(s, "graft_sink_dedup", chunks, OutputMode.Append()) { ds =>
+      val dir = graft.TempDirs.scoped("stream_src", d)
+      val ev = events(s, d)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.unionByName(ev)
+        .repartition(2, pmod(col("event_id"), lit(2)))
+        .write.mode("overwrite").parquet(dir)
+      runFileStream(s, "graft_sink_dedup", dir, OutputMode.Append()) { ds =>
         ds.withColumn("ts", timestamp_micros(col("ts_us")))
-          .withWatermark("ts", "30 minutes")
+          .withWatermark("ts", "240 hours")
           .dropDuplicatesWithinWatermark("event_id")
       }.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -2,46 +2,51 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** dedup_cc_clusters unrolls 4 label-propagation rounds; this proves a
-  * 5th round changes nothing at the dup-bearing scale (fixpoint
-  * reached), and that clusters partition their members correctly.
+/** dedup_cc_clusters runs 6 unrolled min-label-propagation rounds over
+  * the near-dup pair graph; this proves the result is EXACTLY the true
+  * connected components (driver-side union-find over the same collected
+  * pairs — independent algorithm), which implies the 6 rounds reached
+  * the fixpoint: any further round of a converged labeling is a no-op.
   */
 class ClusterConvergenceSpec extends SparkSpecBase {
 
   private val dupDir = "/root/testdata/sf0.1"
 
-  test("a 5th propagation round is a no-op (fixpoint at 4)") {
-    val docs = Tables.documents(spark, dupDir)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val groups = docs.groupBy(col("h")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-    val members = docs.join(groups.select(col("h")), "h")
-      .select(col("doc_id"), col("h"))
-    val edges = members.as("a")
-      .join(members.as("b"), col("a.h") === col("b.h"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    def round(labels: org.apache.spark.sql.DataFrame) =
-      edges.join(labels, col("dst") === col("v"))
-        .groupBy(col("src")).agg(min(col("label")).as("label"))
-        .select(col("src").as("v"), col("label"))
-    var l = members.select(col("doc_id").as("v"), col("doc_id").as("label"))
-    for (_ <- 1 to 4) l = round(l)
-    val after4 = l.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val after5 = round(l).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(after4 == after5)
+  private def unionFindClusters(
+      pairs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    // always attach the larger root under the smaller, so the final
+    // root of every component is its min id
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.map(v => (v, find(v)))
   }
 
-  test("every cluster member shares the cluster head's exact text") {
-    val clusters = SparkEntry.queries("dedup_cc_clusters")(spark, dupDir)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(clusters.nonEmpty)
-    val text = Tables.documents(spark, dupDir)
-      .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    clusters.foreach { case (doc, head) =>
-      assert(text(doc) == text(head), s"doc $doc != head $head")
-    }
+  private def ccAgreesWithUnionFind(dir: String): Unit = {
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty, s"no near-dup pairs at $dir")
+    val expected = unionFindClusters(pairs)
+    val got = SparkEntry.queries("dedup_cc_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("clusters equal a driver-side union-find (sf0.001)") {
+    ccAgreesWithUnionFind(sfDir)
+  }
+
+  test("clusters equal a driver-side union-find (sf0.1, dup-bearing)") {
+    ccAgreesWithUnionFind(dupDir)
   }
 
   test("dedup_keep_canonical output contains no duplicate texts") {
