@@ -35,6 +35,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (SimilarityQueries.queries, SimilarityQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
+      (PipelineQueries.queries, PipelineQueries.oracle),
       (StreamingQueries.queries, StreamingQueries.oracle)
     )
 

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.L — training-data pipeline assembly operators: the
+  * corpus-to-training-set steps a 100 TB LLM data pipeline runs after
+  * dedup/quality filtering (north-star mandate, BASELINE.json; the
+  * reference snapshot `/root/reference/README.md:1-2` declares only the
+  * pipeline intent and contains no code).
+  *
+  * All four are deterministic and oracle-paired — sampling and
+  * shuffling use content/key hashes (md5, identical in Spark and
+  * DuckDB), never an RNG: at cluster scale a seeded per-partition RNG
+  * changes results whenever partitioning changes, a hash never does.
+  *
+  * Scale notes (100 TB):
+  *  - sample_hash / mix_weighted are pure map-side filters — no
+  *    shuffle, fraction-of-input output, trivially parallel;
+  *  - shuffle_global is ONE range-partitioned sort (the canonical
+  *    distributed epoch shuffle: sort by keyed hash, write; a new salt
+  *    re-shuffles);
+  *  - pack_token_budget is one shuffle on the shard key + a
+  *    per-partition running sum (window): bins are assigned without
+  *    any sequential driver loop.
+  */
+object PipelineQueries {
+
+  /** First hex digit of md5(text) — a uniform 4-bit hash usable as a
+    * cross-engine sampling key: hex chars compare lexicographically in
+    * value order ('0' < ... < '9' < 'a' < ... < 'f'), so `digit < '4'`
+    * keeps 4/16 = 25%.
+    */
+  private val hexDigit = substring(md5(col("text")), 1, 1)
+
+  val queries: Map[String, Q] = Map(
+    // Deterministic 25% corpus sample by content hash. Repeatable
+    // across runs, partitionings, and engines; disjoint samples come
+    // from disjoint digit ranges (the standard hash-mod split).
+    "sample_hash" -> ((s, d) =>
+      documents(s, d)
+        .filter(hexDigit < "4")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic global training-order shuffle: order by a salted
+    // key hash. One range-partitioned sort; changing the salt literal
+    // is a fresh epoch permutation.
+    "shuffle_global" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":epoch42")))
+            .as("shuffle_key"))
+        .orderBy(col("shuffle_key"), col("doc_id"))),
+
+    // Context-window packing: per-language shards, docs in doc_id
+    // order, each doc assigned to bin floor(tokens_before / 4096) —
+    // document-boundary packing against a 4096-token budget as one
+    // window cumsum (no sequential loop; long docs simply start their
+    // own bins).
+    "pack_token_budget" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("bin",
+          expr("(sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks) div 4096"))
+        .select(col("lang"), col("doc_id"), col("n_toks"), col("bin"))
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // Source-weighted mixture: per-source take-rates via hash
+    // thresholds (src0-4 keep 12/16, src5-9 keep 8/16, the long tail
+    // 4/16) — the data-mixing step that rebalances source proportions
+    // without an RNG. Pure map filter; the mixture is reproducible
+    // row-for-row at any scale.
+    "mix_weighted" -> ((s, d) => {
+      val highQ = Seq("src0", "src1", "src2", "src3", "src4")
+      val midQ = Seq("src5", "src6", "src7", "src8", "src9")
+      val threshold = when(col("source").isin(highQ: _*), lit("c"))
+        .when(col("source").isin(midQ: _*), lit("8"))
+        .otherwise(lit("4"))
+      documents(s, d)
+        .filter(hexDigit < threshold)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE substr(md5(text), 1, 1) < '4'
+        |ORDER BY doc_id""".stripMargin,
+    "shuffle_global" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch42') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    "pack_token_budget" ->
+      """SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks,
+        |  CAST((sum(len(string_split(text, ' '))) OVER w
+        |        - len(string_split(text, ' '))) // 4096 AS BIGINT) AS bin
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY lang, doc_id""".stripMargin,
+    "mix_weighted" ->
+      """SELECT source, count(*) AS n_kept FROM documents
+        |WHERE substr(md5(text), 1, 1) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'c'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '8'
+        |       ELSE '4' END
+        |GROUP BY source ORDER BY source""".stripMargin
+  )
+}
