@@ -156,10 +156,20 @@ object StreamingQueries {
 
     // ---- real streaming executions (MemoryStream micro-batches) ----
 
-    // Late-data handling: 200-ish deterministically-chosen events are
-    // held back to the last chunk; by then the watermark has passed
-    // them, so append-mode windows exclude them. No oracle (the drop set
-    // depends on micro-batch boundaries) — rows-only + unit tests.
+    // Late-data handling: every 50th event (by id) is held back to the
+    // last chunk; by then the watermark has passed most of them, so
+    // append-mode windows exclude them. ORACLE-PAIRED (r3): the chunking
+    // below is deterministic — two ts-ascending main halves, then the
+    // late set — so the drop set is a pure function of the data: after
+    // the main batches the watermark is floor-to-ms(max main ts) - 10
+    // min, so a late row only survives if its window end exceeds that;
+    // and a window only EMITS (append mode) if its end is <= the final
+    // watermark floor-to-ms(max all ts) - 10 min. The paired SQL
+    // computes exactly that (parity verified against the streaming
+    // output at sf0.001/0.01; boundary note: window ends are
+    // hour-aligned and watermarks ms-aligned, so the <= / < distinction
+    // at exact-boundary collisions is sub-millisecond-improbable and
+    // pinned by StreamingParitySpec).
     "stream_watermark_late" -> ((s, d) => {
       val all = evSet(s, d)
       val (late, main) = all.partition(_.event_id % 50 == 0)
@@ -309,6 +319,22 @@ object StreamingQueries {
     "stream_static_join" ->
       """SELECT n_name, count(*) AS n_events
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "stream_watermark_late" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
+        |mx AS (SELECT ((max(tus) FILTER (WHERE event_id % 50 <> 0)) // 1000 - 600000) * 1000 AS wmain,
+        |              ((max(tus)) // 1000 - 600000) * 1000 AS wall FROM e),
+        |w AS (
+        |  SELECT (tus // 3600000000) * 3600000000 AS ws,
+        |    count(*) FILTER (WHERE event_id % 50 <> 0) AS n_main,
+        |    count(*) FILTER (WHERE event_id % 50 = 0) AS n_late
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT ws AS win_start_us,
+        |  n_main + CASE WHEN ws + 3600000000 > (SELECT wmain FROM mx) THEN n_late ELSE 0 END AS n
+        |FROM w
+        |WHERE ws + 3600000000 <= (SELECT wall FROM mx)
+        |  AND n_main + CASE WHEN ws + 3600000000 > (SELECT wmain FROM mx) THEN n_late ELSE 0 END > 0
+        |ORDER BY win_start_us""".stripMargin
   )
 }
