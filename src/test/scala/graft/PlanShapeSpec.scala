@@ -100,4 +100,34 @@ class PlanShapeSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("sample_hash is a pure map filter — no Exchange before the sort") {
+    // the only exchange allowed is the final presentation ORDER BY
+    val p = plan("sample_hash")
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"),
+      s"expected exactly one Exchange (the output sort):\n$p")
+  }
+
+  test("shuffle_global is one range-partitioned sort") {
+    val p = plan("shuffle_global")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.indexOf("Exchange") == p.lastIndexOf("Exchange"),
+      s"expected exactly one Exchange:\n$p")
+  }
+
+  test("pack_token_budget shuffles once on the shard key") {
+    val p = plan("pack_token_budget")
+    assert(p.contains("Window"), p)
+    // one hash exchange for the window, one range exchange for the
+    // presentation ORDER BY — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("codegen signature expressions stay inside WholeStageCodegen") {
+    val p = plan("ann_lsh_topk")
+    assert(p.contains("graft_sign_projection"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val q = plan("dedup_ngram_jaccard")
+    assert(q.contains("graft_sorted_intersect_count"), q)
+  }
 }
