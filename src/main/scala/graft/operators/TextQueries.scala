@@ -100,7 +100,52 @@ object TextQueries {
               i => ascii(substring(col("text"), i, lit(1))).cast("long")),
             lit(0L),
             (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Edit distance between near-dup candidates: the character-level
+    // second opinion on the Jaccard pair graph (an exact dup has
+    // lev = 0; a template edit has small lev). Bounded cost: the
+    // distance runs only on pairs the bucket join surfaced, over
+    // 200-char prefixes (O(200^2) per pair), never all pairs.
+    // ASCII projection first: DuckDB's levenshtein counts BYTE edits
+    // while Spark counts CHARACTER edits (verified: 'héllo'/'hello' is
+    // 2 vs 1), so multi-byte text would diverge between engines.
+    "text_edit_distance" -> ((s, d) => {
+      val pairs = SimilarityQueries.ngramCandidatePairs(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val texts = documents(s, d)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 200)
+            .as("head"))
+      pairs
+        .join(texts.select(col("doc_id").as("doc_a"),
+          col("head").as("ha")), "doc_a")
+        .join(texts.select(col("doc_id").as("doc_b"),
+          col("head").as("hb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ha"), col("hb")).cast("long").as("lev"),
+          (levenshtein(col("ha"), col("hb")) === 0).as("head_exact"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Quality gate with reason codes: every document labeled with its
+    // FIRST failing rule ('pass' if none) — the filter-with-provenance
+    // shape a corpus pipeline needs to audit what it dropped and why.
+    // All thresholds in exact integer arithmetic.
+    "text_quality_gate" -> ((s, d) => {
+      val nToks = size(split(col("text"), " ")).cast("long")
+      documents(s, d)
+        .withColumn("n_toks", nToks)
+        .withColumn("gate",
+          when(col("n_chars") < 50, "too_short")
+            .when(col("n_chars") > 5000, "too_long")
+            .when(col("n_toks") < 10, "too_few_tokens")
+            // mean token length > 15 chars => likely not natural text
+            .when(col("n_chars") > col("n_toks") * 15, "gibberish")
+            .otherwise("pass"))
+        .select(col("doc_id"), col("n_chars"), col("n_toks"), col("gate"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -146,6 +191,32 @@ object TextQueries {
         |      list_transform(generate_series(1, len(text)),
         |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_edit_distance" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars // 8 AS len_bkt, string_split(text, ' ') AS toks,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS head
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, len_bkt, head, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS grams FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev,
+        |  levenshtein(a.head, b.head) = 0 AS head_exact
+        |FROM g a JOIN g b
+        |  ON a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+        |      len(list_distinct(list_concat(a.grams, b.grams))) * 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_quality_gate" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |  CASE WHEN n_chars < 50 THEN 'too_short'
+        |       WHEN n_chars > 5000 THEN 'too_long'
+        |       WHEN len(string_split(text, ' ')) < 10 THEN 'too_few_tokens'
+        |       WHEN n_chars > len(string_split(text, ' ')) * 15 THEN 'gibberish'
+        |       ELSE 'pass' END AS gate
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
