@@ -39,8 +39,8 @@ object ScanQueries {
         .orderBy(col("event_id"))),
 
     // CSV round-trip: write with header + explicit schema read-back.
-    // No oracle (round-trip equality asserted in unit tests; driver does
-    // a rows-only check).
+    // Oracle-paired (r3): the round-tripped aggregate must equal DuckDB
+    // reading the ORIGINAL parquet — lossless write+read, not rows>0.
     "scan_csv_roundtrip" -> ((s, d) => {
       val dir = graft.TempDirs.scoped("csv", d)
       nation(s, d).write.mode("overwrite").option("header", "true").csv(dir)
@@ -55,6 +55,20 @@ object ScanQueries {
       val dir = graft.TempDirs.scoped("json", d)
       nation(s, d).write.mode("overwrite").json(dir)
       s.read.schema(nationSchema).json(dir)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // ORC round-trip: the other first-class columnar format (vectorized
+    // reader, predicate pushdown) — same aggregate as the CSV/JSON
+    // round-trips so all three sources are comparable. Oracle-paired:
+    // the round-tripped aggregate must equal DuckDB reading the
+    // ORIGINAL parquet (proves lossless write+read, not just rows>0).
+    "scan_orc_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("orc", d)
+      nation(s, d).write.mode("overwrite").orc(dir)
+      s.read.schema(nationSchema).orc(dir)
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n_nations"))
         .orderBy(col("n_regionkey"))
@@ -97,6 +111,15 @@ object ScanQueries {
       "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_events_nanos" ->
       "SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events ORDER BY event_id",
+    "scan_orc_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "scan_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "scan_json_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "scan_parquet_multifile" ->
       """SELECT l_linestatus, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
