@@ -193,8 +193,9 @@ object LlmQueries {
 
     // Brute-force exact top-1 cosine neighbor for a bounded query set
     // (vec_id < 10), id-only output (float scores never leave the plan —
-    // SURVEY.md §5.3.4). N-operator: unit tests assert self-similarity,
-    // symmetry, and agreement with an independent implementation.
+    // SURVEY.md §5.3.4). Oracle-paired (r3): the codegen'd dot product
+    // is bit-identical to DuckDB's list_reduce ordered fold (same
+    // proof as sim_search_topk), so the ranking reproduces exactly.
     "sim_search_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
       // codegen'd fused dot product (graft.functions.DotProductExpr) —
@@ -256,6 +257,19 @@ object LlmQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents GROUP BY md5(text))
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "sim_search_cosine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
+         |), scored AS (
+         |  SELECT q.q_id, c.vec_id AS c_id,
+         |    ${SimilarityQueries.duckCos("q.q_vec", "c.embedding")} AS cos
+         |  FROM q JOIN embeddings c ON c.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+         |  FROM scored)
+         |SELECT q_id, c_id AS neighbor_id FROM ranked
+         |WHERE rn = 1 ORDER BY q_id""".stripMargin
   )
 }

@@ -360,12 +360,12 @@ object SimilarityQueries {
     * left-to-right double summation Spark's `aggregate` performs, so
     * cosine ranks match bit-for-bit.
     */
-  private def duckDot(a: String, b: String): String =
+  private[operators] def duckDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
        |  list_transform(generate_series(1, len($a)),
        |    i -> CAST($a[i] AS DOUBLE) * $b[i])), (x, y) -> x + y)""".stripMargin
 
-  private def duckCos(a: String, b: String): String =
+  private[operators] def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
 
   val oracle: Map[String, String] = Map(
@@ -388,6 +388,49 @@ object SimilarityQueries {
         |WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
         |      len(list_distinct(list_concat(a.grams, b.grams))) * 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Full SQL mirror of the IVF structure (fixed deterministic
+    // centroids make every stage expressible): normalize -> nearest-
+    // centroid assignment -> top-2 probe -> top-1 within probed lists.
+    // Every cosine is the ordered-fold dot over normalized lists,
+    // bit-identical across engines (same proof as sim_search_topk).
+    "ann_ivf_topk" -> {
+      val normSql =
+        s"""SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
+           |  FROM embeddings""".stripMargin
+      s"""WITH nrm AS (
+         |  $normSql
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, emb_n AS cent_vec FROM nrm
+         |  WHERE vec_id BETWEEN 100 AND 115
+         |), ac AS (
+         |  SELECT c.cent_id, n.vec_id, n.emb_n,
+         |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos
+         |  FROM nrm n CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT cent_id, vec_id AS c_id, emb_n AS c_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cent_id ASC) AS rn FROM ac) t
+         |  WHERE rn = 1
+         |), pq AS (
+         |  SELECT n.vec_id AS q_id, n.emb_n AS q_n, c.cent_id,
+         |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos
+         |  FROM nrm n CROSS JOIN cents c WHERE n.vec_id < 10
+         |), probes AS (
+         |  SELECT q_id, q_n, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cent_id ASC) AS rn FROM pq) t
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.q_id, a.c_id, ${duckDot("p.q_n", "a.c_n")} AS qc_cos
+         |  FROM probes p JOIN assigned a USING (cent_id)
+         |  WHERE p.q_id <> a.c_id
+         |)
+         |SELECT q_id, c_id AS neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY qc_cos DESC, c_id ASC) AS rn FROM cand) t
+         |WHERE rn = 1 ORDER BY q_id""".stripMargin
+    },
     "sim_search_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10
