@@ -36,6 +36,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
+      (MaintenanceQueries.queries, MaintenanceQueries.oracle),
       (StreamingQueries.queries, StreamingQueries.oracle)
     )
 

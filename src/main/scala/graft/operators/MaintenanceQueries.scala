@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.M — incremental table maintenance: the CDC/upsert and
+  * dimension-versioning shapes a long-lived 100 TB corpus needs between
+  * full rebuilds (the reference snapshot `/root/reference/README.md:1-2`
+  * declares a batch pipeline; keeping its outputs fresh is maintenance).
+  *
+  * Scale notes (100 TB):
+  *  - merge_upsert is the copy-on-write MERGE kernel: ONE shuffle of
+  *    both sides on the merge key (or zero with co-bucketed tables —
+  *    see join_bucketed); when the delta is small relative to the base,
+  *    broadcast it and the base never shuffles at all. Output bytes ∝
+  *    |base ∪ delta| — rewritten partitions, not rewritten table.
+  *  - scd2_intervals is one shuffle on the entity key + one window
+  *    pass per partition (lead). State per entity is its version
+  *    count, never the full fact table.
+  */
+object MaintenanceQueries {
+
+  private val farFuture = lit("9999-12-31").cast(DateType)
+
+  val queries: Map[String, Q] = Map(
+    // MERGE INTO (SCD1 upsert): yesterday's snapshot (customers with
+    // c_custkey % 3 <> 0) merged with a delta (every even-keyed
+    // customer re-arrives with a bumped balance and an UPDATED
+    // segment). Matched rows take the delta, unmatched delta rows
+    // insert, unmatched base rows carry over — the standard
+    // full-outer-join + coalesce formulation with per-row op codes.
+    // Presence is detected on the join KEYS (never on value columns,
+    // which may be legitimately NULL in either side).
+    "merge_upsert" -> ((s, d) => {
+      val c = customer(s, d)
+      val base = c.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("b_key"),
+          col("c_mktsegment").as("b_seg"), col("c_acctbal").as("b_bal"))
+      val delta = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("u_key"),
+          lit("UPDATED").as("u_seg"), (col("c_acctbal") + 100.0).as("u_bal"))
+      base.join(delta, col("b_key") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("b_key"), col("u_key")).as("c_custkey"),
+          coalesce(col("u_seg"), col("b_seg")).as("seg"),
+          coalesce(col("u_bal"), col("b_bal")).as("bal"),
+          when(col("b_key").isNotNull && col("u_key").isNotNull, "update")
+            .when(col("u_key").isNotNull, "insert")
+            .otherwise("keep").as("op"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SCD2 dimension versioning from a change log: each customer's
+    // order dates are version boundaries; every version carries
+    // [valid_from, valid_to) with the final version open-ended
+    // (9999-12-31 sentinel). Change rows are first collapsed per
+    // (entity, date) — order data has same-day multiplicity — so the
+    // lead() window walks a unique, deterministic version sequence.
+    "scd2_intervals" -> ((s, d) => {
+      val versions = orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("valid_from"))
+        .agg(max(col("o_totalprice")).as("price"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"))
+      versions
+        .withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(w), farFuture))
+        .withColumn("is_current",
+          (col("valid_to") === farFuture).cast(IntegerType))
+        .select(col("o_custkey"), col("valid_from"), col("valid_to"),
+          col("price"), col("n_orders"), col("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS b_key, c_mktsegment AS b_seg, c_acctbal AS b_bal
+        |  FROM customer WHERE c_custkey % 3 <> 0
+        |), delta AS (
+        |  SELECT c_custkey AS u_key, 'UPDATED' AS u_seg, c_acctbal + 100.0 AS u_bal
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |)
+        |SELECT COALESCE(b_key, u_key) AS c_custkey,
+        |  COALESCE(u_seg, b_seg) AS seg,
+        |  COALESCE(u_bal, b_bal) AS bal,
+        |  CASE WHEN b_key IS NOT NULL AND u_key IS NOT NULL THEN 'update'
+        |       WHEN u_key IS NOT NULL THEN 'insert'
+        |       ELSE 'keep' END AS op
+        |FROM base FULL OUTER JOIN delta ON b_key = u_key
+        |ORDER BY c_custkey""".stripMargin,
+    "scd2_intervals" ->
+      """WITH v AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |    max(o_totalprice) AS price, count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_custkey, valid_from,
+        |  COALESCE(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from),
+        |           DATE '9999-12-31') AS valid_to,
+        |  price, n_orders,
+        |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
+        |       IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM v ORDER BY o_custkey, valid_from""".stripMargin
+  )
+}

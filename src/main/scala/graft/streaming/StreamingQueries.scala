@@ -259,6 +259,51 @@ object StreamingQueries {
         .orderBy(col("n_name"))
     }),
 
+    // Stream-stream time-bounded inner join: click->purchase
+    // attribution — every purchase within 10 minutes after a click by
+    // the same user. The canonical two-feed join: both sides carry
+    // watermarks and the join predicate bounds event-time distance, so
+    // the state store provably evicts rows older than
+    // watermark - bound (at cluster scale state is ∝ traffic within
+    // the bound, not the stream's history). Replay feeds both streams
+    // before the first micro-batch runs, so watermarks start at epoch
+    // for batch 1 and the inner join emits exactly the complete
+    // predicate-satisfying pair set — deterministic, oracle-paired
+    // against the identical batch self-join.
+    "stream_stream_join" -> ((s0, d) => {
+      val all = evSet(s0, d)
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      import s.implicits._
+      s.catalog.dropTempView("graft_sink_ssj")
+      val srcC = MemoryStream[Ev](s)
+      val srcP = MemoryStream[Ev](s)
+      val clicks = srcC.toDS()
+        .withColumn("click_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("click_ts", "1 hour")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("click_ts"))
+      val purchases = srcP.toDS()
+        .withColumn("p_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("p_ts", "1 hour")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("p_ts"))
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("click_ts") &&
+            col("p_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"))
+        .writeStream.format("memory").queryName("graft_sink_ssj")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        srcC.addData(all.filter(_.event_type == "click").toSeq)
+        srcP.addData(all.filter(_.event_type == "purchase").toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("graft_sink_ssj")
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // Same running-aggregate shape on the MODERN stateful API:
     // `transformWithState` + typed ValueState on the RocksDB state
     // store (Spark 4's replacement for [flat]mapGroupsWithState).
@@ -320,6 +365,13 @@ object StreamingQueries {
       """SELECT n_name, count(*) AS n_events
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND epoch_us(p.ts) BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + 600000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "stream_watermark_late" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS tus FROM events),
         |mx AS (SELECT ((max(tus) FILTER (WHERE event_id % 50 <> 0)) // 1000 - 600000) * 1000 AS wmain,

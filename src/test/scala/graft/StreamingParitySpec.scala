@@ -30,6 +30,25 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("stream_stream_join equals the batch time-bounded self-join") {
+    val streamed = run("stream_stream_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts_us").as("p_us"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_us") >= col("c_us") &&
+          col("p_us") <= col("c_us") + 600000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stream_watermark_late: emitted windows contain on-time rows only") {
     val sink = run("stream_watermark_late").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
