@@ -150,7 +150,17 @@ object LlmQueries {
     // transitive closure + min reachable id) — algorithmic
     // double-entry bookkeeping. At 100 TB each round is one shuffle
     // on doc_id; rounds grow with cluster diameter, not corpus size.
-    "dedup_cc_clusters" -> ((s, d) => {
+    "dedup_cc_clusters" -> ((s0, d) => {
+      // The propagation graph is ∝ the near-dup PAIR count — orders of
+      // magnitude smaller than the corpus at any scale — so the 12+
+      // shuffles below are sized to the edge list, not the corpus: a
+      // cloned session (shared context, own SQLConf) scopes a small
+      // shuffle-partition count to this query, exactly the knob a
+      // cluster job would set between the discovery stage and the
+      // iterative stage. (At 32 partitions the 6 tiny rounds cost ~5 s
+      // of pure task-scheduling overhead at sf0.1.)
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       // persist: the pair set is referenced by BOTH union branches of
       // the edge list and by every propagation round — without it the
       // whole near-dup discovery subplan re-executes once per round

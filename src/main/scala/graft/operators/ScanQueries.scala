@@ -78,9 +78,13 @@ object ScanQueries {
     // read back as one dataset — the layout every distributed write
     // produces (one file per task), and the unit of scan parallelism
     // at cluster scale. Aggregate must equal the single-file read.
+    // Only the aggregate's input columns are written: materializing a
+    // derived table prunes to what downstream reads (write bytes are
+    // the scarce resource at 100 TB, same as scan pruning on read).
     "scan_parquet_multifile" -> ((s, d) => {
       val dir = graft.TempDirs.scoped("multifile", d)
-      lineitem(s, d).repartition(8)
+      lineitem(s, d).select(col("l_linestatus"), col("l_quantity"))
+        .repartition(8)
         .write.mode("overwrite").parquet(dir)
       s.read.parquet(dir)
         .groupBy(col("l_linestatus"))
