@@ -37,6 +37,7 @@ object SparkEntry {
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (PipelineQueries.queries, PipelineQueries.oracle),
       (MaintenanceQueries.queries, MaintenanceQueries.oracle),
+      (SqlQueries.queries, SqlQueries.oracle),
       (StreamingQueries.queries, StreamingQueries.oracle)
     )
 

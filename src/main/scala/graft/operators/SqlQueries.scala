@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.N — the SQL text API: `spark.sql` over registered temp
+  * views, exercising the subquery forms Catalyst must decorrelate into
+  * joins (a user of the engine writes these as SQL, not DataFrame
+  * calls; the reference snapshot `/root/reference/README.md:1-2`
+  * declares an analytics pipeline, and SQL text is the lingua franca).
+  *
+  * Each op targets a DISTINCT physical plan family:
+  *  - correlated EXISTS → left semi join after decorrelation;
+  *  - correlated scalar subquery → left outer join + aggregate;
+  *  - NOT IN → null-aware anti join (the one join variant the
+  *    DataFrame API has no direct spelling for).
+  *
+  * Scale notes (100 TB): all three decorrelate to ONE key-partitioned
+  * join — never a per-row re-execution of the inner query (the naive
+  * nested-loop reading is the thing Catalyst's RewriteCorrelatedScalar /
+  * RewritePredicateSubquery rules exist to eliminate).
+  */
+object SqlQueries {
+
+  /** Register the fixture tables this category's SQL references as
+    * session temp views bound to `d` (idempotent per session).
+    */
+  private def views(s: SparkSession, d: String): Unit = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    orders(s, d).createOrReplaceTempView("orders_v")
+    nation(s, d).createOrReplaceTempView("nation_v")
+    part(s, d).createOrReplaceTempView("part_v")
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Correlated EXISTS: customers holding at least one big-ticket
+    // order. Catalyst rewrites to a left SEMI join on c_custkey.
+    "sql_exists_subquery" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer_v c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+        ORDER BY c_custkey""")
+    }),
+
+    // Correlated scalar subquery in the SELECT list: per-nation
+    // customer count. Catalyst decorrelates to a left OUTER join
+    // against the pre-aggregated inner side (count per key), with the
+    // empty-group-becomes-0 coalesce the rewrite must preserve.
+    "sql_scalar_subquery" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT n_nationkey, n_name,
+          (SELECT count(*) FROM customer_v c
+           WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        FROM nation_v n
+        ORDER BY n_nationkey""")
+    }),
+
+    // NOT IN subquery: parts never shipped in bulk (quantity > 45 —
+    // every part ships at SOME quantity in the fixture, so the inner
+    // side is filtered to keep the answer non-vacuous at every scale).
+    // The null-aware anti join — if the inner side could contain NULL
+    // the whole NOT IN collapses to empty, so the physical plan must
+    // check it; the DataFrame API has no direct spelling for this
+    // operator (left_anti is the NOT EXISTS semantics, not NOT IN).
+    "sql_not_in_subquery" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT p_partkey, p_name
+        FROM part_v
+        WHERE p_partkey NOT IN (
+          SELECT l_partkey FROM lineitem_v WHERE l_quantity > 45.0)
+        ORDER BY p_partkey""")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_scalar_subquery" ->
+      """SELECT n_nationkey, n_name,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        |FROM nation n
+        |ORDER BY n_nationkey""".stripMargin,
+    "sql_not_in_subquery" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45.0)
+        |ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -52,6 +52,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("isFinalPlan=true") && p.contains("*("), p)
   }
 
+  test("SQL subqueries decorrelate to joins, never per-row re-execution") {
+    // EXISTS → left semi; NOT IN → null-aware anti; scalar → outer
+    // join + aggregate. None may survive as an uncorrelated-subquery
+    // node executing the inner query per outer row.
+    val exists = plan("sql_exists_subquery")
+    assert(exists.contains("LeftSemi"), exists)
+    val notIn = plan("sql_not_in_subquery")
+    assert(notIn.contains("LeftAnti"), notIn)
+    val scalar = plan("sql_scalar_subquery")
+    assert(scalar.contains("HashAggregate") &&
+      (scalar.contains("LeftOuter") || scalar.contains("BroadcastHashJoin")),
+      scalar)
+    for (p <- Seq(exists, notIn, scalar))
+      assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LSH dedup joins never degenerate to cartesian products") {
     for (name <- Seq("dedup_minhash", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_embedding_cosine")) {
