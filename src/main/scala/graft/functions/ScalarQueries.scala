@@ -206,6 +206,21 @@ object ScalarQueries {
           element_at(col("m"), "prio").as("prio_val"))
         .orderBy(col("o_orderkey"))),
 
+    // try_cast: error-tolerant ingestion casts — malformed cells become
+    // NULL instead of failing the job (at 100 TB scale SOME cell is
+    // always malformed; a throwing cast is a job-killer, a try_cast is
+    // a filterable quality signal). Columns cover all-succeed,
+    // row-mixed, and all-fail cases.
+    "fn_try_cast" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("try_cast(substring(source, 4) AS INT)").as("src_num"),
+          expr("try_cast(CASE WHEN doc_id % 2 = 0 THEN substring(source, 4) " +
+            "ELSE lang END AS INT)").as("mixed_num"),
+          expr("try_cast(lang AS INT)").as("never_num"),
+          expr("try_cast(n_chars AS SMALLINT)").as("small_n"))
+        .orderBy(col("doc_id"))),
+
     // stack(): generator that pivots N column groups into rows (the
     // inline-table cousin of unpivot).
     "fn_stack" -> ((s, d) =>
@@ -217,6 +232,14 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_try_cast" ->
+      """SELECT doc_id,
+        |  TRY_CAST(substr(source, 4) AS INTEGER) AS src_num,
+        |  TRY_CAST(CASE WHEN doc_id % 2 = 0 THEN substr(source, 4)
+        |           ELSE lang END AS INTEGER) AS mixed_num,
+        |  TRY_CAST(lang AS INTEGER) AS never_num,
+        |  TRY_CAST(n_chars AS SMALLINT) AS small_n
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_string_basic" ->
       """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
         |  length(c_name) AS len, substring(c_name, 1, 8) AS sub8,
