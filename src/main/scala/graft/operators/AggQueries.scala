@@ -175,6 +175,55 @@ object AggQueries {
           count_if(col("o_totalprice") > 100000.0).as("n_big"))
         .orderBy(col("o_orderpriority"))),
 
+    // One-pass dataset profiling: row count, per-column non-null /
+    // distinct counts, numeric min/max for three columns of `customer`,
+    // reshaped to one row per column. The single agg (multiple
+    // count-distincts → one Expand pass) is the 100 TB shape: profile
+    // N columns in ONE scan, not N scans. The DuckDB oracle uses a
+    // 3-branch UNION ALL — different plan, same answer.
+    "profile_columns" -> ((s, d) =>
+      customer(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("c_custkey")).as("nn_key"),
+          countDistinct(col("c_custkey")).as("nd_key"),
+          min(col("c_custkey")).cast(DoubleType).as("min_key"),
+          max(col("c_custkey")).cast(DoubleType).as("max_key"),
+          count(col("c_nationkey")).as("nn_nat"),
+          countDistinct(col("c_nationkey")).as("nd_nat"),
+          min(col("c_nationkey")).cast(DoubleType).as("min_nat"),
+          max(col("c_nationkey")).cast(DoubleType).as("max_nat"),
+          count(col("c_acctbal")).as("nn_bal"),
+          countDistinct(col("c_acctbal")).as("nd_bal"),
+          min(col("c_acctbal")).cast(DoubleType).as("min_bal"),
+          max(col("c_acctbal")).cast(DoubleType).as("max_bal"))
+        .select(expr(
+          "stack(3, " +
+            "'c_acctbal', n, nn_bal, nd_bal, min_bal, max_bal, " +
+            "'c_custkey', n, nn_key, nd_key, min_key, max_key, " +
+            "'c_nationkey', n, nn_nat, nd_nat, min_nat, max_nat)")
+          .as(Seq("col_name", "n", "n_nonnull", "n_distinct",
+            "min_d", "max_d")))
+        .orderBy(col("col_name"))),
+
+    // Approximate quantiles via percentile_approx (GK summaries):
+    // mergeable map-side sketches, rank error bounded by n/accuracy —
+    // the distributed-quantile shape (exact percentiles need a full
+    // sort; the sketch shuffles O(accuracy) per group). Summary merge
+    // order depends on partitioning, so N-operator: ApproxAggSpec
+    // bounds it between the exact p±0.02 quantiles.
+    "agg_approx_quantile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr(
+          "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          .as("q_approx"))
+        .select(col("o_orderpriority"),
+          element_at(col("q_approx"), 1).as("p50"),
+          element_at(col("q_approx"), 2).as("p90"),
+          element_at(col("q_approx"), 3).as("p99"))
+        .orderBy(col("o_orderpriority"))),
+
     // Discrete percentiles (SQL-standard percentile_disc picks actual
     // data values — deterministic across engines, unlike interpolating
     // percentile_cont under float arithmetic).
@@ -263,6 +312,20 @@ object AggQueries {
         |  quantile_disc(l_quantity, 0.25) AS p25_qty,
         |  quantile_disc(l_quantity, 0.5) AS p50_qty,
         |  quantile_disc(l_extendedprice, 0.9) AS p90_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "profile_columns" ->
+      """SELECT 'c_acctbal' AS col_name, count(*) AS n,
+        |  count(c_acctbal) AS n_nonnull, count(DISTINCT c_acctbal) AS n_distinct,
+        |  CAST(min(c_acctbal) AS DOUBLE) AS min_d, CAST(max(c_acctbal) AS DOUBLE) AS max_d
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_custkey', count(*), count(c_custkey), count(DISTINCT c_custkey),
+        |  CAST(min(c_custkey) AS DOUBLE), CAST(max(c_custkey) AS DOUBLE)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(*), count(c_nationkey), count(DISTINCT c_nationkey),
+        |  CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
+        |FROM customer
+        |ORDER BY col_name""".stripMargin
   )
 }

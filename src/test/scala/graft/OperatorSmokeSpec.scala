@@ -79,4 +79,22 @@ class OperatorSmokeSpec extends SparkSpecBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  test("agg_approx_quantile lands between the exact p∓0.02 quantiles") {
+    val approx = SparkEntry.queries("agg_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ps = Seq(0.5, 0.9, 0.99)
+    approx.foreach { case (prio, qs) =>
+      val vals = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === prio)
+        .select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted
+      ps.zip(qs).foreach { case (p, q) =>
+        val lo = vals(((p - 0.02).max(0.0) * (vals.length - 1)).toInt)
+        val hi = vals(((p + 0.02).min(1.0) * (vals.length - 1)).ceil.toInt)
+        assert(q >= lo && q <= hi,
+          s"$prio p$p: approx=$q outside [$lo, $hi]")
+      }
+    }
+  }
 }
