@@ -51,6 +51,16 @@ object StreamingQueries {
 
   private val HourUs = 3600L * 1000000L
 
+  /** One-time-per-JVM directory writes (source chunk layouts that a
+    * CHECKPOINTED consumer depends on: rewriting them with fresh part
+    * file names would make the checkpoint see "new" files and
+    * reprocess — the exactly-once guarantee is per stable input file).
+    */
+  private val writtenDirs =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def writeOnce(key: String)(w: => Unit): Unit =
+    writtenDirs.getOrElseUpdate(key, { w; true })
+
   /** Events as a typed, ts-sorted array for replay, memoized per sfDir —
     * the three streaming-exec queries replay the same feed, so the
     * collect+sort happens once per harness run, not once per query.
@@ -259,6 +269,50 @@ object StreamingQueries {
         .orderBy(col("n_name"))
     }),
 
+    // Checkpointed parquet FILE SINK with exactly-once semantics: the
+    // event chunks stream in one file per micro-batch and land in a
+    // parquet sink under a real checkpoint. Because the source layout
+    // is written ONCE per JVM and the checkpoint + sink live in stable
+    // scoped dirs, re-invoking this query re-starts the stream against
+    // the same checkpoint: the restart finds no unprocessed files and
+    // the sink is byte-identical — the exactly-once restart contract,
+    // asserted in StreamingParitySpec. (This is the production sink
+    // shape; the memory sinks elsewhere are test harness only.)
+    "stream_sink_parquet" -> ((s0, d) => {
+      val srcDir = graft.TempDirs.scoped("sinksrc", d)
+      writeOnce("sinksrc" + d) {
+        events(s0, d)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(2, pmod(col("event_id"), lit(2)))
+          .write.mode("overwrite").parquet(srcDir)
+      }
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      import s.implicits._
+      val outDir = graft.TempDirs.scoped("sinkout", d)
+      val q = s.readStream
+        .schema(Encoders.product[Ev].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir).as[Ev]
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(s"$outDir/data")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // Stream-stream time-bounded inner join: click->purchase
     // attribution — every purchase within 10 minutes after a click by
     // the same user. The canonical two-feed join: both sides carry
@@ -365,6 +419,11 @@ object StreamingQueries {
       """SELECT n_name, count(*) AS n_events
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "stream_sink_parquet" ->
+      """SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p

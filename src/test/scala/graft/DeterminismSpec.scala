@@ -14,7 +14,9 @@ class DeterminismSpec extends SparkSpecBase {
   private val skip = Set(
     "stream_watermark_late", "stream_dedup", "stream_stateful_count",
     "stream_tws_running_sum", "join_bucketed", "scan_csv_roundtrip",
-    "scan_json_roundtrip", "sink_partitioned", "scan_parquet_multifile")
+    "scan_json_roundtrip", "sink_partitioned", "scan_parquet_multifile",
+    // double-run (restart idempotence) in StreamingParitySpec already
+    "stream_sink_parquet")
 
   private lazy val alt = {
     val s = spark.newSession()

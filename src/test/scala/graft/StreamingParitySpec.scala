@@ -30,6 +30,23 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("stream_sink_parquet restart is exactly-once (sink unchanged)") {
+    def sinkFiles = {
+      val dir = new java.io.File(
+        graft.TempDirs.scoped("sinkout", sfDir), "data")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    }
+    val first = run("stream_sink_parquet").collect().map(_.toString).toSeq
+    val filesAfterFirst = sinkFiles
+    assert(first.nonEmpty && filesAfterFirst.nonEmpty)
+    // restart against the same checkpoint: no unprocessed input files,
+    // so the sink must gain NO files and the result must not change
+    val second = run("stream_sink_parquet").collect().map(_.toString).toSeq
+    assert(second == first)
+    assert(sinkFiles == filesAfterFirst)
+  }
+
   test("stream_stream_join equals the batch time-bounded self-join") {
     val streamed = run("stream_stream_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
