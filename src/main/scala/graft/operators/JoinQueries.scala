@@ -98,6 +98,37 @@ object JoinQueries {
         .select(col("r_name"), col("n_name"))
         .orderBy(col("r_name"), col("n_name"))),
 
+    // PURE interval join (no equi key at all) via binning: each band
+    // [lo, hi) explodes to the fixed-width bins it overlaps, the probe
+    // side computes its own bin, and the join is an EQUI join on bin
+    // with the range check as a residual filter. Naive Spark executes
+    // an interval join as a nested loop comparing every probe row to
+    // every interval — O(n·m); binning makes it O(n + output), the
+    // standard range-join technique (Spark has no native range-join
+    // optimizer rule). Bands deliberately overlap ('all' contains the
+    // others) so multi-match semantics are exercised. Plan-asserted:
+    // no BroadcastNestedLoopJoin / CartesianProduct.
+    "join_range_binned" -> ((s, d) => {
+      import s.implicits._
+      val W = 25000.0
+      val bands = Seq(
+        ("b1", 1000.0, 5000.0), ("b2", 5000.0, 25000.0),
+        ("b3", 25000.0, 125000.0), ("b4", 125000.0, 625000.0),
+        ("all", 0.0, 625000.0)).toDF("band", "lo", "hi")
+      val binned = bands.withColumn("bin",
+        explode(sequence(floor(col("lo") / W),
+          floor((col("hi") - lit(0.01)) / W))))
+      orders(s, d)
+        .withColumn("bin", floor(col("o_totalprice") / W))
+        .join(binned, Seq("bin"))
+        .filter(col("o_totalprice") >= col("lo") &&
+          col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          moneySumD(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("band"))
+    }),
+
     // Theta join: equi key + range condition on dates, aggregated.
     "join_theta_range" -> ((s, d) =>
       lineitem(s, d)
@@ -197,6 +228,16 @@ object JoinQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_range_binned" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b1', 1000.0, 5000.0), ('b2', 5000.0, 25000.0),
+        |  ('b3', 25000.0, 125000.0), ('b4', 125000.0, 625000.0),
+        |  ('all', 0.0, 625000.0))
+        |SELECT band, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     "join_inner_broadcast" ->
       """SELECT c_custkey, n_name, r_name FROM customer
         |JOIN nation ON c_nationkey = n_nationkey

@@ -68,6 +68,13 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("join_range_binned is an equi join on bins, not a nested loop") {
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("LSH dedup joins never degenerate to cartesian products") {
     for (name <- Seq("dedup_minhash", "dedup_simhash",
       "dedup_ngram_jaccard", "dedup_embedding_cosine")) {
