@@ -52,6 +52,31 @@ object MaintenanceQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Order-independent table checksum: per-row canonical string →
+    // md5 → 48-bit integer, aggregated with commutative bit_xor plus a
+    // magnitude-guarded sum and a row count. The data-integrity
+    // primitive for 100 TB migrations/replications: compare three
+    // numbers instead of 100 TB of rows, any partitioning, any row
+    // order, one narrow scan + one tiny aggregate. (The sum term
+    // catches the xor blind spot — a row duplicated an even number of
+    // times xor-cancels; div 2^16 keeps the sum far from BIGINT
+    // overflow at any plausible row count.) Doubles go through
+    // DECIMAL(18,2) so the canonical string renders identically in
+    // every engine.
+    "table_checksum" -> ((s, d) => {
+      val rowStr = concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        coalesce(col("c_acctbal").cast(DecimalType(18, 2)).cast("string"),
+          lit("NULL")),
+        col("c_mktsegment"))
+      customer(s, d)
+        .select(conv(substring(md5(rowStr), 1, 12), 16, 10)
+          .cast("long").as("h48"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h48)").as("xor48"),
+          sum(expr("h48 div 65536")).as("sum32"))
+    }),
+
     // SCD2 dimension versioning from a change log: each customer's
     // order dates are version boundaries; every version carries
     // [valid_from, valid_to) with the final version open-ended
@@ -92,6 +117,21 @@ object MaintenanceQueries {
         |       ELSE 'keep' END AS op
         |FROM base FULL OUTER JOIN delta ON b_key = u_key
         |ORDER BY c_custkey""".stripMargin,
+    "table_checksum" ->
+      """WITH r AS (
+        |  SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+        |    COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), 'NULL'),
+        |    c_mktsegment)) AS h
+        |  FROM customer
+        |), v AS (
+        |  SELECT CAST(list_sum(list_transform(generate_series(1, 12),
+        |    i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16 ** (12 - i)))
+        |    AS BIGINT) AS h48
+        |  FROM r
+        |)
+        |SELECT count(*) AS n_rows, bit_xor(h48) AS xor48,
+        |  CAST(sum(h48 // 65536) AS BIGINT) AS sum32
+        |FROM v""".stripMargin,
     "scd2_intervals" ->
       """WITH v AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
