@@ -175,6 +175,19 @@ object AggQueries {
           count_if(col("o_totalprice") > 100000.0).as("n_big"))
         .orderBy(col("o_orderpriority"))),
 
+    // Ordered string aggregation (SQL LISTAGG / string_agg): the
+    // group's values sorted then joined — deterministic regardless of
+    // arrival order. Per-group output is ∝ the group's own content
+    // (here a bounded dimension), the same boundedness caveat as
+    // agg_collect_list.
+    "agg_string_concat" -> ((s, d) =>
+      nation(s, d)
+        .groupBy(col("n_regionkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name"))))
+          .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))),
+
     // One-pass dataset profiling: row count, per-column non-null /
     // distinct counts, numeric min/max for three columns of `customer`,
     // reshaped to one row per column. The single agg (multiple
@@ -313,6 +326,11 @@ object AggQueries {
         |  quantile_disc(l_quantity, 0.5) AS p50_qty,
         |  quantile_disc(l_extendedprice, 0.9) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "profile_columns" ->
       """SELECT 'c_acctbal' AS col_name, count(*) AS n,
         |  count(c_acctbal) AS n_nonnull, count(DISTINCT c_acctbal) AS n_distinct,

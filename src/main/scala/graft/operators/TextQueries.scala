@@ -145,6 +145,33 @@ object TextQueries {
             .otherwise("pass"))
         .select(col("doc_id"), col("n_chars"), col("n_toks"), col("gate"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing: regex-redact emails and phone numbers before
+    // training. The fixture corpus is PII-free by construction, so a
+    // synthetic contact line (derived from doc_id — deterministic) is
+    // appended first; the operator under test is the scrub itself:
+    // counts per PII class + a digest of the redacted text (the full
+    // text never needs to leave the executor — at 100 TB the redaction
+    // is a pure map stage, and this audit query ships only counts and
+    // digests). Patterns are deliberately engine-portable regex.
+    "text_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      documents(s, d)
+        .withColumn("contact",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          regexp_count(col("contact"), lit(emailRe)).cast("long")
+            .as("n_emails"),
+          regexp_count(col("contact"), lit(phoneRe)).cast("long")
+            .as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace(col("contact"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -217,6 +244,20 @@ object TextQueries {
         |       WHEN len(string_split(text, ' ')) < 10 THEN 'too_few_tokens'
         |       WHEN n_chars > len(string_split(text, ' ')) * 15 THEN 'gibberish'
         |       ELSE 'pass' END AS gate
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(contact, '[a-z0-9]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(contact,
+        |    '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }
