@@ -205,20 +205,24 @@ object JoinQueries {
     // write itself is part of the measured cost here.)
     "join_bucketed" -> ((s, d) => {
       val wh = graft.TempDirs.scoped("bucketed", d)
+      // catalog table names derived from the scoped dir: unique per
+      // (JVM, sf), so concurrent sessions sharing a catalog never race
+      // on a fixed name
+      val tag = math.abs(wh.hashCode).toString
       // project to the needed columns before the bucketed write — the
       // write cost is the amortized index-build, keep it lean
       orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
         .write.mode("overwrite")
         .option("path", s"$wh/orders_b")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_orders_b")
+        .saveAsTable(s"graft_orders_b_$tag")
       lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite")
         .option("path", s"$wh/lineitem_b")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_lineitem_b")
-      s.table("graft_orders_b")
-        .join(s.table("graft_lineitem_b"),
+        .saveAsTable(s"graft_lineitem_b_$tag")
+      s.table(s"graft_orders_b_$tag")
+        .join(s.table(s"graft_lineitem_b_$tag"),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),

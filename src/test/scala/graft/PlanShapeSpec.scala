@@ -111,8 +111,10 @@ class PlanShapeSpec extends SparkSpecBase {
       // disable broadcast so the bucket-co-located sort-merge path is
       // what the planner must choose
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("graft_orders_b")
-        .join(spark.table("graft_lineitem_b"),
+      val tag = math.abs(
+        graft.TempDirs.scoped("bucketed", sfDir).hashCode).toString
+      val joined = spark.table(s"graft_orders_b_$tag")
+        .join(spark.table(s"graft_lineitem_b_$tag"),
           org.apache.spark.sql.functions.col("o_orderkey") ===
             org.apache.spark.sql.functions.col("l_orderkey"))
       val p = joined.queryExecution.executedPlan.toString
