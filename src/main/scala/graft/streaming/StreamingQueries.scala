@@ -51,15 +51,12 @@ object StreamingQueries {
 
   private val HourUs = 3600L * 1000000L
 
-  /** One-time-per-JVM directory writes (source chunk layouts that a
-    * CHECKPOINTED consumer depends on: rewriting them with fresh part
-    * file names would make the checkpoint see "new" files and
-    * reprocess — the exactly-once guarantee is per stable input file).
-    */
-  private val writtenDirs =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  // source chunk layouts that the CHECKPOINTED sink depends on are
+  // written once per JVM via TempDirs.writeOnce: rewriting them with
+  // fresh part file names would make the checkpoint see "new" files
+  // and reprocess — the exactly-once guarantee is per stable input file
   private def writeOnce(key: String)(w: => Unit): Unit =
-    writtenDirs.getOrElseUpdate(key, { w; true })
+    graft.TempDirs.writeOnce(key)(w)
 
   /** Events as a typed, ts-sorted array for replay, memoized per sfDir —
     * the three streaming-exec queries replay the same feed, so the
