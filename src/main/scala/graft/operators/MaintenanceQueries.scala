@@ -52,6 +52,31 @@ object MaintenanceQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    // Data clustering for scan pruning (CLUSTER BY / liquid-clustering
+    // shape): the table rewritten range-partitioned + sorted on a
+    // filter column, so every file's parquet footer min/max covers a
+    // narrow disjoint key range and a selective filter skips whole row
+    // groups at the reader — the file-stats complement to
+    // sink_partitioned's directory pruning. PlanShapeSpec asserts the
+    // scan's numOutputRows drops to the matching files' rows, i.e.
+    // pruning actually engages. One range-partitioned sort to build —
+    // amortized over every later selective scan, exactly like the
+    // bucketed-join write.
+    "cluster_by_key" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("clustered", d)
+      graft.TempDirs.writeOnce("clustered" + d) {
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+          .repartitionByRange(8, col("l_partkey"))
+          .sortWithinPartitions(col("l_partkey"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .filter(col("l_partkey") <= 25L)
+        .agg(count(lit(1)).as("n_rows"),
+          moneySumD(col("l_quantity")).as("sum_qty"))
+    }),
+
     // Small-files compaction: the layout-maintenance task every
     // long-lived 100 TB table needs. A degraded layout (64 tiny part
     // files — what thousands of executors or frequent micro-batch
@@ -152,6 +177,10 @@ object MaintenanceQueries {
         |       ELSE 'keep' END AS op
         |FROM base FULL OUTER JOIN delta ON b_key = u_key
         |ORDER BY c_custkey""".stripMargin,
+    "cluster_by_key" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey <= 25""".stripMargin,
     "compact_small_files" ->
       """SELECT event_type, count(*) AS n,
         |  64 AS n_src_files, 4 AS n_out_files

@@ -68,6 +68,25 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cluster_by_key layout lets the scan skip non-matching row groups") {
+    import org.apache.spark.sql.functions.col
+    // build the clustered layout via the operator itself
+    SparkEntry.queries("cluster_by_key")(spark, sfDir).collect()
+    val dir = graft.TempDirs.scoped("clustered", sfDir)
+    val total = spark.read.parquet(dir).count()
+    val df = spark.read.parquet(dir).filter(col("l_partkey") <= 25L)
+    df.collect()
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numOutputRows").value
+    }.sum
+    // 8 disjoint partkey ranges: the selective filter must read only
+    // the first range's row group(s) (± a boundary-straddling file),
+    // never the full table
+    assert(scanned > 0 && scanned < total / 3,
+      s"scan read $scanned of $total rows — row-group pruning did not engage")
+  }
+
   test("join_range_binned is an equi join on bins, not a nested loop") {
     val p = plan("join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
