@@ -78,6 +78,37 @@ object MultimodalQueries {
           col("meta.src_lang").as("src_lang"))
         .orderBy(col("doc_id"))),
 
+    // REAL (non-stub) statistical feature extraction over the payload:
+    // byte count, distinct bytes, printable ratio (basis points),
+    // repeat mass (Σ count² — exact-integer Simpson diversity), and
+    // Shannon entropy in milli-bits. Entropy/printability are the
+    // actual junk-filter signals multimodal corpora gate on (random
+    // bytes ≈ 8 bits/byte, text ≈ 4), and none of it needs a codec —
+    // this is the part of "decode" that is genuinely computable here.
+    // Entropy is an ORDERED fold over char-sorted counts, so the
+    // double result is bit-identical to the DuckDB oracle's
+    // list_reduce (same proof as sim_search_topk). Payload is ASCII
+    // (verified: octet_length == char count fixture-wide), so chars
+    // are bytes.
+    "mm_byte_stats" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("chs", split(col("text"), ""))
+        .withColumn("n", size(col("chs")).cast("double"))
+        .withColumn("counts", expr(
+          "transform(array_sort(array_distinct(chs)), " +
+            "c -> cast(size(filter(chs, x -> x = c)) AS double))"))
+        .select(col("doc_id"),
+          size(col("chs")).cast("long").as("n_bytes"),
+          expr("size(array_distinct(chs))").cast("long").as("n_distinct"),
+          expr("size(filter(chs, c -> ascii(c) BETWEEN 32 AND 126)) " +
+            "* 10000 div size(chs)").as("printable_bp"),
+          expr("aggregate(transform(counts, c -> cast(c * c as bigint)), " +
+            "0L, (a, x) -> a + x)").as("sum_sq"),
+          expr("cast(round(aggregate(counts, cast(0 as double), " +
+            "(acc, c) -> acc - (c / n) * log2(c / n)) * 1000) as bigint)")
+            .as("entropy_mbits"))
+        .orderBy(col("doc_id"))),
+
     // Batched partition-wise feature extraction over the binary column:
     // fixed batch size 32, decoder "initialized" once per partition,
     // iterator in / iterator out (no materialization of the partition).
@@ -125,6 +156,22 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_byte_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split_regex(text, '') AS chs FROM documents
+        |), c AS (
+        |  SELECT doc_id, chs, CAST(len(chs) AS DOUBLE) AS n,
+        |    list_transform(list_sort(list_distinct(chs)),
+        |      ch -> CAST(len(list_filter(chs, x -> x = ch)) AS DOUBLE)) AS counts
+        |  FROM b
+        |)
+        |SELECT doc_id,
+        |  CAST(len(chs) AS BIGINT) AS n_bytes,
+        |  CAST(len(list_distinct(chs)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(chs, ch -> ascii(ch) BETWEEN 32 AND 126)) * 10000 // len(chs) AS BIGINT) AS printable_bp,
+        |  CAST(list_reduce(list_transform(counts, x -> CAST(x * x AS BIGINT)), (a, b) -> a + b) AS BIGINT) AS sum_sq,
+        |  CAST(round(list_reduce(list_transform(counts, x -> -(x / n) * log2(x / n)), (a, b) -> a + b) * 1000) AS BIGINT) AS entropy_mbits
+        |FROM c ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
