@@ -175,6 +175,40 @@ object AggQueries {
           count_if(col("o_totalprice") > 100000.0).as("n_big"))
         .orderBy(col("o_orderpriority"))),
 
+    // Correlation/covariance WITHOUT float-order nondeterminism: the
+    // five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    // DECIMAL sums (shuffle-order free), and the corr/covar formulas
+    // are applied to them in DOUBLE at the very end — identical
+    // IEEE arithmetic in both engines, so the float outputs hash-match
+    // (built-in corr()/covar_pop() accumulate in partition order and
+    // can differ in the last ulp between engines/runs).
+    "agg_corr_exact" -> ((s, d) => {
+      // whole-dollar operands: every sufficient statistic (incl. Σy² ≈
+      // 6e15 at sf0.1) stays under 2^53, so the DECIMAL→DOUBLE casts
+      // are exact — at cents scale Σy² would exceed the double mantissa
+      // and the conversion's last-ulp rounding could differ by engine.
+      // (HALF_UP on .50 is identical in Spark and DuckDB for positives.)
+      val q = col("l_quantity").cast(DecimalType(18, 0))
+      val p = col("l_extendedprice").cast(DecimalType(18, 0))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(q).cast(DoubleType).as("sx"),
+          sum(p).cast(DoubleType).as("sy"),
+          sum(q * p).cast(DoubleType).as("sxy"),
+          sum(q * q).cast(DoubleType).as("sxx"),
+          sum(p * p).cast(DoubleType).as("syy"))
+        .select(col("l_returnflag"),
+          ((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n")))
+            .as("covar_pop"),
+          (((col("n") * col("sxy")) - (col("sx") * col("sy"))) /
+            (sqrt((col("n") * col("sxx")) - (col("sx") * col("sx"))) *
+              sqrt((col("n") * col("syy")) - (col("sy") * col("sy")))))
+            .as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Ordered string aggregation (SQL LISTAGG / string_agg): the
     // group's values sorted then joined — deterministic regardless of
     // arrival order. Per-group output is ∝ the group's own content
@@ -326,6 +360,22 @@ object AggQueries {
         |  quantile_disc(l_quantity, 0.5) AS p50_qty,
         |  quantile_disc(l_extendedprice, 0.9) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_corr_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_extendedprice AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,0)) * CAST(l_extendedprice AS DECIMAL(18,0))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  (sxy / n) - (sx / n) * (sy / n) AS covar_pop,
+        |  ((n * sxy) - (sx * sy)) /
+        |    (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_string_concat" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
