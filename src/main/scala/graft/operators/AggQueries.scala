@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -209,6 +210,42 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Equi-width histogram of order value: integer-cents bucketing
+    // (bucket = cents div 5,000,000, i.e. $50k-wide bins, top bin
+    // open) plus each bin's share in basis points via a single-row
+    // window total. One hash aggregate over ≤10 groups — at any corpus
+    // size the shuffle carries 10 rows per partition; the bp division
+    // is exact integer math so the histogram hash-matches.
+    "agg_histogram" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("bucket", expr(
+          "least(cast(cast(o_totalprice as decimal(18,2)) * 100 " +
+            "as bigint) div 5000000, 9)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_bp", expr("n * 10000 div sum(n) over ()"))
+        .orderBy(col("bucket"))),
+
+    // Per-group mode with a total deterministic order: most frequent
+    // o_orderpriority per order status, ties broken by priority string
+    // ascending (count desc, value asc is a total order, so the answer
+    // is engine-independent). count + row_number over the counted
+    // groups: the window input is |status|×|priority| rows, never the
+    // fact table.
+    "agg_mode" -> ((s, d) => {
+      val counts = orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+      counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("cnt"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Ordered string aggregation (SQL LISTAGG / string_agg): the
     // group's values sorted then joined — deterministic regardless of
     // arrival order. Per-group output is ∝ the group's own content
@@ -376,6 +413,29 @@ object AggQueries {
         |  ((n * sxy) - (sx * sy)) /
         |    (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_histogram" ->
+      """WITH b AS (
+        |  SELECT least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) // 5000000, 9) AS bucket
+        |  FROM orders
+        |), c AS (
+        |  SELECT bucket, count(*) AS n FROM b GROUP BY 1
+        |)
+        |SELECT bucket, n,
+        |  n * 10000 // CAST(sum(n) OVER () AS BIGINT) AS share_bp
+        |FROM c ORDER BY bucket""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (
+        |  SELECT o_orderstatus, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY cnt DESC, o_orderpriority ASC) AS rk
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_string_concat" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,

@@ -226,10 +226,52 @@ object LlmQueries {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("c_id").as("neighbor_id"))
         .orderBy(col("q_id"))
+    }),
+
+    // Benchmark-contamination check: training docs sharing any word
+    // 4-gram with the held-out benchmark slice (doc_id % 97 == 0 —
+    // deterministic, fixture-independent), with the count of distinct
+    // shared grams as the contamination score. The benchmark gram set
+    // is tiny relative to the corpus, so the join broadcasts it and
+    // the corpus side streams map-only — at 100 TB the grams would be
+    // xxhash64-hashed to longs before the join (the dedup_ngram
+    // pattern); strings are kept here so the DuckDB oracle can pair
+    // the result exactly.
+    "contamination_ngram" -> ((s, d) => {
+      def grams(df: DataFrame, idAs: String) = df
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id").as(idAs), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 3, 1)), " +
+            "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1], toks[i + 2]))")))
+          .as("gram"))
+      val docs = documents(s, d)
+      val bench = grams(docs.filter(col("doc_id") % 97 === 0), "bench_id")
+        .select(col("gram")).distinct()
+      grams(docs.filter(col("doc_id") % 97 =!= 0), "doc_id")
+        .join(broadcast(bench), "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "contamination_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 3, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1],
+        |                   toks[i + 2], toks[i + 3])))) AS gram
+        |  FROM t
+        |), bench AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+        |)
+        |SELECT g.doc_id AS doc_id, count(*) AS n_shared
+        |FROM g JOIN bench ON g.gram = bench.gram
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,

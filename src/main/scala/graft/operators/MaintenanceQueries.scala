@@ -157,6 +157,33 @@ object MaintenanceQueries {
         .select(col("o_custkey"), col("valid_from"), col("valid_to"),
           col("price"), col("n_orders"), col("is_current"))
         .orderBy(col("o_custkey"), col("valid_from"))
+    }),
+
+    // Snapshot diff (CDC audit): added / removed / changed rows
+    // between two table versions via one full-outer join on the key,
+    // unchanged rows dropped. Snapshots are carved deterministically
+    // from `orders` (A = keys % 7 != 0; B = keys % 5 != 0 with prices
+    // bumped $1 on keys % 3 == 0). At 100 TB both snapshots shuffle
+    // once on the primary key — or zero times if both are bucketed on
+    // it (join_bucketed's layout); the diff output is ∝ churn, not
+    // table size.
+    "snapshot_diff" -> ((s, d) => {
+      val o = orders(s, d)
+        .select(col("o_orderkey").as("k"), money(col("o_totalprice")).as("v"))
+      val snapA = o.filter(col("k") % 7 =!= 0)
+      val snapB = o.filter(col("k") % 5 =!= 0)
+        .withColumn("v", when(col("k") % 3 === 0,
+          col("v") + lit(1).cast(DecimalType(3, 2))).otherwise(col("v")))
+      snapA.as("a")
+        .join(snapB.as("b"), col("a.k") === col("b.k"), "full_outer")
+        .select(
+          coalesce(col("a.k"), col("b.k")).as("o_orderkey"),
+          when(col("a.k").isNull, "added")
+            .when(col("b.k").isNull, "removed")
+            .when(col("a.v") =!= col("b.v"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -212,6 +239,26 @@ object MaintenanceQueries {
         |  price, n_orders,
         |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
         |       IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
-        |FROM v ORDER BY o_custkey, valid_from""".stripMargin
+        |FROM v ORDER BY o_custkey, valid_from""".stripMargin,
+    "snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders
+        |), a AS (
+        |  SELECT * FROM o WHERE k % 7 <> 0
+        |), b AS (
+        |  SELECT k, CASE WHEN k % 3 = 0 THEN v + 1.00 ELSE v END AS v
+        |  FROM o WHERE k % 5 <> 0
+        |), j AS (
+        |  SELECT COALESCE(a.k, b.k) AS o_orderkey,
+        |    CASE WHEN a.k IS NULL THEN 'added'
+        |         WHEN b.k IS NULL THEN 'removed'
+        |         WHEN a.v <> b.v THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k
+        |)
+        |SELECT o_orderkey, change_type FROM j
+        |WHERE change_type <> 'unchanged' ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.L — training-data pipeline assembly operators: the
@@ -83,6 +84,40 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
+    }),
+
+    // Stratified sample: a fixed-size per-stratum subcorpus (40 docs
+    // per language), members chosen by content-hash order — the
+    // balanced-per-language subset used for eval sets and ablations.
+    // Deterministic: md5 order with doc_id tie-break is total. One
+    // shuffle on the stratum key; per-stratum top-N runs as a window
+    // group limit, never a global sort.
+    "sample_stratified" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("text")), col("doc_id"))
+      documents(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 40)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // Incremental-batch dedup: admit a new ingest batch (source =
+    // 'src0') only where its content digest is unseen in the standing
+    // corpus, deduping within the batch as well (min-doc_id survivor).
+    // The anti join runs on digests only — at 100 TB the shuffle
+    // carries 16-byte hashes, never text; the standing-corpus side
+    // stays partitioned on digest across ingests so only the batch
+    // re-shuffles.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = documents(s, d).withColumn("h", md5(col("text")))
+      val existing = docs.filter(col("source") =!= "src0")
+        .select(col("h")).distinct()
+      docs.filter(col("source") === "src0")
+        .join(existing, Seq("h"), "left_anti")
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -108,6 +143,24 @@ object PipelineQueries {
         |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'c'
         |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '8'
         |       ELSE '4' END
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "sample_stratified" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT lang, rk, doc_id FROM r WHERE rk <= 40
+        |ORDER BY lang, rk""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents
+        |), ex AS (
+        |  SELECT DISTINCT h FROM d WHERE source <> 'src0'
+        |)
+        |SELECT min(doc_id) AS doc_id
+        |FROM d WHERE source = 'src0' AND h NOT IN (SELECT h FROM ex)
+        |GROUP BY h ORDER BY doc_id""".stripMargin
   )
 }

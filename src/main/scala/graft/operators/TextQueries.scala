@@ -172,6 +172,37 @@ object TextQueries {
             regexp_replace(col("contact"), emailRe, "<EMAIL>"),
             phoneRe, "<PHONE>")).as("redacted_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Repetition filter (Gopher-style): fraction of the document
+    // covered by its most frequent token and by its most frequent word
+    // bigram, in basis points, plus the keep/drop gate. Explode →
+    // count → per-doc max is two hash aggregates keyed on doc_id —
+    // output and state are ∝ |distinct grams per doc|, never corpus-
+    // global, and the doc text itself is never shuffled (only
+    // (doc_id, gram) rows). All integer arithmetic.
+    "text_repetition_filter" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tokTop = toks
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
+      val gramTop = toks
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+            "i -> concat_ws(' ', toks[i - 1], toks[i]))")).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_gram"), sum(col("c")).as("n_gram"))
+      tokTop.join(gramTop, "doc_id")
+        .select(col("doc_id"),
+          expr("max_tok * 10000 div n_tok").as("top_tok_bp"),
+          expr("max_gram * 10000 div n_gram").as("top_gram_bp"),
+          (expr("max_tok * 10000 div n_tok") < 2000 &&
+            expr("max_gram * 10000 div n_gram") < 1800).as("keep"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -258,6 +289,37 @@ object TextQueries {
         |  md5(regexp_replace(regexp_replace(contact,
         |    '[a-z0-9]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
         |    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
+        |), ts AS (
+        |  SELECT doc_id, max(c) AS max_tok,
+        |    CAST(sum(c) AS BIGINT) AS n_tok
+        |  FROM tc GROUP BY 1
+        |), g0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS gram
+        |  FROM g0
+        |), gc AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+        |), gs AS (
+        |  SELECT doc_id, max(c) AS max_gram,
+        |    CAST(sum(c) AS BIGINT) AS n_gram
+        |  FROM gc GROUP BY 1
+        |)
+        |SELECT ts.doc_id AS doc_id,
+        |  max_tok * 10000 // n_tok AS top_tok_bp,
+        |  max_gram * 10000 // n_gram AS top_gram_bp,
+        |  (max_tok * 10000 // n_tok < 2000
+        |    AND max_gram * 10000 // n_gram < 1800) AS keep
+        |FROM ts JOIN gs ON ts.doc_id = gs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin
   )
 }

@@ -47,7 +47,56 @@ object TimeSeriesQueries {
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"))).as("hr"))
 
+  private val GapUs = 30L * 60L * 1000000L // 30-minute inactivity gap
+
   val queries: Map[String, Q] = Map(
+    // Batch sessionization: split each user's event stream into
+    // sessions at >30-min inactivity gaps (lag + flag + running sum),
+    // then one aggregate per session. Two window passes + one hash
+    // aggregate, all partitioned on user_id — a single shuffle key end
+    // to end; per-user state is one row, so the plan is skew-safe at
+    // any corpus size (a user's own history is the only thing sorted).
+    // Tie order on (ts_us, event_id) is total, so the session labels
+    // are deterministic under equal timestamps.
+    "ts_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > GapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Gaps-and-islands: longest run of consecutive same-type events
+    // per (user, event_type). Island id = difference of two row
+    // numbers (global-per-user minus per-(user,type)) — constant
+    // within a run, distinct across runs. Two window passes over the
+    // SAME (user_id) partitioning plus two hash aggregates; tie order
+    // (ts_us, event_id) is total so runs are engine-deterministic.
+    "ts_streaks" -> ((s, d) => {
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .withColumn("grp",
+          row_number().over(wAll) - row_number().over(wType))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("len")).as("max_streak"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Gap-fill: every user's hour range densified, missing buckets
     // zero-filled — turns an irregular event feed into the dense
     // series that windowed models and joins expect.
@@ -73,6 +122,47 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "ts_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(is_new) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM f
+        |)
+        |SELECT user_id, session_id,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "ts_streaks" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id) AS grp
+        |  FROM e
+        |), runs AS (
+        |  SELECT user_id, event_type, grp, count(*) AS len
+        |  FROM r GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, event_type, max(len) AS max_streak
+        |FROM runs GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "ts_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events
