@@ -246,6 +246,42 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Higher central moments with the same determinism treatment as
+    // agg_corr_exact: power sums Σx..Σx⁴ as exact DECIMAL aggregates
+    // (shuffle-order free; l_quantity ≤ 50 keeps Σx⁴ far under 2^53,
+    // so the DECIMAL→DOUBLE casts are exact), then the population
+    // skewness/kurtosis closed forms applied in DOUBLE with the SAME
+    // expression tree in both engines — identical IEEE arithmetic,
+    // identical hash. Powers are computed stepwise with re-casts to
+    // DECIMAL(18,0) so neither engine's multiply hits its 38-digit
+    // precision cap (the values are tiny; only the declared types
+    // would overflow).
+    "agg_skew_kurt" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 0))
+      val x2 = (x * x).cast(DecimalType(18, 0))
+      val x3 = (x2 * x).cast(DecimalType(18, 0))
+      val x4 = (x2 * x2).cast(DecimalType(18, 0))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x2).cast(DoubleType).as("s2"),
+          sum(x3).cast(DoubleType).as("s3"),
+          sum(x4).cast(DoubleType).as("s4"))
+        .select(col("l_returnflag"),
+          expr("(s3 / n - 3 * (s1 / n) * (s2 / n) + " +
+            "2 * (s1 / n) * (s1 / n) * (s1 / n)) / " +
+            "(sqrt(s2 / n - (s1 / n) * (s1 / n)) * " +
+            "(s2 / n - (s1 / n) * (s1 / n)))").as("skew_pop"),
+          expr("(s4 / n - 4 * (s1 / n) * (s3 / n) + " +
+            "6 * (s1 / n) * (s1 / n) * (s2 / n) - " +
+            "3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) / " +
+            "((s2 / n - (s1 / n) * (s1 / n)) * " +
+            "(s2 / n - (s1 / n) * (s1 / n))) - 3").as("kurt_pop"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Ordered string aggregation (SQL LISTAGG / string_agg): the
     // group's values sorted then joined — deterministic regardless of
     // arrival order. Per-group output is ∝ the group's own content
@@ -412,6 +448,38 @@ object AggQueries {
         |  (sxy / n) - (sx / n) * (sy / n) AS covar_pop,
         |  ((n * sxy) - (sx * sy)) /
         |    (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_skew_kurt" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,0)) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,0)) *
+        |         CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(18,0)) AS x2
+        |  FROM lineitem
+        |), p2 AS (
+        |  SELECT l_returnflag, x, x2,
+        |    CAST(x2 * x AS DECIMAL(18,0)) AS x3,
+        |    CAST(x2 * x2 AS DECIMAL(18,0)) AS x4
+        |  FROM p
+        |), s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x3) AS DOUBLE) AS s3,
+        |    CAST(sum(x4) AS DOUBLE) AS s4
+        |  FROM p2 GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  (s3 / n - 3 * (s1 / n) * (s2 / n) +
+        |    2 * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |    (sqrt(s2 / n - (s1 / n) * (s1 / n)) *
+        |    (s2 / n - (s1 / n) * (s1 / n))) AS skew_pop,
+        |  (s4 / n - 4 * (s1 / n) * (s3 / n) +
+        |    6 * (s1 / n) * (s1 / n) * (s2 / n) -
+        |    3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |    ((s2 / n - (s1 / n) * (s1 / n)) *
+        |    (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurt_pop
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_histogram" ->
       """WITH b AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -159,6 +160,59 @@ object MaintenanceQueries {
         .orderBy(col("o_custkey"), col("valid_from"))
     }),
 
+    // Z-order clustered layout: rows laid out by the bit-interleave of
+    // TWO keys, so parquet row-group min/max stats are compact in BOTH
+    // dimensions and a scan filtered on either (or both) skips most of
+    // the table — the multi-dim version of cluster_by_key, and the
+    // layout trick (Delta/Iceberg OPTIMIZE ZORDER) that makes
+    // needle-in-haystack queries cheap at 100 TB without maintaining
+    // two sort orders. The interleave is 4 shift-and-mask rounds per
+    // key (pure codegen'd bitwise ops); 16 bits/key covers the fixture
+    // key domains — real corpora first rank-normalize each key into
+    // 16 bits. Query result is layout-independent (the oracle reads
+    // the raw table); the pruning itself is asserted in PlanShapeSpec
+    // via scan metrics.
+    "cluster_zorder" -> ((s, d) => {
+      def spread(c: Column): Column = {
+        val a = c.bitwiseAND(lit(65535L))
+        val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))
+        val e = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))
+        val f = e.bitwiseOR(shiftleft(e, 2)).bitwiseAND(lit(858993459L))
+        f.bitwiseOR(shiftleft(f, 1)).bitwiseAND(lit(1431655765L))
+      }
+      // z keys with scale-independent domains (the date span and the
+      // price domain are fixture-fixed at every sf, unlike key ids),
+      // quantized to BALANCED ~9-bit widths — the interleave only
+      // shares its top split bits fairly when both dims have the same
+      // magnitude: weeks since corpus epoch (0..343) × price in $2k
+      // units (0..~275)
+      val dkey = (datediff(col("o_orderdate"), lit("1995-01-01"))
+        .cast(LongType) / 7L).cast(LongType)
+      val pkey = expr(
+        "cast(cast(o_totalprice as decimal(18,2)) div 2000 as bigint)")
+      val dir = graft.TempDirs.scoped("zordered", d)
+      graft.TempDirs.writeOnce("zordered" + d) {
+        orders(s, d)
+          // store the date as DATE: Spark writes TimestampType as
+          // parquet INT96, which carries no usable min/max stats and
+          // defeats the very row-group pruning this layout exists for
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("o_orderdate"),
+            col("o_totalprice"))
+          .withColumn("zval",
+            spread(dkey).bitwiseOR(shiftleft(spread(pkey), 1)))
+          .repartitionByRange(16, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .drop("zval")
+          .write.mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .filter(col("o_orderdate") < to_date(lit("1996-01-01")) &&
+          col("o_totalprice") < 50000.0)
+        .agg(count(lit(1)).as("n_rows"),
+          moneySumD(col("o_totalprice")).as("sum_price"))
+    }),
+
     // Snapshot diff (CDC audit): added / removed / changed rows
     // between two table versions via one full-outer join on the key,
     // unchanged rows dropped. Snapshots are carved deterministically
@@ -240,6 +294,12 @@ object MaintenanceQueries {
         |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY valid_from)
         |       IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
         |FROM v ORDER BY o_custkey, valid_from""".stripMargin,
+    "cluster_zorder" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND o_totalprice < 50000.0""".stripMargin,
     "snapshot_diff" ->
       """WITH o AS (
         |  SELECT o_orderkey AS k,

@@ -77,6 +77,25 @@ object SqlQueries {
         WHERE p_partkey NOT IN (
           SELECT l_partkey FROM lineitem_v WHERE l_quantity > 45.0)
         ORDER BY p_partkey""")
+    }),
+
+    // EXISTS in a disjunction: because the subquery result is OR'd
+    // with a local predicate, Catalyst cannot reduce it to a semi join
+    // (a semi join would drop negative-balance customers with no
+    // qualifying order) — it must plan the fourth decorrelation
+    // family, ExistenceJoin: a left join variant that materializes the
+    // match as a boolean column the filter then consumes. Still ONE
+    // key-partitioned join at any scale, never per-row re-execution.
+    "sql_exists_or" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer_v c
+        WHERE EXISTS (
+          SELECT 1 FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+          OR c.c_acctbal < 0.0
+        ORDER BY c_custkey""")
     })
   )
 
@@ -97,6 +116,13 @@ object SqlQueries {
       """SELECT p_partkey, p_name FROM part
         |WHERE p_partkey NOT IN (
         |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45.0)
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "sql_exists_or" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |  OR c.c_acctbal < 0.0
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -174,4 +174,77 @@ class PlanShapeSpec extends SparkSpecBase {
     val q = plan("dedup_ngram_jaccard")
     assert(q.contains("graft_sorted_intersect_count"), q)
   }
+
+  test("contamination_ngram broadcasts the benchmark gram set") {
+    val p = plan("contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_incremental anti-joins on digests, no nested loop") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("snapshot_diff is one full-outer key join, no cartesian") {
+    val p = plan("snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ts_streaks shares the user_id exchange across both windows") {
+    // hash(user_id) satisfies the (user_id, event_type) window and both
+    // aggregates (subset rule) — one hash exchange + the output sort
+    val p = plan("ts_streaks")
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("ts_sessionize shuffles once on user_id end to end") {
+    val p = plan("ts_sessionize")
+    assert(p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("cluster_zorder layout prunes row groups in BOTH dimensions") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("cluster_zorder")(spark, sfDir).collect()
+    val dir = graft.TempDirs.scoped("zordered", sfDir)
+    val total = spark.read.parquet(dir).count()
+    def scanned(f: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(dir).filter(f)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    // z-interleave keeps row-group min/max compact in each dim, so a
+    // single-dim filter prunes too — the property a 1-D sort can only
+    // give its own column. 16 z-ranges = 4 shared split bits, ~2 per
+    // dim: each selective single-dim filter must skip at least half
+    // the row groups.
+    val byDate = scanned(
+      col("o_orderdate") < org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.lit("1996-01-01")))
+    val byPrice = scanned(col("o_totalprice") < 50000.0)
+    assert(byDate > 0 && byDate < total / 2,
+      s"date filter read $byDate of $total")
+    assert(byPrice > 0 && byPrice < total / 2,
+      s"price filter read $byPrice of $total")
+  }
+
+  test("sql_exists_or plans the ExistenceJoin variant") {
+    val p = plan("sql_exists_or")
+    assert(p.contains("ExistenceJoin"), p)
+  }
+
+  test("agg_skew_kurt does partial+final hash aggregation") {
+    val p = plan("agg_skew_kurt")
+    assert(p.contains("partial_"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
