@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -46,6 +46,48 @@ object LlmQueries {
     expr("array_distinct(transform(shingles, s -> xxhash64(s)))")
   private val minhashSig =
     graft.functions.MinHashSigExpr.sig(col("hset"), 16)
+
+  /** Connected-component labels over the word-bigram near-dup pair
+    * graph: (doc_id, cluster_id = min reachable doc_id), one row per
+    * doc that appears in any near-dup pair. Shared by
+    * `dedup_cc_clusters` (the cluster report) and
+    * `dedup_near_canonical` (the corpus materialization).
+    *
+    * The propagation graph is ∝ the near-dup PAIR count — orders of
+    * magnitude smaller than the corpus at any scale — so the 12+
+    * shuffles below are sized to the edge list, not the corpus: a
+    * cloned session (shared context, own SQLConf) scopes a small
+    * shuffle-partition count to this stage, exactly the knob a cluster
+    * job would set between the discovery stage and the iterative
+    * stage. (At 32 partitions the 6 tiny rounds cost ~5 s of pure
+    * task-scheduling overhead at sf0.1.)
+    */
+  private def ccLabels(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // persist: the pair set is referenced by BOTH union branches of
+    // the edge list and by every propagation round — without it the
+    // whole near-dup discovery subplan re-executes once per round
+    // (Spark does no cross-branch common-subplan reuse). Lazy: the
+    // cache fills on first use inside the one measured action.
+    val pairs = SimilarityQueries.ngramCandidatePairs(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val verts = edges.select(col("src").as("v")).distinct()
+    // self-loops keep each vertex's own label in the min
+    val withSelf = edges
+      .union(verts.select(col("v").as("src"), col("v").as("dst")))
+    var labels = verts.select(col("v"), col("v").as("label"))
+    for (_ <- 1 to 6)
+      labels = withSelf.join(labels, col("dst") === col("v"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("label"))
+        .select(col("src").as("v"), col("label"))
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Per-language corpus statistics.
@@ -150,42 +192,8 @@ object LlmQueries {
     // transitive closure + min reachable id) — algorithmic
     // double-entry bookkeeping. At 100 TB each round is one shuffle
     // on doc_id; rounds grow with cluster diameter, not corpus size.
-    "dedup_cc_clusters" -> ((s0, d) => {
-      // The propagation graph is ∝ the near-dup PAIR count — orders of
-      // magnitude smaller than the corpus at any scale — so the 12+
-      // shuffles below are sized to the edge list, not the corpus: a
-      // cloned session (shared context, own SQLConf) scopes a small
-      // shuffle-partition count to this query, exactly the knob a
-      // cluster job would set between the discovery stage and the
-      // iterative stage. (At 32 partitions the 6 tiny rounds cost ~5 s
-      // of pure task-scheduling overhead at sf0.1.)
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      // persist: the pair set is referenced by BOTH union branches of
-      // the edge list and by every propagation round — without it the
-      // whole near-dup discovery subplan re-executes once per round
-      // (Spark does no cross-branch common-subplan reuse). Lazy: the
-      // cache fills on first use inside the one measured action.
-      val pairs = SimilarityQueries.ngramCandidatePairs(s, d)
-        .select(col("doc_a"), col("doc_b"))
-        .persist()
-      val edges = pairs
-        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val verts = edges.select(col("src").as("v")).distinct()
-      // self-loops keep each vertex's own label in the min
-      val withSelf = edges
-        .union(verts.select(col("v").as("src"), col("v").as("dst")))
-      var labels = verts.select(col("v"), col("v").as("label"))
-      for (_ <- 1 to 6)
-        labels = withSelf.join(labels, col("dst") === col("v"))
-          .groupBy(col("src"))
-          .agg(min(col("label")).as("label"))
-          .select(col("src").as("v"), col("label"))
-      labels
-        .select(col("v").as("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }),
+    "dedup_cc_clusters" -> ((s, d) =>
+      ccLabels(s, d).orderBy(col("doc_id"))),
 
     // Dedup materialization: keep exactly one canonical document per
     // content hash (the min-doc_id survivor) — the operator that
@@ -228,6 +236,45 @@ object LlmQueries {
         .orderBy(col("q_id"))
     }),
 
+    // Near-dup canonical materialization: the corpus AFTER near-dup
+    // removal — every doc not in any near-dup cluster plus the min-id
+    // survivor of each cluster. Composes the CC labels with one anti
+    // join against the corpus: the drop set (docs whose label is a
+    // smaller id) is ∝ duplicates found, so the anti join broadcasts
+    // at any realistic dup rate.
+    "dedup_near_canonical" -> ((s, d) => {
+      val losers = ccLabels(s, d)
+        .filter(col("cluster_id") < col("doc_id"))
+        .select(col("doc_id"))
+      documents(s, d)
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-statistics quality score (the CCNet-style idea of scoring
+    // docs by how typical their vocabulary is): per doc, the mean
+    // corpus document-frequency of its distinct word bigrams. Two
+    // aggregates + one join, all keyed on the gram — at 100 TB the
+    // grams are xxhash64'd to longs and the df table is itself a
+    // first-class corpus artifact (built once, joined by every scoring
+    // run); strings are kept here for the exact oracle pairing.
+    "text_df_quality" -> ((s, d) => {
+      def grams(df: DataFrame) = df
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
+            "i -> concat_ws(' ', toks[i - 1], toks[i]))"))).as("gram"))
+      val g = grams(documents(s, d))
+      val dfTable = g.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+      g.join(dfTable, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          expr("sum(df) div count(1)").as("mean_df"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark-contamination check: training docs sharing any word
     // 4-gram with the held-out benchmark slice (doc_id % 97 == 0 —
     // deterministic, fixture-independent), with the count of distinct
@@ -256,6 +303,46 @@ object LlmQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_near_canonical" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, n_chars // 8 AS len_bkt, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, len_bkt, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1]))) AS grams FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM g a JOIN g b ON a.len_bkt = b.len_bkt AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+        |        len(list_distinct(list_concat(a.grams, b.grams))) * 2
+        |), e AS (
+        |  SELECT da AS src, db AS dst FROM p UNION SELECT db, da FROM p
+        |), reach AS (
+        |  SELECT src AS v, src AS u FROM e
+        |  UNION
+        |  SELECT r.v, e.dst FROM reach r JOIN e ON e.src = r.u
+        |), lab AS (
+        |  SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT doc_id FROM lab WHERE cluster_id < doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_df_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 1, 1)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1])))) AS gram
+        |  FROM t
+        |), f AS (
+        |  SELECT gram, count(*) AS df FROM g GROUP BY gram
+        |)
+        |SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+        |  CAST(sum(f.df) AS BIGINT) // count(*) AS mean_df
+        |FROM g JOIN f ON g.gram = f.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "contamination_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -105,7 +105,20 @@ object ScanQueries {
         .filter(col("l_returnflag") === "A")
         .agg(count(lit(1)).as("n_rows"),
           moneySumD(col("l_quantity")).as("sum_qty"))
-    })
+    }),
+
+    // Generator source: rows synthesized from a range, no input files
+    // (dimension enumeration, calendar spines, test scaffolding). The
+    // range splits across partitions without any driver-side
+    // materialization — at any scale `spark.range(n)` is metadata, not
+    // data.
+    "source_range" -> ((s, d) =>
+      s.range(0, 1000).toDF("id")
+        .select(col("id"),
+          (col("id") * col("id") % 97).as("sq_mod"),
+          concat(lit("row-"), lpad(col("id").cast("string"), 4, "0"))
+            .as("tag"))
+        .orderBy(col("id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -130,6 +143,10 @@ object ScanQueries {
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "sink_partitioned" ->
       """SELECT count(*) AS n_rows, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin
+        |FROM lineitem WHERE l_returnflag = 'A'""".stripMargin,
+    "source_range" ->
+      """SELECT range AS id, (range * range) % 97 AS sq_mod,
+        |  'row-' || lpad(CAST(range AS VARCHAR), 4, '0') AS tag
+        |FROM range(0, 1000) ORDER BY id""".stripMargin
   )
 }
