@@ -228,6 +228,39 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_rows"),
           moneySumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Dynamic partition pruning: the fact side is stored partitioned
+    // on the join key, the dim side is filtered at RUNTIME — no static
+    // predicate exists on the fact, so only DPP (the dim join keys,
+    // broadcast-reused as a partition filter) can skip fact partition
+    // directories. At 100 TB this is the difference between scanning
+    // one date/tenant directory and scanning the lake; the pruning is
+    // asserted in PlanShapeSpec (dynamicpruning expression + scan
+    // metrics).
+    "join_dpp" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("dppfact", d)
+      graft.TempDirs.writeOnce("dppfact" + d) {
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag")
+          .parquet(dir)
+      }
+      // dim derived from a SCANNED table with a filter — a local
+      // literal relation would constant-fold away the selective
+      // predicate DPP keys on
+      val dim = nation(s, d).filter(col("n_nationkey") <= 1)
+        .select(
+          when(col("n_nationkey") === 0, "A").otherwise("R").as("flag"),
+          when(col("n_nationkey") === 0, "returned").otherwise("refunded")
+            .as("label"))
+      s.read.parquet(dir)
+        .join(dim, col("l_returnflag") === col("flag"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySumD(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("label"))
     })
   )
 
@@ -312,6 +345,12 @@ object JoinQueries {
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_dpp" ->
+      """WITH dim(flag, label) AS (VALUES ('A', 'returned'), ('R', 'refunded'))
+        |SELECT label, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN dim ON l_returnflag = flag
+        |GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -237,6 +237,33 @@ class PlanShapeSpec extends SparkSpecBase {
       s"price filter read $byPrice of $total")
   }
 
+  test("join_dpp prunes fact partitions from the runtime dim filter") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("join_dpp")(spark, sfDir)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"), planStr)
+    df.collect()
+    // the A and R directories are read, the N directory is skipped.
+    // AQE wraps the executed plan (AdaptiveSparkPlanExec is a leaf
+    // node), so descend into adaptive plans and query stages to reach
+    // the fact scan's metrics.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val dir = graft.TempDirs.scoped("dppfact", sfDir)
+    val total = spark.read.parquet(dir).count()
+    val scanned = scans(df.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("dppfact"))
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanned > 0 && scanned < total,
+      s"DPP scan read $scanned of $total rows — no partitions skipped")
+  }
+
   test("sql_exists_or plans the ExistenceJoin variant") {
     val p = plan("sql_exists_or")
     assert(p.contains("ExistenceJoin"), p)
