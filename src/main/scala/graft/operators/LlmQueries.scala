@@ -62,9 +62,19 @@ object LlmQueries {
     * stage. (At 32 partitions the 6 tiny rounds cost ~5 s of pure
     * task-scheduling overhead at sf0.1.)
     */
-  private def ccLabels(s0: SparkSession, d: String): DataFrame = {
+  /** Clone the session with the small shuffle-partition count the
+    * CC-propagation stage wants. Callers composing further plans on
+    * the labels (e.g. `dedup_near_canonical`) must build those plans
+    * from THIS session — a cross-session join silently re-plans every
+    * shuffle at the outer session's partition count.
+    */
+  private def ccSession(s0: SparkSession): SparkSession = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    s
+  }
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame = {
     // persist: the pair set is referenced by BOTH union branches of
     // the edge list and by every propagation round — without it the
     // whole near-dup discovery subplan re-executes once per round
@@ -80,12 +90,35 @@ object LlmQueries {
     // self-loops keep each vertex's own label in the min
     val withSelf = edges
       .union(verts.select(col("v").as("src"), col("v").as("dst")))
-    var labels = verts.select(col("v"), col("v").as("label"))
-    for (_ <- 1 to 6)
-      labels = withSelf.join(labels, col("dst") === col("v"))
+    def propagate(l: DataFrame): DataFrame =
+      withSelf.join(l, col("dst") === col("v"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("label"))
         .select(col("src").as("v"), col("label"))
+    // 4 lazy rounds (enough for every observed fixture diameter), then
+    // iterate TO FIXPOINT with per-round persisted labels — the result
+    // matches the oracle's full transitive closure at ANY cluster
+    // diameter, not just up to an unrolled constant, while lineage
+    // stays linear (each materialized round reads the previous one's
+    // cache, never re-deriving the discovery subplan). The changed
+    // count per extra round is one tiny label-table join.
+    var labels = verts.select(col("v"), col("v").as("label"))
+    for (_ <- 1 to 4) labels = propagate(labels)
+    labels = labels.persist()
+    var changed = -1L
+    var rounds = 4
+    while (changed != 0 && rounds < 24) {
+      val next = propagate(labels).persist()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.v") === col("p.v"))
+        .filter(col("n.label") =!= col("p.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"dedup_cc_clusters: labels not converged after $rounds rounds")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -192,8 +225,8 @@ object LlmQueries {
     // transitive closure + min reachable id) — algorithmic
     // double-entry bookkeeping. At 100 TB each round is one shuffle
     // on doc_id; rounds grow with cluster diameter, not corpus size.
-    "dedup_cc_clusters" -> ((s, d) =>
-      ccLabels(s, d).orderBy(col("doc_id"))),
+    "dedup_cc_clusters" -> ((s0, d) =>
+      ccLabels(ccSession(s0), d).orderBy(col("doc_id"))),
 
     // Dedup materialization: keep exactly one canonical document per
     // content hash (the min-doc_id survivor) — the operator that
@@ -242,7 +275,11 @@ object LlmQueries {
     // join against the corpus: the drop set (docs whose label is a
     // smaller id) is ∝ duplicates found, so the anti join broadcasts
     // at any realistic dup rate.
-    "dedup_near_canonical" -> ((s, d) => {
+    "dedup_near_canonical" -> ((s0, d) => {
+      // the WHOLE plan builds in the cloned small-shuffle session —
+      // reading documents from the outer session would re-plan every
+      // propagation shuffle at the outer partition count
+      val s = ccSession(s0)
       val losers = ccLabels(s, d)
         .filter(col("cluster_id") < col("doc_id"))
         .select(col("doc_id"))
@@ -265,7 +302,10 @@ object LlmQueries {
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
             "i -> concat_ws(' ', toks[i - 1], toks[i]))"))).as("gram"))
-      val g = grams(documents(s, d))
+      // persist: g feeds both the df build side and the join probe
+      // side; without it the corpus-wide tokenize+explode (the
+      // dominant stage) executes twice (no cross-branch subplan reuse)
+      val g = grams(documents(s, d)).persist()
       val dfTable = g.groupBy(col("gram"))
         .agg(count(lit(1)).as("df"))
       g.join(dfTable, "gram")

@@ -70,4 +70,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("literal"))
   }
+
+  test("graft_minhash_sig accepts a BIGINT literal k") {
+    val r = spark.sql("SELECT graft_minhash_sig(array(1L, 2L), 4L) AS s")
+      .head().getSeq[Long](0)
+    assert(r.length == 4)
+  }
+
+  test("wrong arity fails with an argument-count error, not an index error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d))").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
 }
