@@ -246,6 +246,23 @@ object AggQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Interpolated (continuous) percentiles — the SQL-standard
+    // companion to agg_percentile_disc. Inputs are exact 2-dp/integral
+    // doubles and the rank fractions are powers of two, so the
+    // lo + (hi - lo) * frac interpolation is the same IEEE arithmetic
+    // in both engines.
+    "agg_percentile_cont" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p25_qty"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+            .as("p50_qty"),
+          expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p75_price"))
+        .orderBy(col("l_returnflag"))),
+
     // Higher central moments with the same determinism treatment as
     // agg_corr_exact: power sums Σx..Σx⁴ as exact DECIMAL aggregates
     // (shuffle-order free; l_quantity ≤ 50 keeps Σx⁴ far under 2^53,
@@ -449,6 +466,13 @@ object AggQueries {
         |  ((n * sxy) - (sx * sy)) /
         |    (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg_skew_kurt" ->
       """WITH p AS (
         |  SELECT l_returnflag,

@@ -76,6 +76,31 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Multi-grain time rollup: hour/day/month aggregates of the event
+    // feed in ONE pass — `rollup` over the derived grain hierarchy
+    // emits every grain (plus the grand total) from a single shuffle,
+    // where the naive formulation scans the feed once per grain. The
+    // month/day grains cast to DATE on both sides (Spark's date_trunc
+    // returns TIMESTAMP, DuckDB's a TIMESTAMP too — DATE is the
+    // common denominator the driver compare can hash).
+    "ts_multi_grain_rollup" -> ((s, d) =>
+      events(s, d)
+        // grains surface as ISO strings: a NULL DATE round-trips as
+        // pandas NaT on the DuckDB side but None on the parquet side,
+        // so date-typed rollup cells can never hash-match
+        .withColumn("mon",
+          date_trunc("month", col("ts_ts")).cast("date").cast("string"))
+        .withColumn("day",
+          date_trunc("day", col("ts_ts")).cast("date").cast("string"))
+        .withColumn("hr", expr("ts_us div 3600000000"))
+        .rollup(col("mon"), col("day"), col("hr"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          moneySumD(col("value")).as("sum_val"))
+        .select(col("gid"), col("mon"), col("day"), col("hr"),
+          col("n"), col("sum_val"))
+        .orderBy(col("gid"), asc_nulls_first("mon"),
+          asc_nulls_first("day"), asc_nulls_first("hr"))),
+
     // Gaps-and-islands: longest run of consecutive same-type events
     // per (user, event_type). Island id = difference of two row
     // numbers (global-per-user minus per-(user,type)) — constant
@@ -145,6 +170,20 @@ object TimeSeriesQueries {
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "ts_multi_grain_rollup" ->
+      """WITH e AS (
+        |  SELECT CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS mon,
+        |    CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+        |    epoch_us(ts) // 3600000000 AS hr,
+        |    value
+        |  FROM events
+        |)
+        |SELECT grouping_id(mon, day, hr) AS gid, mon, day, hr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM e GROUP BY ROLLUP (mon, day, hr)
+        |ORDER BY gid, mon ASC NULLS FIRST, day ASC NULLS FIRST,
+        |  hr ASC NULLS FIRST""".stripMargin,
     "ts_streaks" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
