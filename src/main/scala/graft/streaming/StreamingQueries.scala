@@ -250,12 +250,20 @@ object StreamingQueries {
     // watermark needed — the canonical "enrich the feed" shape). The
     // user->nation mapping is a synthetic FK (user_id % 25) since the
     // fixtures carry no user dim; oracle-paired against the identical
-    // batch join.
+    // batch join. Replays from a parquet FILE source (one file per
+    // micro-batch, no driver collect — the scale path, like
+    // stream_dedup); the pipe is stateless, so the result is
+    // chunking-independent by construction.
     "stream_static_join" -> ((s, d) => {
-      val all = evSet(s, d)
-      val chunkLen = math.max(1, (all.length + 1) / 2)
-      val chunks = all.grouped(chunkLen).map(_.toSeq).toSeq
-      runStream(s, "graft_sink_enrich", chunks, OutputMode.Append()) { ds =>
+      val dir = graft.TempDirs.scoped("stream_src_enrich", d)
+      graft.TempDirs.writeOnce("stream_src_enrich" + d) {
+        events(s, d)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(2, pmod(col("event_id"), lit(2)))
+          .write.mode("overwrite").parquet(dir)
+      }
+      runFileStream(s, "graft_sink_enrich", dir, OutputMode.Append()) { ds =>
         val dim = nation(ds.sparkSession, d)
           .select(col("n_nationkey"), col("n_name"))
         ds.join(broadcast(dim),
