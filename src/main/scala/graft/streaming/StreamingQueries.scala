@@ -103,6 +103,23 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** Plain two-file event layout for file-source replays (written once
+    * per JVM, distributed write — never through the driver). Queries
+    * replaying from it must be chunking-independent: file pickup order
+    * within AvailableNow is not contractual.
+    */
+  private def plainEventsDir(s: SparkSession, d: String): String = {
+    val dir = graft.TempDirs.scoped("stream_src_plain", d)
+    graft.TempDirs.writeOnce("stream_src_plain" + d) {
+      events(s, d)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
+        .repartition(2, pmod(col("event_id"), lit(2)))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Run a FILE-SOURCE streaming pipeline to completion: reads the
     * parquet chunk files under `dir` as a stream (one file per
     * micro-batch via maxFilesPerTrigger; Trigger.AvailableNow honors
@@ -112,10 +129,13 @@ object StreamingQueries {
     * directory an upstream job appends to.
     */
   private def runFileStream(s0: SparkSession, name: String, dir: String,
-                            mode: OutputMode)(
+                            mode: OutputMode, rocksDb: Boolean = false)(
                              pipe: Dataset[Ev] => DataFrame): DataFrame = {
     val s = s0.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "4")
+    if (rocksDb) // transformWithState requires the RocksDB provider
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s.implicits._
     s.catalog.dropTempView(name)
     val src = s.readStream
@@ -225,11 +245,12 @@ object StreamingQueries {
     // flatMapGroupsWithState; the per-user count is monotone, so the max
     // over all Update-mode emissions is the final total — oracle-paired
     // against the batch GROUP BY.
+    // File-source replay (no driver collect): per-user counts are
+    // monotone, so the max over Update-mode emissions is the final
+    // total regardless of which file a micro-batch picks first.
     "stream_stateful_count" -> ((s, d) => {
-      val all = evSet(s, d)
-      val chunkLen = math.max(1, (all.length + 1) / 2)
-      val chunks = all.grouped(chunkLen).map(_.toSeq).toSeq
-      val out = runStream(s, "graft_sink_state", chunks, OutputMode.Update()) { ds =>
+      val out = runFileStream(s, "graft_sink_state", plainEventsDir(s, d),
+        OutputMode.Update()) { ds =>
         import ds.sparkSession.implicits._
         ds.groupByKey(_.user_id)
           .flatMapGroupsWithState[Long, (Long, Long)](
@@ -255,15 +276,8 @@ object StreamingQueries {
     // stream_dedup); the pipe is stateless, so the result is
     // chunking-independent by construction.
     "stream_static_join" -> ((s, d) => {
-      val dir = graft.TempDirs.scoped("stream_src_enrich", d)
-      graft.TempDirs.writeOnce("stream_src_enrich" + d) {
-        events(s, d)
-          .select(col("event_id"), col("ts_us"), col("user_id"),
-            col("event_type"), col("value"))
-          .repartition(2, pmod(col("event_id"), lit(2)))
-          .write.mode("overwrite").parquet(dir)
-      }
-      runFileStream(s, "graft_sink_enrich", dir, OutputMode.Append()) { ds =>
+      runFileStream(s, "graft_sink_enrich", plainEventsDir(s, d),
+        OutputMode.Append()) { ds =>
         val dim = nation(ds.sparkSession, d)
           .select(col("n_nationkey"), col("n_name"))
         ds.join(broadcast(dim),
@@ -369,12 +383,11 @@ object StreamingQueries {
     // Exact integer cents keep it oracle-pairable; values are
     // non-negative so the running sum is monotone and the max over
     // Update-mode emissions is the final per-user total.
+    // File-source replay; non-negative values make the running sum
+    // monotone, so the max over emissions is chunking-independent.
     "stream_tws_running_sum" -> ((s, d) => {
-      val all = evSet(s, d)
-      val chunkLen = math.max(1, (all.length + 1) / 2)
-      val chunks = all.grouped(chunkLen).map(_.toSeq).toSeq
-      val out = runStream(s, "graft_sink_tws", chunks, OutputMode.Update(),
-        rocksDb = true) { ds =>
+      val out = runFileStream(s, "graft_sink_tws", plainEventsDir(s, d),
+        OutputMode.Update(), rocksDb = true) { ds =>
         import ds.sparkSession.implicits._
         implicit val outEnc: Encoder[(Long, Long)] =
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
