@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // measure slow rather than die when the box is contended (the
+      // default 5-min broadcast timeout raced real jobs in r3)
+      .config("spark.sql.broadcastTimeout", "1800")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,16 +28,6 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object SimilarityQueries {
 
-  // --- SimHash -----------------------------------------------------
-
-  /** Pack `n` sign bits of the 64 counter columns starting at `off`
-    * into a long (bit = 1 iff counter >= 0).
-    */
-  private def packBits(off: Int, n: Int): Column =
-    (off until off + n).map(b =>
-        when(col(s"s$b") >= 0, 1L).otherwise(0L))
-      .reduce((acc, bit) => acc * 2 + bit)
-
   // --- sign-random-projection LSH for embeddings -------------------
 
   /** 64 deterministic random hyperplanes in R^64 (fixed seed — part of
@@ -176,37 +166,36 @@ object SimilarityQueries {
     // pairs with hamming distance <= 3 (pigeonhole), verified exactly
     // via bit_count(xor). N-operator (hash values are Spark-specific).
     "dedup_simhash" -> ((s, d) => {
-      // Term-frequency-weighted 64-bit SimHash, computed as an
-      // explode + 64-column hash aggregate: the per-(token, bit) sign
-      // sums run inside whole-stage codegen with map-side partial
-      // aggregation — the shape that scales to long documents and
-      // many executors (a per-row fold would be interpreted and
-      // single-threaded per document).
-      val sums = documents(s, d)
+      // Term-frequency-weighted 64-bit SimHash via the custom
+      // SimHashAgg TypedImperativeAggregate: explode tokens, one
+      // aggregate column per doc whose buffer is the 64 sign counters
+      // and whose merge is elementwise add — map-side partial
+      // aggregation applies and the shuffled state is 256 B/doc
+      // regardless of document length. (r3 shipped this as a
+      // 64-column sum(when(...)) hash aggregate; the generated code
+      // cost ~7 s of one-time Janino compilation and collapsed to
+      // 35 s under driver-box CPU contention — VERDICT r3. The
+      // aggregate emits the same packed band values bit-for-bit,
+      // asserted in SimilaritySpec.)
+      val sigs = documents(s, d)
         .select(col("doc_id"), col("n_chars"),
           explode(split(col("text"), " ")).as("tok"))
         .withColumn("h", xxhash64(col("tok")))
         .groupBy(col("doc_id"), col("n_chars"))
-        .agg(
-          sum(when(col("h").bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L))
-            .as("s0"),
-          (1 until 64).map(b =>
-            sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1,
-              1L).otherwise(-1L)).as(s"s$b")): _*)
-      val sigs = sums
-        // two 32-bit halves: a single 64-bit pack overflows ANSI long
-        .withColumn("sim_lo", packBits(0, 32))
-        .withColumn("sim_hi", packBits(32, 32))
+        .agg(graft.functions.SimHashAgg.bands(col("h")).as("b4"))
+        // the four 16-bit bands concatenate into the two 32-bit
+        // signature halves (a single 64-bit pack overflows ANSI long);
         // candidate blocking: 16-bit signature bands + a coarse length
         // bucket (near-dup documents have near-equal length; the
         // bucket keeps shared-vocabulary corpora from flooding the
         // bucket join)
-        .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        .select(col("doc_id"),
+          (element_at(col("b4"), 1) * 65536 + element_at(col("b4"), 2))
+            .as("sim_lo"),
+          (element_at(col("b4"), 3) * 65536 + element_at(col("b4"), 4))
+            .as("sim_hi"),
           expr("n_chars div 32").as("len_bkt"),
-          posexplode(array(
-            packBits(0, 16), packBits(16, 16),
-            packBits(32, 16), packBits(48, 16)))
-            .as(Seq("band", "band_val")))
+          posexplode(col("b4")).as(Seq("band", "band_val")))
       // probe side fans out to the three adjacent length buckets, so a
       // pair is never lost to an arbitrary 32-char bucket BOUNDARY:
       // recall is guaranteed for hamming <= 3 pairs whose length
@@ -301,26 +290,34 @@ object SimilarityQueries {
       val cents = broadcast(
         nrm.filter(col("vec_id").between(100, 115))
           .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
+      // ONE crossJoin + window pass ranks every vector's centroids;
+      // the rn = 1 slice is the inverted-list assignment and the
+      // (vec_id < 10, rn <= 2) slice is the probe set — both branches
+      // hang off the identical vec_id exchange, which ReuseExchange
+      // materializes once. (r3 computed the probe slice as a second
+      // crossJoin + window wrapped in broadcast(): the broadcast
+      // subplan contained a shuffle, so its materialization ran as a
+      // separate job racing the 5-minute broadcast timeout — the
+      // 84 s driver-box spike in BENCH_r03. No broadcast hint here:
+      // AQE sees the ~20-row probe side at runtime and converts the
+      // cent_id join to a broadcast from the already-materialized
+      // shuffle output, no separate racing job. At production scale
+      // nlist is thousands of centroids, so even the static
+      // sort-merge fallback on cent_id is a well-spread shuffle.)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("cent_id").asc)
-      val assigned = nrm.crossJoin(cents)
+      val ranked = nrm.crossJoin(cents)
         .withColumn("cos", dotN(col("emb_n"), col("cent_vec")))
         .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val assigned = ranked.filter(col("rn") === 1)
         .select(col("cent_id"), col("vec_id").as("c_id"),
           col("emb_n").as("c_n"))
-      val wProbe = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("cent_id").asc)
-      val probes = nrm.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("emb_n").as("q_n"))
-        .crossJoin(cents)
-        .withColumn("cos", dotN(col("q_n"), col("cent_vec")))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2)
-        .select(col("q_id"), col("q_n"), col("cent_id"))
+      val probes = ranked.filter(col("vec_id") < 10 && col("rn") <= 2)
+        .select(col("vec_id").as("q_id"), col("emb_n").as("q_n"),
+          col("cent_id"))
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("qc_cos").desc, col("c_id").asc)
-      broadcast(probes)
+      probes
         .join(assigned, "cent_id")
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("qc_cos", dotN(col("q_n"), col("c_n")))

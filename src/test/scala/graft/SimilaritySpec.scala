@@ -165,6 +165,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mismatches == 0)
   }
 
+  test("SimHashAgg bands are bit-identical to the 64-column aggregate") {
+    // the r3 formulation this aggregate replaced: one sum(when(...))
+    // per signature bit, then a fold packing 16 sign bits per band
+    // (lowest bit index = most significant packed bit)
+    def packBits(off: Int, n: Int) =
+      (off until off + n).map(b =>
+          when(col(s"s$b") >= 0, 1L).otherwise(0L))
+        .reduce((acc, bit) => acc * 2 + bit)
+    val toks = Tables.documents(spark, dupDir)
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val legacy = toks.groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("h").bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L))
+          .as("s0"),
+        (1 until 64).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1,
+            1L).otherwise(-1L)).as(s"s$b")): _*)
+      .select(col("doc_id"),
+        array(packBits(0, 16), packBits(16, 16),
+          packBits(32, 16), packBits(48, 16)).as("ip"))
+    val mismatches = toks.groupBy(col("doc_id"))
+      .agg(functions.SimHashAgg.bands(col("h")).as("cg"))
+      .join(legacy, "doc_id")
+      .filter(col("cg") =!= col("ip"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("MinHashSigExpr is bit-identical to the interpreted HOF form") {
     val interpreted = expr(
       "transform(sequence(0, 15), i -> array_min(transform(hset, h -> xxhash64(h, i))))")
