@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites must run sequentially: GraftExtensionsSpec detaches/rebuilds
+// the JVM-global default SparkSession around its extension-bearing
+// session, which would race other suites' getOrCreate if parallel.
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -204,7 +204,12 @@ object MaintenanceQueries {
           .repartitionByRange(16, col("zval"))
           .sortWithinPartitions(col("zval"))
           .drop("zval")
-          .write.mode("overwrite").parquet(dir)
+          // pin the row-group size: the pruning contract (each of the
+          // 16 range files = one row group with tight min/max in both
+          // dims, asserted via scan metrics in PlanShapeSpec) must not
+          // drift with parquet writer defaults
+          .write.option("parquet.block.size", (128L * 1024 * 1024).toString)
+          .mode("overwrite").parquet(dir)
       }
       s.read.parquet(dir)
         .filter(col("o_orderdate") < to_date(lit("1996-01-01")) &&

@@ -161,6 +161,50 @@ object SimilarityQueries {
       .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
   }
 
+  /** IVF lookup over a (cent_id, cent_vec) centroid table: nearest-
+    * centroid assignment builds the inverted lists, queries (vec_id <
+    * 10) probe their nprobe=2 nearest lists, exact top-1 within the
+    * probed candidates.
+    *
+    * ONE crossJoin + window pass ranks every vector's centroids; the
+    * rn = 1 slice is the inverted-list assignment and the (vec_id <
+    * 10, rn <= 2) slice is the probe set — both branches hang off the
+    * identical vec_id exchange, which ReuseExchange materializes once.
+    * (r3 computed the probe slice as a second crossJoin + window
+    * wrapped in broadcast(): the broadcast subplan contained a
+    * shuffle, so its materialization ran as a separate job racing the
+    * 5-minute broadcast timeout — the 84 s driver-box spike in
+    * BENCH_r03. No broadcast hint on the probe join here: AQE sees the
+    * ~20-row probe side at runtime and converts the cent_id join to a
+    * broadcast from the already-materialized shuffle output, no
+    * separate racing job. At production scale nlist is thousands of
+    * centroids, so even the static sort-merge fallback on cent_id is a
+    * well-spread shuffle.)
+    */
+  private def ivfTopk(nrm: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    val ranked = nrm.crossJoin(cents)
+      .withColumn("cos", dotN(col("emb_n"), col("cent_vec")))
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("cent_id"), col("vec_id").as("c_id"),
+        col("emb_n").as("c_n"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("emb_n").as("q_n"),
+        col("cent_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("qc_cos").desc, col("c_id").asc)
+    probes
+      .join(assigned, "cent_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("qc_cos", dotN(col("q_n"), col("c_n")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("neighbor_id"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // SimHash near-dup: 4 x 16-bit band join guarantees recall of all
     // pairs with hamming distance <= 3 (pigeonhole), verified exactly
@@ -290,41 +334,34 @@ object SimilarityQueries {
       val cents = broadcast(
         nrm.filter(col("vec_id").between(100, 115))
           .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
-      // ONE crossJoin + window pass ranks every vector's centroids;
-      // the rn = 1 slice is the inverted-list assignment and the
-      // (vec_id < 10, rn <= 2) slice is the probe set — both branches
-      // hang off the identical vec_id exchange, which ReuseExchange
-      // materializes once. (r3 computed the probe slice as a second
-      // crossJoin + window wrapped in broadcast(): the broadcast
-      // subplan contained a shuffle, so its materialization ran as a
-      // separate job racing the 5-minute broadcast timeout — the
-      // 84 s driver-box spike in BENCH_r03. No broadcast hint here:
-      // AQE sees the ~20-row probe side at runtime and converts the
-      // cent_id join to a broadcast from the already-materialized
-      // shuffle output, no separate racing job. At production scale
-      // nlist is thousands of centroids, so even the static
-      // sort-merge fallback on cent_id is a well-spread shuffle.)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cent_id").asc)
-      val ranked = nrm.crossJoin(cents)
-        .withColumn("cos", dotN(col("emb_n"), col("cent_vec")))
-        .withColumn("rn", row_number().over(wAssign))
-      val assigned = ranked.filter(col("rn") === 1)
-        .select(col("cent_id"), col("vec_id").as("c_id"),
-          col("emb_n").as("c_n"))
-      val probes = ranked.filter(col("vec_id") < 10 && col("rn") <= 2)
-        .select(col("vec_id").as("q_id"), col("emb_n").as("q_n"),
-          col("cent_id"))
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("qc_cos").desc, col("c_id").asc)
-      probes
-        .join(assigned, "cent_id")
-        .filter(col("q_id") =!= col("c_id"))
-        .withColumn("qc_cos", dotN(col("q_n"), col("c_n")))
-        .withColumn("rn", row_number().over(wTop))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("c_id").as("neighbor_id"))
-        .orderBy(col("q_id"))
+      ivfTopk(nrm, cents)
+    }),
+
+    // Same IVF query shape, but the centroids come from the OFFLINE
+    // k-means build (IvfIndexBuilder's Lloyd refinement) materialized
+    // once per (JVM, input dir) as a parquet artifact — the
+    // production-shaped end-to-end ANN path (train index offline,
+    // serve lookups against the artifact). N-operator: the refined
+    // centroid means are float-summation-order dependent, so the
+    // result is deterministic per build but not DuckDB-mirrorable;
+    // IvfIndexBuilderSpec recomputes the lookup independently from
+    // the same artifact and requires exact agreement.
+    "ann_ivf_built_topk" -> ((s, d) => {
+      val centDir = graft.TempDirs.scoped("ivf_centroids", d)
+      graft.TempDirs.writeOnce("ivf_centroids" + d) {
+        val (vecs, cents0) = IvfIndexBuilder.prepare(s, d, 8)
+        var cents = cents0
+        // two Lloyd rounds; localCheckpoint cuts the per-round lineage
+        for (_ <- 1 to 2)
+          cents = IvfIndexBuilder.lloydRound(vecs, cents).localCheckpoint()
+        cents.coalesce(1).write.mode("overwrite").parquet(centDir)
+      }
+      // schema-explicit artifact read: a degenerate corpus with no
+      // seed vectors builds an empty index, and the contract is an
+      // empty result, not a schema-inference error
+      ivfTopk(embN(s, d), broadcast(
+        s.read.schema("cent_id BIGINT, cent_vec ARRAY<DOUBLE>")
+          .parquet(centDir)))
     }),
 
     "ann_lsh_topk" -> ((s, d) => {

@@ -211,7 +211,14 @@ object StreamingQueries {
           .write.mode("append").parquet(srcDir)
         runFilePass(s, srcDir, outDir)(pipe)
       }
-      s.read.parquet(s"$outDir/data")
+      // schema-explicit read of a pre-created dir: an EMPTY event feed
+      // means the sink never commits a file (or even creates the
+      // path), and the degenerate-input contract is an empty result,
+      // not a missing-path error
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$outDir/data"))
+      s.read.schema("win_start_us BIGINT, n BIGINT")
+        .parquet(s"$outDir/data")
         .select(col("win_start_us"), col("n"))
         .orderBy(col("win_start_us"))
     }),
@@ -327,7 +334,14 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      s.read.parquet(s"$outDir/data")
+      // schema-explicit read of a pre-created dir (see
+      // stream_watermark_late): a feed with no purchases commits no
+      // sink file, and the contract is an empty aggregate, not a
+      // missing-path error
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$outDir/data"))
+      s.read.schema("event_id BIGINT, user_id BIGINT, cents BIGINT")
+        .parquet(s"$outDir/data")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"),
           sum(col("cents")).as("sum_cents"))

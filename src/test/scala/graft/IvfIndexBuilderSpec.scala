@@ -31,4 +31,41 @@ class IvfIndexBuilderSpec extends SparkSpecBase {
       assert(math.abs(n - 1.0) < 1e-9, s"norm $n")
     }
   }
+
+  test("ann_ivf_built_topk agrees exactly with a lookup recomputed from its artifact") {
+    import org.apache.spark.sql.functions._
+    // run the query once — it builds (or reuses) the centroid artifact
+    val got = SparkEntry.queries("ann_ivf_built_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // independent recomputation: read the SAME artifact, redo
+    // assignment / nprobe=2 probing / exact top-1 with plain Scala
+    val centDir = graft.TempDirs.scoped("ivf_centroids", sfDir)
+    val cents = spark.read.parquet(centDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(cents.size == 8)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val raw = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(raw.map(x => x * x).sum)
+        r.getLong(0) -> raw.map(_ / n)
+      }.toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def nearest(v: Array[Double], n: Int): Seq[Long] =
+      cents.toSeq.map { case (id, c) => (id, dot(v, c)) }
+        .sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+    val assignment = vecs.map { case (id, v) => id -> nearest(v, 1).head }
+    val expected = vecs.keys.filter(_ < 10).toSeq.sorted.map { q =>
+      val probed = nearest(vecs(q), 2).toSet
+      val best = assignment.collect {
+        case (id, c) if probed(c) && id != q => (id, dot(vecs(q), vecs(id)))
+      }.toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+      (q, best)
+    }
+    assert(got == expected)
+  }
 }
