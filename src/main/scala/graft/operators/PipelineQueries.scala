@@ -102,6 +102,35 @@ object PipelineQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Temperature-scaled source mixing (r4, T = 2): per-source
+    // keep-rate ∝ sqrt(n_s / n_max) — the corpus rebalancing that
+    // upweights small sources relative to proportional sampling
+    // (mix_weighted's fixed tiers, made DATA-DERIVED). Rates quantize
+    // to 16 hash levels and apply as a pure hash-threshold map filter;
+    // the per-source rate table (|sources| rows) broadcasts, so the
+    // corpus side stays a map-only scan at any scale. Deterministic
+    // end to end: integer counts -> IEEE sqrt -> floor are
+    // bit-identical across engines, and the md5 first-digit threshold
+    // is the sample_hash trick ('g' sits above 'f', so the largest
+    // source keeps everything).
+    "mix_temperature" -> ((s, d) => {
+      val docs = documents(s, d)
+      val rates = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"))
+        .withColumn("n_max", max(col("n_total")).over(Window.partitionBy()))
+        .withColumn("rate16", greatest(
+          floor(lit(16) * sqrt(col("n_total").cast("double") / col("n_max"))),
+          lit(1L)))
+        .select(col("source"), col("n_total"),
+          expr("substring('0123456789abcdefg', cast(rate16 as int) + 1, 1)")
+            .as("thr"))
+      docs.join(broadcast(rates), "source")
+        .filter(hexDigit < col("thr"))
+        .groupBy(col("source"), col("n_total"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Incremental-batch dedup: admit a new ingest batch (source =
     // 'src0') only where its content digest is unseen in the standing
     // corpus, deduping within the batch as well (min-doc_id survivor).
@@ -122,6 +151,23 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_total FROM documents GROUP BY source
+        |), m AS (
+        |  SELECT max(n_total) AS nm FROM c
+        |), r AS (
+        |  SELECT source, n_total,
+        |    substr('0123456789abcdefg',
+        |      CAST(greatest(floor(16 * sqrt(CAST(n_total AS DOUBLE) / nm)), 1) AS INT) + 1,
+        |      1) AS thr
+        |  FROM c, m
+        |)
+        |SELECT d.source, r.n_total, count(*) AS n_kept
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE substr(md5(d.text), 1, 1) < r.thr
+        |GROUP BY d.source, r.n_total
+        |ORDER BY d.source""".stripMargin,
     "sample_hash" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE substr(md5(text), 1, 1) < '4'

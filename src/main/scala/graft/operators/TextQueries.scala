@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline (north-star
@@ -203,10 +204,38 @@ object TextQueries {
           (expr("max_tok * 10000 div n_tok") < 2000 &&
             expr("max_gram * 10000 div n_gram") < 1800).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Length-outlier trimming (r4): keep each language's docs whose
+    // n_chars percent_rank lies in [0.05, 0.95] — the tail-trim gate
+    // curation pipelines run before training (truncation fragments
+    // live in the low tail, concatenation artifacts in the high one).
+    // percent_rank = (rank-1)/(N-1) is the same IEEE ratio in both
+    // engines and ties share ranks, so the gate reproduces exactly.
+    // One shuffle on lang; at 100 TB the identical shape runs over a
+    // per-language SAMPLE to set absolute thresholds, which then apply
+    // as a map-only filter (the window here doubles as the
+    // threshold-setting pass at fixture scale).
+    "text_len_trim" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      documents(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "text_len_trim" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE pr >= 0.05 AND pr <= 0.95
+        |ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val scoreSql = profiles.map { case (lang, words) =>
         val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -143,10 +143,61 @@ object TimeSeriesQueries {
         .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
         .select(col("user_id"), col("hr"), col("v_filled"))
         .orderBy(col("user_id"), col("hr"))
-    })
+    }),
+
+    // OHLC downsampling (r4): per (user, hour) bar of the 2-dp money
+    // value — open/close = value at the first/last event in the bar
+    // ((ts, event_id) is a total order, so the endpoints are unique),
+    // high/low = extremes, plus the event count. The classic
+    // time-series decimation that turns a raw feed into a bar series
+    // in ONE shuffle on (user_id, hr): min_by/max_by carry a single
+    // (key, value) pair through map-side partial aggregation, so
+    // per-group state is four scalars regardless of bar width — the
+    // same mergeable-aggregate contract as the sketches. Exact decimal
+    // money internally, DOUBLE surfaced (driver-compare rule); the
+    // oracle's arg_min/arg_max over [ts, id] lists picks identical
+    // endpoints because the key is unique.
+    "ts_resample_ohlc" -> ((s, d) =>
+      events(s, d)
+        .filter(col("user_id") < 100)
+        .withColumn("hr", expr(s"ts_us div $HourUs"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(
+          min_by(money(col("value")), struct(col("ts_us"), col("event_id")))
+            .cast("double").as("open"),
+          max(money(col("value"))).cast("double").as("high"),
+          min(money(col("value"))).cast("double").as("low"),
+          max_by(money(col("value")), struct(col("ts_us"), col("event_id")))
+            .cast("double").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("hr")))
   )
 
   val oracle: Map[String, String] = Map(
+    // arg_min/arg_max over a composite [ts, id] key does not bind in
+    // DuckDB, so the oracle picks the bar endpoints by row_number over
+    // the same (ts, event_id) total order — identical winners.
+    "ts_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    epoch_us(ts) // 3600000000 AS hr
+        |  FROM events WHERE user_id < 100
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY user_id, hr
+        |      ORDER BY tus, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY user_id, hr
+        |      ORDER BY tus DESC, event_id DESC) AS rn_d
+        |  FROM e
+        |)
+        |SELECT user_id, hr,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+        |  CAST(max(v) AS DOUBLE) AS high,
+        |  CAST(min(v) AS DOUBLE) AS low,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close,
+        |  count(*) AS n
+        |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin,
     "ts_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
