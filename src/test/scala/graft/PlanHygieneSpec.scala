@@ -1,0 +1,50 @@
+package graft
+
+/** Blanket structural guard over EVERY operator's physical plan: no
+  * cartesian/broadcast-nested-loop join may appear unless the operator
+  * is on the explicit whitelist of intentionally product-shaped plans
+  * (bounded brute-force baselines, tiny-side theta joins, 16-row
+  * centroid fan-outs). A refactor that silently degrades an equi join
+  * to a product — the classic 100 TB plan regression — fails here by
+  * name instead of surfacing as a bench mystery.
+  */
+class PlanHygieneSpec extends SparkSpecBase {
+
+  /** Operators whose plan CONTAINS a product join by design — each with
+    * the reason the product is bounded. The whitelist is exact in both
+    * directions: a product outside it fails, and an entry whose plan no
+    * longer contains one is stale and fails too.
+    */
+  private val intentionalProducts: Map[String, String] = Map(
+    "join_cross" -> "the operator IS a cross join (bounded dims)",
+    "sim_search_topk" -> "brute-force baseline: bounded query side x corpus",
+    "sim_search_cosine" -> "brute-force baseline: bounded query side x corpus",
+    "ann_ivf_topk" -> "16-centroid broadcast fan-out per vector",
+    "ann_ivf_built_topk" -> "k=8-centroid broadcast fan-out per vector",
+    "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows"
+  )
+
+  private lazy val productsByQuery: Map[String, Boolean] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANFAIL ${e.getMessage}" }
+      name -> (plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin"))
+    }
+
+  test("no operator plan contains an unintentional product join") {
+    val offenders = productsByQuery.collect {
+      case (name, true) if !intentionalProducts.contains(name) => name
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"product joins outside the whitelist: ${offenders.mkString(", ")}")
+  }
+
+  test("every whitelisted product is still present (no stale entries)") {
+    intentionalProducts.keys.toSeq.sorted.foreach { k =>
+      assert(productsByQuery.getOrElse(k, false),
+        s"whitelist entry $k no longer plans a product join — remove it")
+    }
+  }
+}
