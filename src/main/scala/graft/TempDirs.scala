@@ -39,6 +39,20 @@ object TempDirs {
     })
   }
 
+  /** Delete a directory's CONTENTS (keep the dir): build steps whose
+    * failure can leave half-committed state (streaming checkpoints)
+    * call this before a retry so `writeOnce`'s retry-on-failure never
+    * resumes against a poisoned artifact.
+    */
+  def clearDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (Files.exists(p)) {
+      val s = Files.list(p)
+      try s.forEach(f => deleteRecursively(f))
+      finally s.close()
+    }
+  }
+
   private val written =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 

@@ -193,6 +193,13 @@ object StreamingQueries {
       val srcDir = graft.TempDirs.scoped("wmlate_src", d)
       val outDir = graft.TempDirs.scoped("wmlate_out", d)
       writeOnce("wmlate" + d) {
+        // a PRIOR failed build (writeOnce records the key only on
+        // success) may have left a half-committed checkpoint; resuming
+        // against it would replay the rewritten source files as late
+        // data against the recovered watermark and silently drop
+        // windows — wipe both sink and checkpoint so a retry starts
+        // from scratch
+        graft.TempDirs.clearDir(outDir)
         val ev = events(s, d)
           .select(col("event_id"), col("ts_us"), col("user_id"),
             col("event_type"), col("value"))

@@ -18,16 +18,19 @@ import org.apache.spark.sql.types._
   */
 class EdgeCaseSpec extends SparkSpecBase {
 
-  /** Synthetic minimal fixture directory (all 10 tables). */
+  /** Synthetic minimal fixture directory (all 10 tables). TempDirs
+    * registers the shutdown-hook delete (the raw createTempDirectory
+    * mistake this repo already fixed once is documented in TempDirs).
+    */
   private lazy val tinyDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    val dir = TempDirs.scoped("edge_tiny", "fixture")
     writeTables(dir, eventRows)
     dir
   }
 
   /** Same fixture with an EMPTY events table. */
   private lazy val emptyEventsDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_noev").toString
+    val dir = TempDirs.scoped("edge_noev", "fixture")
     writeTables(dir, Seq.empty)
     dir
   }

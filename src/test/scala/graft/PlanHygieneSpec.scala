@@ -24,14 +24,24 @@ class PlanHygieneSpec extends SparkSpecBase {
     "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows"
   )
 
-  private lazy val productsByQuery: Map[String, Boolean] =
+  private lazy val plansByQuery: Map[String, String] =
     SparkEntry.queries.map { case (name, fn) =>
-      val plan =
+      name -> (
         try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLANFAIL ${e.getMessage}" }
-      name -> (plan.contains("CartesianProduct") ||
-        plan.contains("BroadcastNestedLoopJoin"))
+        catch { case e: Throwable => s"PLANFAIL ${e.getMessage}" })
     }
+
+  private lazy val productsByQuery: Map[String, Boolean] =
+    plansByQuery.view.mapValues(p =>
+      p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")).toMap
+
+  test("every operator's plan constructs (a PLANFAIL would mask the guard)") {
+    val broken = plansByQuery.collect {
+      case (name, p) if p.startsWith("PLANFAIL") => s"$name: $p"
+    }.toSeq.sorted
+    assert(broken.isEmpty, broken.mkString("\n"))
+  }
 
   test("no operator plan contains an unintentional product join") {
     val offenders = productsByQuery.collect {

@@ -20,7 +20,7 @@ class PrefixFilterSpec extends SparkSpecBase {
     * the pair stays in one length bucket). Deterministic seed.
     */
   private lazy val zipfDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    val dir = TempDirs.scoped("zipf_fixture", "fixture")
     val rnd = new scala.util.Random(1234)
     val vocabSize = 2000
     def zipfWord(): String = {

@@ -130,10 +130,13 @@ class StreamingParitySpec extends SparkSpecBase {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // stage the single-file events table as a streaming source dir
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("part-0.parquet"))
+    // (TempDirs: shutdown-hook cleanup, idempotent across reruns)
+    val dir = java.nio.file.Paths.get(
+      TempDirs.scoped("parity_file_src", sfDir))
+    val dst = dir.resolve("part-0.parquet")
+    if (!java.nio.file.Files.exists(dst))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
     val schema = Tables.table(s, sfDir, "events").schema
     val q = s.readStream.schema(schema).parquet(dir.toString)
       .withColumn("ts_fix", timestamp_micros(expr("ts div 1000")))
@@ -158,8 +161,7 @@ class StreamingParitySpec extends SparkSpecBase {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "4")
     import s.implicits._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_feb_sink").toString
+    val out = TempDirs.scoped("parity_feb_sink", sfDir)
     val ev = Tables.events(s, sfDir)
       .select(col("event_id"), col("ts_us"), col("user_id"),
         col("event_type"), col("value")).as[Ev].collect().toSeq
