@@ -32,6 +32,7 @@ object SqlQueries {
     nation(s, d).createOrReplaceTempView("nation_v")
     part(s, d).createOrReplaceTempView("part_v")
     lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    events(s, d).createOrReplaceTempView("events_v")
   }
 
   val queries: Map[String, Q] = Map(
@@ -79,6 +80,40 @@ object SqlQueries {
         ORDER BY p_partkey""")
     }),
 
+    // WITH RECURSIVE (Spark 4's recursive CTE execution): generate the
+    // dense daily calendar spanning the event feed by recursion
+    // (anchor = min day, step = day + 1 while < max day), then
+    // zero-fill per-day event counts with one left join — the
+    // SQL-text double entry of the ts_gap_fill family's
+    // sequence()+explode grid. Spark only supports UNION ALL
+    // recursion (probed: UNION-distinct raises
+    // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the recursion must be
+    // acyclic-by-construction like this monotone counter; depth =
+    // days of feed span (~31 per fixture month, under the default
+    // 100-level recursion limit — a production calendar at larger
+    // spans raises spark.sql.cteRecursionLevelLimit or uses the
+    // sequence() spelling). The IS NOT NULL anchor guard makes an
+    // EMPTY feed produce an empty calendar instead of a NULL row.
+    "sql_recursive_cte" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT min(ts_us div 86400000000) AS d0,
+                 max(ts_us div 86400000000) AS d1
+          FROM events_v
+        ), cal(day) AS (
+          SELECT d0 FROM bounds WHERE d0 IS NOT NULL
+          UNION ALL
+          SELECT c.day + 1 FROM cal c JOIN bounds b ON c.day < b.d1
+        ), daily AS (
+          SELECT ts_us div 86400000000 AS day, count(*) AS n
+          FROM events_v GROUP BY 1
+        )
+        SELECT c.day, coalesce(d.n, CAST(0 AS BIGINT)) AS n
+        FROM cal c LEFT JOIN daily d ON c.day = d.day
+        ORDER BY c.day""")
+    }),
+
     // EXISTS in a disjunction: because the subquery result is OR'd
     // with a local predicate, Catalyst cannot reduce it to a semi join
     // (a semi join would drop negative-balance customers with no
@@ -100,6 +135,22 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE bounds AS (
+        |  SELECT min(epoch_us(ts) // 86400000000) AS d0,
+        |         max(epoch_us(ts) // 86400000000) AS d1
+        |  FROM events
+        |), cal(day) AS (
+        |  SELECT d0 FROM bounds WHERE d0 IS NOT NULL
+        |  UNION ALL
+        |  SELECT c.day + 1 FROM cal c JOIN bounds b ON c.day < b.d1
+        |), daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT c.day, coalesce(d.n, 0) AS n
+        |FROM cal c LEFT JOIN daily d ON c.day = d.day
+        |ORDER BY c.day""".stripMargin,
     "sql_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (
