@@ -107,6 +107,39 @@ object ScanQueries {
           moneySumD(col("l_quantity")).as("sum_qty"))
     }),
 
+    // Schema evolution (r4): a long-lived lake table accretes columns
+    // over time — the old files lack the new column and a reader must
+    // union the schemas, surfacing NULL for pre-evolution rows. The
+    // layout: a v1 epoch (even order keys, 2 columns) and a v2 epoch
+    // (odd keys, + o_orderpriority), written once per JVM; the read
+    // passes BOTH epochs with mergeSchema=true (schema union is a
+    // per-file-footer merge, no data rewrite — the whole point at
+    // 100 TB, where rewriting history for a new column is not an
+    // option) and reconciles pre-evolution rows with a LEGACY
+    // default. The oracle recomputes the same values from the raw
+    // orders table (the layout is a pure function of it), so the
+    // merge path is value-proven, not just rows>0.
+    "scan_schema_evolution" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("schema_evo", d)
+      graft.TempDirs.writeOnce("schema_evo" + d) {
+        val o = orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$dir/v1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$dir/v2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$dir/v1", s"$dir/v2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySumD(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("priority"))
+    }),
+
     // Generator source: rows synthesized from a range, no input files
     // (dimension enumeration, calendar spines, test scaffolding). The
     // range splits across partitions without any driver-side
@@ -147,6 +180,15 @@ object ScanQueries {
     "source_range" ->
       """SELECT range AS id, (range * range) % 97 AS sq_mod,
         |  'row-' || lpad(CAST(range AS VARCHAR), 4, '0') AS tag
-        |FROM range(0, 1000) ORDER BY id""".stripMargin
+        |FROM range(0, 1000) ORDER BY id""".stripMargin,
+    // the evolved layout is a pure function of orders: even keys lost
+    // their priority column (LEGACY after the merge), odd keys kept it
+    "scan_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |            ELSE 'LEGACY' END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY 1 ORDER BY priority""".stripMargin
   )
 }
