@@ -190,6 +190,56 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(rows == Seq((T0 / 1000L, 2L)))
   }
 
+  test("ts_resample_ohlc: a single-event bar has open=high=low=close") {
+    val rows = run("ts_resample_ohlc", tinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    // user 7, hour 0: open = first event (10.00), close = last (99.99)
+    val u7 = rows.find(_._1 == 7L).get
+    assert((u7._3, u7._4, u7._5, u7._6, u7._7) ==
+      ((10.00, 99.99, 2.50, 99.99, 3L)))
+    // user 8's lone event: all four bar prices collapse to it
+    val u8 = rows.find(_._1 == 8L).get
+    assert((u8._3, u8._4, u8._5, u8._6, u8._7) ==
+      ((0.25, 0.25, 0.25, 0.25, 1L)))
+  }
+
+  test("mix_temperature: data-derived rates on a 2-source micro corpus") {
+    val rows = run("mix_temperature", tinyDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // src1 holds n_max (2 docs) → rate 16 → threshold 'g' keeps all
+    assert(rows("src1") == ((2L, 2L)))
+    // src0: rate16 = floor(16·sqrt(1/2)) = 11 → keep iff md5 first hex
+    // digit < 'b' (recomputed independently here)
+    val txt = "the quick brown fox jumps over the lazy dog again"
+    val digit = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    if (digit < 'b') assert(rows("src0") == ((1L, 1L)))
+    else assert(!rows.contains("src0"))
+  }
+
+  test("text_len_trim trims degenerate groups entirely (all rows are the tail)") {
+    // en: two docs with EQUAL n_chars → both percent_rank 0 → trimmed;
+    // de: a single doc → percent_rank 0 → trimmed. The gate's defined
+    // semantics: a group too small to have an interior has no keepers.
+    assert(run("text_len_trim", tinyDir).count() == 0)
+  }
+
+  test("scan_schema_evolution reconciles pre-evolution rows to LEGACY") {
+    val rows = run("scan_schema_evolution", tinyDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("LEGACY") == ((2L, 6000.0))) // even keys 2, 4
+    assert(rows("1-URGENT") == ((1L, 1000.0)))
+    assert(rows("5-LOW") == ((1L, 3000.0)))
+    assert(rows.size == 3)
+  }
+
+  test("sql_recursive_cte: a sub-day feed yields a one-day calendar") {
+    val rows = run("sql_recursive_cte", tinyDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 1 && rows.head._2 == 4L)
+  }
+
   test("every streaming operator yields empty output on an empty feed") {
     val streamingOps = SparkEntry.queries.keys.filter(_.startsWith("stream_"))
     val failures = streamingOps.toSeq.sorted.flatMap { name =>
