@@ -80,6 +80,28 @@ object SqlQueries {
         ORDER BY p_partkey""")
     }),
 
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: each
+    // customer's top-2 orders by price — the per-row-subquery spelling
+    // of topk_per_group. Catalyst decorrelates the lateral (the LIMIT
+    // becomes a per-key window under the hood) into ONE key join —
+    // never a per-customer re-execution of the inner query — asserted
+    // in LateralJoinSpec, which also recomputes the result through
+    // the window spelling and requires exact agreement. Tie order
+    // (price DESC, o_orderkey) is total, so the top-2 sets are
+    // engine-deterministic.
+    "sql_lateral_topk" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_v c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
     // WITH RECURSIVE (Spark 4's recursive CTE execution): generate the
     // dense daily calendar spanning the event feed by recursion
     // (anchor = min day, step = day + 1 while < max day), then
@@ -135,6 +157,15 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_lateral_topk" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE bounds AS (
         |  SELECT min(epoch_us(ts) // 86400000000) AS d0,

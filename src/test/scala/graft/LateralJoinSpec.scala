@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `sql_lateral_topk` semantics and plan shape: the correlated LATERAL
+  * subquery (ORDER BY + LIMIT per outer row) must agree exactly with
+  * the window-function spelling of per-key top-2, and must decorrelate
+  * to a single key join — a per-customer re-execution of the inner
+  * query is the scale failure Catalyst's lateral decorrelation exists
+  * to prevent.
+  */
+class LateralJoinSpec extends SparkSpecBase {
+
+  private lazy val df =
+    SparkEntry.queries("sql_lateral_topk")(spark, sfDir)
+
+  test("lateral top-2 equals the window-function spelling exactly") {
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      // inner-lateral semantics: only customers that exist AND have
+      // orders appear — join against customer to drop dangling FKs
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_totalprice").desc,
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("the lateral decorrelates to one join, no per-row re-execution") {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // exactly one join of the outer to the (windowed) inner
+    assert("Join\\b".r.findAllIn(plan).size >= 1)
+  }
+}
