@@ -63,9 +63,14 @@ object Bench {
     def toJson(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val total = if (mins.nonEmpty) mins.values.sum else 0.0
+    // the total sums only successful mins: adding the -1.0 sentinel of
+    // a doubly-failed query would SUBTRACT a second per failure while
+    // still counting it in n_queries — failures are surfaced as their
+    // own count instead
+    val total = mins.values.filter(_ >= 0).sum
+    val nFailed = mins.values.count(_ < 0)
     def line(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"runs_per_query":$runsPerQuery,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_failed":$nFailed,"runs_per_query":$runsPerQuery,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // full map (min + every run; negative run = that attempt threw) →
     // repo file (judge-readable; stdout would truncate it)
     val bySlowest = mins.toSeq.sortBy(-_._2)

@@ -55,12 +55,29 @@ object TempDirs {
 
   private val written =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val writeLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Run `w` at most once per (JVM, key) — for source layouts that a
     * checkpointed or layout-asserting consumer depends on, where a
     * rewrite would present fresh part-file names and change observed
     * behavior.
+    *
+    * Mutual exclusion is per key: TrieMap.getOrElseUpdate alone is
+    * atomic only in which RESULT is kept, not in running the thunk
+    * once — two concurrent callers could both execute the build block
+    * against the same artifact dir (racing parquet overwrites or
+    * streaming checkpoints). A per-key monitor makes the second
+    * caller wait for the first build instead; a failed build stores
+    * nothing, so the next caller retries (same retry contract as
+    * before). Locks are per key, so nested writeOnce calls on
+    * DIFFERENT keys (e.g. an IVF build reading a gram artifact)
+    * cannot deadlock.
     */
-  def writeOnce(key: String)(w: => Unit): Unit =
-    written.getOrElseUpdate(key, { w; true })
+  def writeOnce(key: String)(w: => Unit): Unit = {
+    val lock = writeLocks.getOrElseUpdate(key, new Object)
+    lock.synchronized {
+      if (!written.contains(key)) { w; written.put(key, true) }
+    }
+  }
 }

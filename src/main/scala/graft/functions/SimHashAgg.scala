@@ -23,21 +23,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the r3 driver bench measured the 64-column hash aggregate's
   * generated code at ~7 s of one-time Janino compilation (2.5 s warm)
   * — under a contended box that cold cost collapsed to 35 s. This
-  * buffer is 64 ints updated in a tight loop, its merge is elementwise
-  * add (associative + commutative, so map-side partial aggregation
-  * applies), and the shuffled state is 256 bytes per group regardless
-  * of document length — the same mergeable-sketch contract as
+  * buffer is 64 longs updated in a tight loop (longs, not ints: a
+  * group with more than 2^31 token occurrences would silently
+  * overflow an int counter and flip signature bits — 512 B/group is
+  * still tiny), its merge is elementwise add (associative +
+  * commutative, so map-side partial aggregation applies), and the
+  * shuffled state is 512 bytes per group regardless of document
+  * length — the same mergeable-sketch contract as
   * MinHashSketchAgg, with no wide codegen to compile.
   */
 case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Int]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
-  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
-  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
@@ -50,7 +53,7 @@ case class SimHashAgg(
     buf
   }
 
-  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < 64) { a(i) += b(i); i += 1 }
     a
@@ -59,7 +62,7 @@ case class SimHashAgg(
   /** Four 16-bit bands; band j packs bits 16j..16j+15 with bit 16j as
     * the most significant packed bit (the packBits fold order).
     */
-  override def eval(buf: Array[Int]): Any = {
+  override def eval(buf: Array[Long]): Any = {
     val bands = new Array[Long](4)
     var j = 0
     while (j < 4) {
@@ -75,15 +78,15 @@ case class SimHashAgg(
     new GenericArrayData(bands)
   }
 
-  override def serialize(buf: Array[Int]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 * 64)
-    buf.foreach(bb.putInt)
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 64)
+    buf.foreach(bb.putLong)
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(64)(bb.getInt)
+    Array.fill(64)(bb.getLong)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * No binary fixture exists (SURVEY.md §7.5), so the payload is the
   * UTF-8 encoding of `documents.text` — the Spark-side plumbing
   * (BinaryType schema, metadata struct, partition-wise batched
-  * processing, batch shape) is real and tested; only the media decode
-  * itself is a STUB.
+  * processing, batch shape) is real and tested. The generic
+  * feature/frame paths keep a clearly-marked deterministic STUB where
+  * an image/video codec would sit; the WAV path (`mm_wav_meta`, r5)
+  * is fully real — canonical PCM bytes synthesized per doc and
+  * decoded back by WavDecoder's genuine RIFF chunk walk.
   *
   * Scale notes (100 TB): binary payloads never enter a shuffle — the
   * metadata path is a narrow projection, and the feature extraction is
@@ -133,6 +136,44 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL format decode through the batched plumbing (r5): each doc's
+    // text bytes become 16-bit PCM samples in a canonical WAV container
+    // (WavDecoder.synthesize — real RIFF bytes, rate/channels keyed off
+    // doc_id), and the REAL chunk-walking parser (WavDecoder.parse)
+    // recovers the audio metadata from those bytes — no stub anywhere
+    // on this path. Integer-only outputs make the operator
+    // oracle-pairable: the oracle mirrors the synthesis arithmetic
+    // (n_samples = payload bytes div channels, duration in µs by
+    // integer division), so a parser that misread any header field
+    // hash-mismatches immediately. Scale shape: narrow
+    // mapPartitions, binary never shuffles, one decoder init per
+    // partition.
+    "mm_wav_meta" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.grouped(32).flatMap { batch =>
+            batch.iterator.map { case (id, payload) =>
+              val sr = (8000L * (1 + id % 3)).toInt
+              val ch = (1 + id % 2).toInt
+              val samples =
+                payload.map(b => ((((b & 0xff) - 128) << 8)).toShort)
+              val m = WavDecoder.parse(
+                WavDecoder.synthesize(sr, ch, samples)).get
+              (id, m.audioFormat.toLong, m.nChannels.toLong, m.sampleRate,
+                m.bitsPerSample.toLong, m.nSamples,
+                m.nSamples * 1000000L / m.sampleRate)
+            }
+          }
+        }
+        .toDF("doc_id", "audio_format", "n_channels", "sample_rate",
+          "bits_per_sample", "n_samples", "duration_us")
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling path: one output row per sampled "frame" (stride
     // 64 bytes), generator-style fan-out from the binary column. The
     // per-doc frame count is payload-proportional, the plumbing
@@ -156,6 +197,21 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Mirrors the synthesis arithmetic, not the parser: payload is the
+    // ASCII text (octet_length == n_chars fixture-wide), one 16-bit
+    // sample per byte, frames = samples div channels, duration by
+    // integer µs division — any parser misread of the real WAV bytes
+    // breaks the hash match.
+    "mm_wav_meta" ->
+      """SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS audio_format,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+        |  CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(octet_length(encode(text)) // (1 + doc_id % 2) AS BIGINT) AS n_samples,
+        |  CAST((octet_length(encode(text)) // (1 + doc_id % 2)) * 1000000
+        |    // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_byte_stats" ->
       """WITH b AS (
         |  SELECT doc_id, string_split_regex(text, '') AS chs FROM documents

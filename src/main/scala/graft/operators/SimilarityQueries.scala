@@ -54,8 +54,11 @@ object SimilarityQueries {
     graft.functions.SignProjectionExpr.bands(col("embedding"), hyperplanes, 8)
 
   /** (vec_id, emb_n) with the embedding pre-normalized: per-pair
-    * cosine is then a single dot product, and this 2-column table is
-    * small enough to broadcast for candidate join-backs.
+    * cosine is then a single dot product. Candidate join-backs join it
+    * UNHINTED on vec_id — at fixture scale AQE elects a runtime
+    * broadcast from the observed size; at corpus scale (where this
+    * table is corpus-sized and could never be a build side) the same
+    * plan degrades gracefully to a shuffled equi join on vec_id.
     */
   private def embN(s: org.apache.spark.sql.SparkSession,
                    d: String): DataFrame = {
@@ -379,13 +382,20 @@ object SimilarityQueries {
 
     // Embedding near-dup: LSH buckets -> exact cosine >= 0.45 on
     // cohabitants. Id-only output (floats never leave the plan).
-    // N-operator: LSH recall is probabilistic by construction; unit
-    // tests pin the planted-pair behavior.
+    // Oracle-paired: the sign projections are literal-hyperplane
+    // ordered-fold dots and the cosine gate is the same left-to-right
+    // double summation — both DuckDB-expressible (lshSignatureSql).
+    // Recall remains probabilistic by construction (stated in SURVEY
+    // §2.K); the oracle mirrors the SAME bucket structure, so the
+    // comparison is exact, not recall-dependent.
     "dedup_embedding_cosine" -> ((s, d) => {
       val bands = lshBands(s, d)
       val nrm = embN(s, d)
-      // id-only bucket join -> distinct pairs -> broadcast join-back of
-      // the normalized vectors -> ONE dot product per unique pair
+      // id-only bucket join -> distinct pairs -> UNHINTED join-back of
+      // the normalized vectors on vec_id (AQE elects broadcast at
+      // fixture scale; shuffled equi join at corpus scale — the
+      // corpus-sized vector table is never a forced build side) ->
+      // ONE dot product per unique pair
       bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") &&
@@ -393,10 +403,10 @@ object SimilarityQueries {
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
-        .join(broadcast(nrm.select(col("vec_id").as("vec_a"),
-          col("emb_n").as("na"))), "vec_a")
-        .join(broadcast(nrm.select(col("vec_id").as("vec_b"),
-          col("emb_n").as("nb"))), "vec_b")
+        .join(nrm.select(col("vec_id").as("vec_a"),
+          col("emb_n").as("na")), "vec_a")
+        .join(nrm.select(col("vec_id").as("vec_b"),
+          col("emb_n").as("nb")), "vec_b")
         .filter(dotN(col("na"), col("nb")) >= 0.45)
         .select(col("vec_a"), col("vec_b"))
         .orderBy(col("vec_a"), col("vec_b"))
@@ -471,6 +481,11 @@ object SimilarityQueries {
           .parquet(centDir)))
     }),
 
+    // The probe band set (10 query vectors x 8 bands) is bounded by
+    // the operator definition, so ITS broadcast hint is scale-safe;
+    // the corpus-sized normalized-vector join-backs are unhinted equi
+    // joins on the id (AQE decides at runtime — same rationale as
+    // dedup_embedding_cosine). Oracle-paired via lshSignatureSql.
     "ann_lsh_topk" -> ((s, d) => {
       val bands = lshBands(s, d)
       val nrm = embN(s, d)
@@ -482,10 +497,10 @@ object SimilarityQueries {
         .filter(col("q_id") =!= col("c_id"))
         .select(col("q_id"), col("c_id"))
         .distinct()
-        .join(broadcast(nrm.select(col("vec_id").as("q_id"),
-          col("emb_n").as("q_n"))), "q_id")
-        .join(broadcast(nrm.select(col("vec_id").as("c_id"),
-          col("emb_n").as("c_n"))), "c_id")
+        .join(nrm.select(col("vec_id").as("q_id"),
+          col("emb_n").as("q_n")), "q_id")
+        .join(nrm.select(col("vec_id").as("c_id"),
+          col("emb_n").as("c_n")), "c_id")
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("c_id").asc)
       cands
@@ -508,6 +523,46 @@ object SimilarityQueries {
 
   private[operators] def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** DuckDB literal for the 64x64 hyperplane matrix. Java's
+    * Double.toString emits the shortest decimal that round-trips, and
+    * DuckDB parses decimal/scientific literals to nearest-double, so
+    * the SQL planes are bit-identical to the Scala matrix the
+    * SignProjectionExpr reference object carries.
+    */
+  private lazy val planesSqlLit: String =
+    hyperplanes.map(_.mkString("[", ", ", "]"))
+      .mkString("[", ",\n      ", "]")
+
+  /** Shared CTE prefix mirroring the LSH signature structure exactly:
+    * `bands` is SignProjectionExpr's per-band msb-first fold
+    * `acc * 2 + (dot >= 0)` with each dot summed left-to-right over
+    * the common prefix of vector and plane (`SignProjectionExpr
+    * .nullSafeEval`), and `nrm` is the same ordered-fold normalization
+    * the `ann_ivf_topk` oracle already proves bit-identical. Both
+    * engines compute the same IEEE doubles, so bucket membership and
+    * the cosine gates agree exactly — the oracle mirrors the bucket
+    * STRUCTURE rather than depending on LSH recall.
+    */
+  private lazy val lshSignatureSql: String =
+    s"""planes AS (SELECT $planesSqlLit AS pl),
+       |bands AS (
+       |  SELECT e.vec_id, t.band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, 8), j -> CASE WHEN
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(generate_series(1, least(len(e.embedding), 64)),
+       |            k -> CAST(e.embedding[k] AS DOUBLE) * pl[t.band * 8 + j][k])),
+       |          (s0, v0) -> s0 + v0) >= 0
+       |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |      (acc, bit) -> acc * 2 + bit) AS band_val
+       |  FROM embeddings e CROSS JOIN planes
+       |    CROSS JOIN generate_series(0, 7) t(band)
+       |), nrm AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
+       |    FROM embeddings
+       |)""".stripMargin
 
   /** Shared by `dedup_ngram_jaccard` and `dedup_ngram_prefix`: both
     * candidate stages are exact, so both pair with this one SQL.
@@ -535,6 +590,39 @@ object SimilarityQueries {
   val oracle: Map[String, String] = Map(
     "dedup_ngram_prefix" -> ngramJaccardSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // Full SQL mirror of the sign-random-projection structure: same
+    // literal hyperplanes, same msb-first band fold, same bucket
+    // self-join, same ordered-fold cosine gate (lshSignatureSql).
+    "dedup_embedding_cosine" ->
+      s"""WITH $lshSignatureSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |      AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b
+         |FROM cand
+         |JOIN nrm na ON na.vec_id = cand.vec_a
+         |JOIN nrm nb ON nb.vec_id = cand.vec_b
+         |WHERE ${duckDot("na.emb_n", "nb.emb_n")} >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH $lshSignatureSql,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT cand.q_id, cand.c_id,
+         |    ${duckDot("nq.emb_n", "nc.emb_n")} AS cos
+         |  FROM cand
+         |  JOIN nrm nq ON nq.vec_id = cand.q_id
+         |  JOIN nrm nc ON nc.vec_id = cand.c_id)
+         |SELECT q_id, c_id AS neighbor_id FROM (
+         |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id ASC) AS rn FROM scored) t
+         |WHERE rn = 1 ORDER BY q_id""".stripMargin,
     // Full SQL mirror of the IVF structure (fixed deterministic
     // centroids make every stage expressible): normalize -> nearest-
     // centroid assignment -> top-2 probe -> top-1 within probed lists.

@@ -50,6 +50,35 @@ object StreamingQueries {
     }
   }
 
+  /** The stateful pipe of `stream_stateful_count`, factored out so
+    * StatefulRestartSpec drives the IDENTICAL logic through a
+    * kill/restart cycle against a persistent checkpoint.
+    */
+  private[graft] def statefulCountPipe(ds: Dataset[Ev]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }.toDF("user_id", "n_running")
+  }
+
+  /** The `transformWithState` pipe of `stream_tws_running_sum` (same
+    * factoring rationale; requires the RocksDB state store provider).
+    */
+  private[graft] def twsRunningSumPipe(ds: Dataset[Ev]): DataFrame = {
+    import ds.sparkSession.implicits._
+    implicit val outEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RunningCents, TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "cents_running")
+  }
+
   private val HourUs = 3600L * 1000000L
 
   // source chunk layouts that the CHECKPOINTED sink depends on are
@@ -266,17 +295,7 @@ object StreamingQueries {
     // total regardless of which file a micro-batch picks first.
     "stream_stateful_count" -> ((s, d) => {
       val out = runFileStream(s, "graft_sink_state", plainEventsDir(s, d),
-        OutputMode.Update()) { ds =>
-        import ds.sparkSession.implicits._
-        ds.groupByKey(_.user_id)
-          .flatMapGroupsWithState[Long, (Long, Long)](
-            OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-            (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
-              val n = state.getOption.getOrElse(0L) + rows.size
-              state.update(n)
-              Iterator((user, n))
-          }.toDF("user_id", "n_running")
-      }
+        OutputMode.Update())(statefulCountPipe)
       out.groupBy(col("user_id"))
         .agg(max(col("n_running")).as("n_events"))
         .orderBy(col("user_id"))
@@ -424,15 +443,7 @@ object StreamingQueries {
     // monotone, so the max over emissions is chunking-independent.
     "stream_tws_running_sum" -> ((s, d) => {
       val out = runFileStream(s, "graft_sink_tws", plainEventsDir(s, d),
-        OutputMode.Update(), rocksDb = true) { ds =>
-        import ds.sparkSession.implicits._
-        implicit val outEnc: Encoder[(Long, Long)] =
-          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-        ds.groupByKey(_.user_id)
-          .transformWithState(new RunningCents, TimeMode.None(),
-            OutputMode.Update())
-          .toDF("user_id", "cents_running")
-      }
+        OutputMode.Update(), rocksDb = true)(twsRunningSumPipe)
       out.groupBy(col("user_id"))
         .agg(max(col("cents_running")).as("total_cents"))
         .orderBy(col("user_id"))

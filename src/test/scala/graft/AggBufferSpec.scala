@@ -19,14 +19,14 @@ class AggBufferSpec extends AnyFunSuite {
 
   test("SimHashAgg buffer survives serialize/deserialize byte-exactly") {
     val agg = SimHashAgg(null)
-    val buf = Array.fill(64)(rnd.nextInt())
+    val buf = Array.fill(64)(rnd.nextLong())
     val back = agg.deserialize(agg.serialize(buf.clone()))
     assert(back.toSeq == buf.toSeq)
   }
 
   test("SimHashAgg merge is commutative and associative") {
     val agg = SimHashAgg(null)
-    def b() = Array.fill(64)(rnd.nextInt(1000) - 500)
+    def b() = Array.fill(64)((rnd.nextInt(1000) - 500).toLong)
     val (x, y, z) = (b(), b(), b())
     val xy = agg.merge(x.clone(), y.clone())
     val yx = agg.merge(y.clone(), x.clone())
@@ -39,8 +39,8 @@ class AggBufferSpec extends AnyFunSuite {
   test("SimHashAgg eval packs sign bits with bit 16j as band j's MSB") {
     val agg = SimHashAgg(null)
     // counter >= 0 → bit 1; only bit 0 (MSB of band 0) positive
-    val buf = Array.fill(64)(-1)
-    buf(0) = 0
+    val buf = Array.fill(64)(-1L)
+    buf(0) = 0L
     val bands = agg.eval(buf)
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toLongArray()

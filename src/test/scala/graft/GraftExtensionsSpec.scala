@@ -11,12 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
+  private var savedDefault: Option[SparkSession] = None
 
   override def beforeAll(): Unit = {
     super.beforeAll()
     // extensions apply only at session CREATION — getOrCreate would
     // silently return another suite's extension-less default session,
-    // so detach it first (the underlying SparkContext is reused)
+    // so detach it first (the underlying SparkContext is reused).
+    // The detached session is SAVED and restored in afterAll: leaving
+    // the JVM-global default pointing at THIS suite's local[2] /
+    // 2-partition extension session (or cleared entirely) would leak
+    // this suite's configuration into every later suite's
+    // getOrCreate.
+    savedDefault = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     spark = SparkSession.builder()
@@ -29,9 +36,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
-    // detach again so later suites build their own plain session
+    // restore the pre-suite global session so later suites see exactly
+    // the state they would have without this suite in the run order
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    savedDefault.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
     super.afterAll()
   }
 

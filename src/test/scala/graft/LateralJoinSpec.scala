@@ -36,10 +36,26 @@ class LateralJoinSpec extends SparkSpecBase {
   }
 
   test("the lateral decorrelates to one join, no per-row re-execution") {
+    // after execution AQE prints BOTH the final and the initial plan;
+    // count operators in the final section only
     val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
-    // exactly one join of the outer to the (windowed) inner
-    assert("Join\\b".r.findAllIn(plan).size >= 1)
+    // exactly ONE equi join of the outer to the windowed inner (the
+    // r4 assertion `>= 1` was vacuous — it passed for any join-bearing
+    // plan)
+    val joinOps = "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).toSeq
+    assert(joinOps.size == 1,
+      s"expected exactly one physical join, got $joinOps:\n$plan")
+    // the inner side is the windowed per-key top-2 (rank computed once
+    // per key partition), not a per-outer-row re-execution
+    assert(plan.contains("Window"), plan)
+    // and the single join is keyed on the correlation column
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("SortMergeJoin") ||
+        l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")).get
+    assert(joinLine.contains("custkey"), joinLine)
   }
 }

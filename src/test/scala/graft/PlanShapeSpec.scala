@@ -103,9 +103,37 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
-  test("embedding join-backs broadcast the normalized-vector table") {
-    assert(plan("dedup_embedding_cosine").contains("BroadcastHashJoin"))
-    assert(plan("ann_lsh_topk").contains("BroadcastHashJoin"))
+  test("LSH candidate joins are id-only equi joins with no forced " +
+    "corpus-side broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    for (name <- Seq("dedup_embedding_cosine", "ann_lsh_topk")) {
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      val p = qe.executedPlan.toString
+      // never a product join: every join (bucket self-join and vector
+      // join-backs alike) planned as an equi hash/sort-merge join
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      // no hint-forced broadcast whose build side is the corpus: the
+      // only permissible hint is ann_lsh_topk's probe band set, which
+      // is bounded by the operator definition (vec_id < 10) — any
+      // other broadcast must be AQE-elected at runtime, not mandated
+      // in the logical plan
+      val forced = qe.optimizedPlan.collect {
+        case j: Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+            j.hint.rightHint.exists(_.strategy.isDefined) =>
+          val side =
+            if (j.hint.leftHint.exists(_.strategy.isDefined)) j.left
+            else j.right
+          val bounded = side.collectFirst {
+            case f: Filter if f.condition.references
+              .exists(_.name == "vec_id") => f
+          }.isDefined
+          (j, bounded)
+      }
+      assert(forced.forall(_._2),
+        s"$name hints a broadcast of an unbounded (corpus-sized) side")
+    }
   }
 
   test("topk_per_group pushes the rank limit below the window") {

@@ -41,4 +41,34 @@ class RecursiveCteSpec extends SparkSpecBase {
     // events every day — at least assert non-negative counts
     assert(rows.forall(_._2 >= 0))
   }
+
+  test("block-anchored recursion survives feeds far past the 100-level limit") {
+    import spark.implicits._
+    // 400-day span with events only at the endpoints: the r4
+    // day-per-level recursion needed span-many levels and would hit
+    // Spark's default spark.sql.cteRecursionLevelLimit=100 here; the
+    // 30-day block anchor caps depth at 30 regardless of span
+    val dir = TempDirs.scoped("cte_long_feed", "synthetic400")
+    TempDirs.writeOnce("cte_long_feed_synthetic400") {
+      Seq((0L, 0L), (1L, 399L))
+        .map { case (id, day) => (id, day * 86400L * 1000000000L) }
+        .toDF("event_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // the operator's views() registers every SQL-surface table, so
+      // the synthetic dir borrows the untouched ones from the fixture
+      for (t <- Seq("customer", "orders", "nation", "part", "lineitem"))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+          java.nio.file.Paths.get(s"$dir/$t.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val rows = SparkEntry.queries("sql_recursive_cte")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 400, s"expected a dense 400-day calendar, got ${rows.length}")
+    val days = rows.map(_._1)
+    assert(days.toSeq == (days.min to days.max).toSeq)
+    // endpoint days carry their single event; every gap day is zero-filled
+    assert(rows.head == ((0L, 1L)) && rows.last == ((399L, 1L)))
+    assert(rows.map(_._2).sum == 2L)
+  }
 }
