@@ -74,6 +74,26 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // Raw text-lines round-trip (r5): the remaining first-class Spark
+    // source format (spark.read.text) — the shape of every
+    // plain-text/WET crawl shard a training pipeline ingests. Document
+    // texts are written as raw lines (fixture-verified newline-free,
+    // so one doc = one line) and read back line-wise; the aggregate
+    // (group by leading token, count + char sum) must equal DuckDB
+    // over the ORIGINAL parquet — lossless write+read, not rows>0.
+    "scan_text_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("textsrc", d)
+      documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(split(col("value"), " ").getItem(0).as("tok0"),
+          length(col("value")).as("len"))
+        .groupBy(col("tok0"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("len")).cast("long").as("sum_chars"))
+        .orderBy(col("tok0"))
+    }),
+
     // Multi-file parallel scan: the table split into 8 part files and
     // read back as one dataset — the layout every distributed write
     // produces (one file per task), and the unit of scan parallelism
@@ -155,6 +175,11 @@ object ScanQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "scan_text_roundtrip" ->
+      """SELECT string_split(text, ' ')[1] AS tok0,
+        |  count(*) AS n_lines,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY tok0""".stripMargin,
     "scan_parquet" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_parquet_pruned" ->

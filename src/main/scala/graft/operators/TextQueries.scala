@@ -223,10 +223,77 @@ object TextQueries {
         .filter(col("pr") >= 0.05 && col("pr") <= 0.95)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // TF-IDF-style distinctive terms (r5): each doc's top-3 terms
+    // ranked by term frequency DESC, corpus document frequency ASC
+    // (rarer wins the tie), term ASC — the keyword-extraction /
+    // document-fingerprinting shape, with the float IDF log replaced
+    // by its ORDER-EQUIVALENT integer rank key (tf, df, term), so the
+    // output is exactly oracle-pairable. Scale: tf is a (doc, term)
+    // hash aggregate, df a term-keyed aggregate over the distinct
+    // projection (both map-combinable); the top-3 rank filter engages
+    // WindowGroupLimit, so only 3 rows per doc survive the window
+    // shuffle. At 100 TB the df table is the same build-once corpus
+    // artifact as text_df_quality's bigram table.
+    "text_tfidf_topterms" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = toks.distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dfT, "term")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // URL parsing for web-corpus curation (r5): domain/path/query
+    // extraction is the primary key of crawl-level dedup and source
+    // filtering. URLs are synthesized deterministically from fixture
+    // columns (the fixture carries none) and decomposed by Spark's
+    // codegen'd parse_url; the oracle mirrors the synthesis
+    // arithmetic, so a parser that misread any component
+    // hash-mismatches. Pure narrow map — no shuffle but the output
+    // sort.
+    "text_url_parse" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.org/"), col("lang"), lit("/"), col("doc_id"),
+          lit("?ref="), col("lang")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"))
+        .orderBy(col("doc_id")))
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |)
+        |SELECT doc_id, rank, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN df USING (term)) t
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_url_parse" ->
+      """SELECT doc_id,
+        |  source || '.example.org' AS host,
+        |  '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+        |  'ref=' || lang AS "query"
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_len_trim" ->
       """WITH r AS (
         |  SELECT doc_id, lang, n_chars,
