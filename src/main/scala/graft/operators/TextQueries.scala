@@ -261,6 +261,35 @@ object TextQueries {
     // arithmetic, so a parser that misread any component
     // hash-mismatches. Pure narrow map — no shuffle but the output
     // sort.
+    // Frequent-term mining via the two-pass heavy-hitters pattern
+    // (r5): pass 1 computes the corpus token total AND a mergeable
+    // Misra-Gries candidate sketch in ONE aggregate (k = 256 bounded
+    // state per partial, shuffled map-side — never the term
+    // distribution itself); pass 2 recounts EXACTLY only the tokens
+    // matching the broadcast candidate set and keeps counts above 1%
+    // of the corpus. MG guarantees every item with true count >
+    // N/(k+1) survives the sketch, and the 1% threshold exceeds
+    // N/257, so the candidate set provably contains every emitted
+    // term — the output is exact and oracle-paired even though the
+    // sketch is approximate (MisraGriesSpec pins the guarantee
+    // including across merges).
+    "text_heavy_hitters" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sketch = toks.agg(
+        count(lit(1)).as("n_total"),
+        graft.functions.MisraGriesAgg.candidates(col("term"), 256)
+          .as("cands"))
+      val cands = sketch.select(col("n_total"),
+        explode(col("cands")).as("term"))
+      toks.join(broadcast(cands), "term")
+        .groupBy(col("term"), col("n_total"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= expr("n_total div 100") + 1)
+        .select(col("term"), col("cnt"))
+        .orderBy(col("term"))
+    }),
+
     "text_url_parse" -> ((s, d) =>
       documents(s, d)
         .withColumn("url", concat(lit("https://"), col("source"),
@@ -288,6 +317,18 @@ object TextQueries {
         |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN df USING (term)) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // Exact 1%-frequency mirror: the MG sketch is recall-guaranteed
+    // above this threshold and the recount is exact, so the plain
+    // GROUP BY ... HAVING formulation matches row-for-row.
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT term, count(*) AS cnt
+        |FROM toks, tot
+        |GROUP BY term, tot.n_total
+        |HAVING count(*) >= n_total // 100 + 1
+        |ORDER BY term""".stripMargin,
     "text_url_parse" ->
       """SELECT doc_id,
         |  source || '.example.org' AS host,

@@ -150,6 +150,19 @@ class PlanShapeSpec extends SparkSpecBase {
       "expected map-side partial sketch aggregation")
   }
 
+  test("heavy-hitters sketch aggregates map-side; recount joins the " +
+    "broadcast candidate set") {
+    val p = plan("text_heavy_hitters")
+    // the MG sketch must partial-aggregate before the exchange (256
+    // entries per partial cross the shuffle, never the term stream)
+    assert(p.contains("partial_graft_misra_gries"),
+      "expected map-side partial Misra-Gries sketch aggregation:\n" + p)
+    // the exact recount is gated by a broadcast of the candidate set
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed join needs no shuffle of either side") {
     // build the bucketed tables via the operator itself
     SparkEntry.queries("join_bucketed")(spark, sfDir).count()
