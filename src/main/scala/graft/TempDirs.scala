@@ -70,9 +70,12 @@ object TempDirs {
     * streaming checkpoints). A per-key monitor makes the second
     * caller wait for the first build instead; a failed build stores
     * nothing, so the next caller retries (same retry contract as
-    * before). Locks are per key, so nested writeOnce calls on
-    * DIFFERENT keys (e.g. an IVF build reading a gram artifact)
-    * cannot deadlock.
+    * before). Per-key locks avoid cross-key blocking, but nested
+    * writeOnce calls acquire monitors in nesting order — so nesting
+    * must stay ACYCLIC across the codebase (today it is
+    * one-directional: builds read sub-artifacts, never the reverse);
+    * two opposite-order nestings would deadlock like any two-lock
+    * cycle.
     */
   def writeOnce(key: String)(w: => Unit): Unit = {
     val lock = writeLocks.getOrElseUpdate(key, new Object)

@@ -253,14 +253,6 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
-    // URL parsing for web-corpus curation (r5): domain/path/query
-    // extraction is the primary key of crawl-level dedup and source
-    // filtering. URLs are synthesized deterministically from fixture
-    // columns (the fixture carries none) and decomposed by Spark's
-    // codegen'd parse_url; the oracle mirrors the synthesis
-    // arithmetic, so a parser that misread any component
-    // hash-mismatches. Pure narrow map — no shuffle but the output
-    // sort.
     // Frequent-term mining via the two-pass heavy-hitters pattern
     // (r5): pass 1 computes the corpus token total AND a mergeable
     // Misra-Gries candidate sketch in ONE aggregate (k = 256 bounded
@@ -290,6 +282,14 @@ object TextQueries {
         .orderBy(col("term"))
     }),
 
+    // URL parsing for web-corpus curation (r5): domain/path/query
+    // extraction is the primary key of crawl-level dedup and source
+    // filtering. URLs are synthesized deterministically from fixture
+    // columns (the fixture carries none) and decomposed by Spark's
+    // codegen'd parse_url; the oracle mirrors the synthesis
+    // arithmetic, so a parser that misread any component
+    // hash-mismatches. Pure narrow map — no shuffle but the output
+    // sort.
     "text_url_parse" -> ((s, d) =>
       documents(s, d)
         .withColumn("url", concat(lit("https://"), col("source"),

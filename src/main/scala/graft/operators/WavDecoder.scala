@@ -42,11 +42,16 @@ object WavDecoder {
     var off = 12
     var fmt: Option[(Int, Int, Long, Int)] = None
     var dataBytes = -1L
+    var truncated = false
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val declared = le32(b, off + 4)
       val body = off + 8
       val avail = math.min(declared, (b.length - body).toLong)
+      // a chunk whose declared size overruns the payload is the
+      // truncation signature — classify the whole container malformed
+      // rather than silently shrinking it (the documented contract)
+      if (avail < declared) truncated = true
       if (id == "fmt " && avail >= 16)
         fmt = Some((le16(b, body), le16(b, body + 2), le32(b, body + 4),
           le16(b, body + 14)))
@@ -57,7 +62,7 @@ object WavDecoder {
     }
     fmt.collect {
       case (af, ch, sr, bps)
-        if dataBytes >= 0 && ch > 0 && bps >= 8 && sr > 0 =>
+        if !truncated && dataBytes >= 0 && ch > 0 && bps >= 8 && sr > 0 =>
         WavMeta(af, ch, sr, bps, dataBytes / (ch.toLong * (bps / 8)))
     }
   }

@@ -115,23 +115,31 @@ class PlanShapeSpec extends SparkSpecBase {
         !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
       // no hint-forced broadcast whose build side is the corpus: the
       // only permissible hint is ann_lsh_topk's probe band set, which
-      // is bounded by the operator definition (vec_id < 10) — any
-      // other broadcast must be AQE-elected at runtime, not mandated
-      // in the logical plan
-      val forced = qe.optimizedPlan.collect {
-        case j: Join
-          if j.hint.leftHint.exists(_.strategy.isDefined) ||
-            j.hint.rightHint.exists(_.strategy.isDefined) =>
-          val side =
-            if (j.hint.leftHint.exists(_.strategy.isDefined)) j.left
-            else j.right
-          val bounded = side.collectFirst {
-            case f: Filter if f.condition.references
-              .exists(_.name == "vec_id") => f
-          }.isDefined
-          (j, bounded)
-      }
-      assert(forced.forall(_._2),
+      // is bounded by the operator definition (vec_id < LITERAL) —
+      // any other broadcast must be AQE-elected at runtime, not
+      // mandated in the logical plan. "Bounded" requires a filter
+      // comparing vec_id to a LITERAL: the bucket join's
+      // attribute-vs-attribute `a.vec_id < b.vec_id` condition must
+      // NOT qualify (a re-hinted corpus-sized candidate table would
+      // contain that filter and false-pass a laxer check). BOTH
+      // hinted sides of a join are checked.
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, LessThan, Literal}
+      def bounded(side: org.apache.spark.sql.catalyst.plans.logical
+          .LogicalPlan): Boolean =
+        side.collectFirst {
+          case f: Filter if f.condition.collectFirst {
+            case LessThan(a: AttributeReference, _: Literal)
+              if a.name == "vec_id" => ()
+          }.isDefined => ()
+        }.isDefined
+      val hintedSides = qe.optimizedPlan.collect {
+        case j: Join =>
+          Seq(j.hint.leftHint.exists(_.strategy.isDefined) -> j.left,
+            j.hint.rightHint.exists(_.strategy.isDefined) -> j.right)
+            .collect { case (true, side) => side }
+      }.flatten
+      assert(hintedSides.forall(bounded),
         s"$name hints a broadcast of an unbounded (corpus-sized) side")
     }
   }

@@ -55,6 +55,10 @@ class WavDecoderSpec extends SparkSpecBase {
     val wav = WavDecoder.synthesize(8000, 1, Array[Short](1, 2, 3))
     // cut inside the fmt chunk: no complete fmt → None
     assert(WavDecoder.parse(wav.take(20)).isEmpty)
+    // cut inside the DATA chunk: header parses but the data chunk's
+    // declared size overruns the payload — must classify None, not
+    // return metadata computed from the silently shortened chunk
+    assert(WavDecoder.parse(wav.dropRight(2)).isEmpty)
   }
 
   test("mm_wav_meta decodes real container bytes end to end") {
