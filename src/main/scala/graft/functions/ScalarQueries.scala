@@ -168,6 +168,25 @@ object ScalarQueries {
             .as("missing_is_null"))
         .orderBy(col("event_id"))),
 
+    // XML ingestion (r5, Spark 4 built-in XML support): per-row
+    // records synthesized from fixture columns, parsed back BOTH ways
+    // the engine offers — schema-full from_xml (struct extraction)
+    // and XPath string lookup. The oracle mirrors the synthesis, so a
+    // parser misread of any field hash-mismatches (same technique as
+    // text_url_parse/mm_wav_meta). Narrow map, no shuffle but the
+    // output sort.
+    "fn_xml" -> ((s, d) =>
+      nation(s, d)
+        .withColumn("xml", concat(lit("<rec><k>"), col("n_nationkey"),
+          lit("</k><name>"), col("n_name"), lit("</name><r>"),
+          col("n_regionkey"), lit("</r></rec>")))
+        .withColumn("p",
+          expr("from_xml(xml, 'k BIGINT, name STRING, r BIGINT')"))
+        .select(col("n_nationkey"), col("p.k").as("xml_k"),
+          col("p.name").as("xml_name"), col("p.r").as("xml_r"),
+          expr("xpath_string(xml, '/rec/name')").as("xp_name"))
+        .orderBy(col("n_nationkey"))),
+
     "fn_struct_nested" -> ((s, d) =>
       customer(s, d)
         .withColumn("s", struct(col("c_nationkey").as("nkey"),
@@ -326,6 +345,15 @@ object ScalarQueries {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
         |FROM events ORDER BY event_id""".stripMargin,
+    // Mirrors the XML synthesis (nation names are XML-safe: letters
+    // and spaces only), not the parser.
+    "fn_xml" ->
+      """SELECT n_nationkey,
+        |  n_nationkey AS xml_k,
+        |  n_name AS xml_name,
+        |  n_regionkey AS xml_r,
+        |  n_name AS xp_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "fn_variant" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,

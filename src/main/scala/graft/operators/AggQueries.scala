@@ -31,6 +31,26 @@ object AggQueries {
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))),
 
+    // EXACT distinct counting via Spark 4's bitmap aggregates (r5):
+    // per (group, bucket) the key positions OR into a fixed-size
+    // bitmap segment (bitmap_bucket_number partitions the key domain
+    // into 32k-bit buckets), then bitmap_count sums per group — the
+    // roaring-bitmap-style distinct pattern. At 100 TB this shuffles
+    // bounded bitmap segments instead of the raw key stream (what
+    // count(DISTINCT) must do) while staying EXACT (what
+    // approx_count_distinct is not); it is the standard precise
+    // distinct-at-scale trade when the key domain is dense integers.
+    // Oracle-paired against plain count(DISTINCT).
+    "agg_bitmap_distinct" -> ((s, d) =>
+      orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          expr("bitmap_bucket_number(o_custkey)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+          .as("bm"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("sum(bitmap_count(bm))").as("n_distinct_custs"))
+        .orderBy(col("o_orderpriority"))),
+
     // HLL++ approximate distinct — no oracle (approximate); unit test
     // asserts |approx - exact| <= 2% of exact.
     "agg_approx_distinct" -> ((s, d) =>
@@ -382,6 +402,13 @@ object AggQueries {
     "agg_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The bitmap path is exact, so the plain count(DISTINCT) is its
+    // row-for-row mirror.
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_distinct_custs
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_rollup" ->
       """SELECT grouping_id(c_nationkey, c_mktsegment) AS gid, c_nationkey, c_mktsegment,
         |  count(*) AS n, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
