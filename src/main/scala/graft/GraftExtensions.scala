@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashSigExpr, SortedIntersectCountExpr}
+import graft.functions.{DotProductExpr, MinHashSigExpr, MinHashSketchAgg,
+  MisraGriesAgg, SimHashAgg, SortedIntersectCountExpr}
 
 /** Session extension that registers the engine's custom codegen
   * expressions as SQL functions, so the SQL-text API (SURVEY.md §2.N)
@@ -17,6 +18,16 @@ import graft.functions.{DotProductExpr, MinHashSigExpr, SortedIntersectCountExpr
   *   SELECT graft_sorted_intersect_count(ga, gb)   -- merge-walk |A∩B|
   *   SELECT graft_minhash_sig(shingle_hashes, 16)  -- k-perm signature
   *                                                 -- over array<long>
+  *
+  * The custom mergeable AGGREGATES register the same way (the
+  * analyzer wraps a returned AggregateFunction into an
+  * AggregateExpression, so GROUP BY / partial aggregation behave
+  * exactly as the DataFrame spellings):
+  *
+  *   SELECT graft_minhash_sketch(term) ... GROUP BY doc   -- 64-min sketch
+  *   SELECT graft_simhash_bands(tok_hash) ... GROUP BY doc -- 4x16-bit bands
+  *   SELECT graft_misra_gries(term, 256)                  -- heavy-hitter
+  *                                                        -- candidates
   *
   * Registration is additive metadata on the session — no planner
   * behavior changes, so every Catalyst rule and strategy continues to
@@ -33,6 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (children.length != n)
       throw new IllegalArgumentException(
         s"$name expects $n arguments, got ${children.length}")
+
+  private def intLiteral(name: String, e: Expression): Int = e match {
+    case Literal(k: Int, _) => k
+    case Literal(k: Long, _) => k.toInt
+    case Literal(k: Short, _) => k.toInt
+    case Literal(k: Byte, _) => k.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name: expected an integer literal, got $other")
+  }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -54,15 +74,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_minhash_sig"),
       (children: Seq[Expression]) => {
         requireArity("graft_minhash_sig", 2, children)
-        children(1) match {
-          // accept any integral literal width (16, 16L, SMALLINT...)
-          case Literal(k: Int, _) => MinHashSigExpr(children(0), k)
-          case Literal(k: Long, _) => MinHashSigExpr(children(0), k.toInt)
-          case Literal(k: Short, _) => MinHashSigExpr(children(0), k.toInt)
-          case Literal(k: Byte, _) => MinHashSigExpr(children(0), k.toInt)
-          case other => throw new IllegalArgumentException(
-            s"graft_minhash_sig: k must be an integer literal, got $other")
-        }
+        // accept any integral literal width (16, 16L, SMALLINT...)
+        MinHashSigExpr(children(0),
+          intLiteral("graft_minhash_sig", children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sketch"),
+      info("graft_minhash_sketch"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_minhash_sketch", 1, children)
+        MinHashSketchAgg(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_bands"),
+      info("graft_simhash_bands"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_simhash_bands", 1, children)
+        SimHashAgg(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_misra_gries"),
+      info("graft_misra_gries"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_misra_gries", 2, children)
+        MisraGriesAgg(children(0),
+          intLiteral("graft_misra_gries", children(1)))
       }))
   }
 }

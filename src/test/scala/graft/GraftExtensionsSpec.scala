@@ -95,4 +95,47 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
+
+  test("graft_minhash_sketch aggregate matches the DataFrame spelling") {
+    import org.apache.spark.sql.functions._
+    spark.createDataFrame(Seq((1L, "x"), (1L, "y"), (2L, "x")))
+      .toDF("g", "t").createOrReplaceTempView("mh_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_minhash_sketch(t) AS s FROM mh_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val viaDf = spark.table("mh_in").groupBy(col("g"))
+      .agg(graft.functions.MinHashSketchAgg.sketch(col("t")).as("s"))
+      .orderBy(col("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(viaSql.toSeq == viaDf.toSeq)
+    assert(viaSql.head._2.length == 64)
+  }
+
+  test("graft_simhash_bands aggregate matches the DataFrame spelling") {
+    import org.apache.spark.sql.functions._
+    spark.createDataFrame(Seq((1L, 7L), (1L, -3L), (2L, 7L)))
+      .toDF("g", "h").createOrReplaceTempView("sh_in")
+    val viaSql = spark.sql(
+      "SELECT g, graft_simhash_bands(h) AS b FROM sh_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val viaDf = spark.table("sh_in").groupBy(col("g"))
+      .agg(graft.functions.SimHashAgg.bands(col("h")).as("b"))
+      .orderBy(col("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(viaSql.toSeq == viaDf.toSeq)
+    assert(viaSql.head._2.length == 4)
+  }
+
+  test("graft_misra_gries aggregate yields the candidate set from SQL") {
+    // 'a' x4, 'b' x2, 'c' x1 with k=2: the two heavy items must be
+    // tracked (MG guarantee: count > N/(k+1) = 7/3 keeps 'a'; 'b' may
+    // or may not survive; 'c' never displaces 'a')
+    val cands = spark.sql(
+      "SELECT graft_misra_gries(t, 2) AS c FROM (SELECT explode(split(" +
+        "'a a a a b b c', ' ')) AS t)")
+      .head().getSeq[String](0)
+    assert(cands.contains("a"))
+    assert(cands.length <= 2)
+    assert(cands == cands.sorted)
+  }
 }
