@@ -50,6 +50,29 @@ object TimeSeriesQueries {
   private val GapUs = 30L * 60L * 1000000L // 30-minute inactivity gap
 
   val queries: Map[String, Q] = Map(
+    // Exponentially weighted moving average per user (r5): the
+    // sequential recurrence s = 0.25x + 0.75s folded over each user's
+    // events in (ts, event_id) total order — trend smoothing, the
+    // classic time-series shape that a window function CANNOT express
+    // (each step depends on the previous smoothed value, not raw
+    // rows). The per-user history is collected and sorted INSIDE the
+    // aggregate (state ∝ one user's events — the irreducible cost of
+    // a per-key sequential recurrence; the key-partitioned shuffle is
+    // the only corpus-wide data movement). α = 0.25 and 1−α = 0.75
+    // are exact binary doubles and the fold is left-to-right, so the
+    // emitted double is bit-identical to DuckDB's ordered
+    // list_reduce.
+    "ts_ewma" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts_us"),
+          col("event_id"), col("value")))).as("evs"))
+        .select(col("user_id"),
+          size(col("evs")).cast("long").as("n_events"),
+          expr("aggregate(evs, cast(0.0 as double), " +
+            "(acc, e) -> e.value * 0.25d + acc * 0.75d)").as("ewma"))
+        .orderBy(col("user_id"))),
+
     // Batch sessionization: split each user's event stream into
     // sessions at >30-min inactivity gaps (lag + flag + running sum),
     // then one aggregate per session. Two window passes + one hash
@@ -174,6 +197,19 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same left-to-right fold over the same (ts, event_id) order with
+    // the same exact-binary 0.25/0.75 constants — bit-identical
+    // doubles (the sim_search_topk ordered-fold proof).
+    "ts_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(CAST(value AS DOUBLE) ORDER BY tus, event_id)),
+        |    (acc, x) -> x * CAST(0.25 AS DOUBLE) + acc * CAST(0.75 AS DOUBLE)) AS ewma
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     // arg_min/arg_max over a composite [ts, id] key does not bind in
     // DuckDB, so the oracle picks the bar endpoints by row_number over
     // the same (ts, event_id) total order — identical winners.
