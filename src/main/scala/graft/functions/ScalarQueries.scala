@@ -168,6 +168,28 @@ object ScalarQueries {
             .as("missing_is_null"))
         .orderBy(col("event_id"))),
 
+    // Collated string semantics (r5, Spark 4 collation support):
+    // grouping under UTF8_LCASE merges case variants WITHOUT
+    // rewriting the data — the collation travels in the type, so
+    // comparisons/joins/aggregations all honor it engine-wide (vs the
+    // lower()-everywhere workaround, which loses the original values
+    // and costs a projection per use). Mixed-case values are
+    // synthesized from fixture columns; the output representative is
+    // normalized with lower() because a collated GROUP BY keeps an
+    // arbitrary case variant per group. Oracle: the lower() grouping
+    // is semantically identical for ASCII inputs.
+    "fn_collation" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("src_mixed",
+          when(col("doc_id") % 2 === 0, upper(col("source")))
+            .otherwise(col("source")))
+        .groupBy(expr("collate(src_mixed, 'UTF8_LCASE')").as("src_ci"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct_docs"))
+        .select(lower(col("src_ci")).as("src_norm"), col("n_docs"),
+          col("n_distinct_docs"))
+        .orderBy(col("src_norm"))),
+
     // XML ingestion (r5, Spark 4 built-in XML support): per-row
     // records synthesized from fixture columns, parsed back BOTH ways
     // the engine offers — schema-full from_xml (struct extraction)
@@ -345,6 +367,16 @@ object ScalarQueries {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
         |FROM events ORDER BY event_id""".stripMargin,
+    // For ASCII inputs UTF8_LCASE grouping ≡ lower() grouping.
+    "fn_collation" ->
+      """WITH m AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN upper(source)
+        |    ELSE source END AS src_mixed
+        |  FROM documents)
+        |SELECT lower(src_mixed) AS src_norm,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_distinct_docs
+        |FROM m GROUP BY lower(src_mixed) ORDER BY src_norm""".stripMargin,
     // Mirrors the XML synthesis (nation names are XML-safe: letters
     // and spaces only), not the parser.
     "fn_xml" ->
