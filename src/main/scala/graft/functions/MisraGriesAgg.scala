@@ -45,6 +45,17 @@ case class MisraGriesAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
+  /** Subtract `cut` from every counter and evict the non-positive
+    * ones — the shared step of both the classic update eviction
+    * (cut = 1) and the mergeable top-k reduction (cut = (k+1)-th
+    * largest).
+    */
+  private def decrementAndEvict(buf: mutable.HashMap[String, Long],
+                                cut: Long): Unit = {
+    buf.mapValuesInPlace((_, c) => c - cut)
+    buf.filterInPlace((_, c) => c > 0)
+  }
+
   override def update(buf: mutable.HashMap[String, Long],
                       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
@@ -53,13 +64,9 @@ case class MisraGriesAgg(
       buf.get(item) match {
         case Some(c) => buf.update(item, c + 1)
         case None if buf.size < k => buf.update(item, 1L)
-        case None =>
-          // decrement-all step; O(k) but amortized O(1) per update
-          // (each decrement pays back an earlier increment)
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.mapValuesInPlace((_, c) => c - 1)
-          buf.foreach { case (i, c) => if (c <= 0) dead += i }
-          dead.foreach(buf.remove)
+        // decrement-all step; O(k) but amortized O(1) per update
+        // (each decrement pays back an earlier increment)
+        case None => decrementAndEvict(buf, 1L)
       }
     }
     buf
@@ -69,14 +76,10 @@ case class MisraGriesAgg(
                      b: mutable.HashMap[String, Long])
     : mutable.HashMap[String, Long] = {
     b.foreach { case (i, c) => a.update(i, a.getOrElse(i, 0L) + c) }
-    if (a.size > k) {
+    if (a.size > k)
       // mergeable reduction: subtract the (k+1)-th largest counter
-      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.mapValuesInPlace((_, c) => c - cut)
-      a.foreach { case (i, c) => if (c <= 0) dead += i }
-      dead.foreach(a.remove)
-    }
+      decrementAndEvict(a,
+        a.values.toArray.sorted(Ordering[Long].reverse).apply(k))
     a
   }
 

@@ -160,7 +160,7 @@ object MultimodalQueries {
               val sr = (8000L * (1 + id % 3)).toInt
               val ch = (1 + id % 2).toInt
               val samples =
-                payload.map(b => ((((b & 0xff) - 128) << 8)).toShort)
+                payload.map(b => (((b & 0xff) - 128) << 8).toShort)
               val m = WavDecoder.parse(
                 WavDecoder.synthesize(sr, ch, samples)).get
               (id, m.audioFormat.toLong, m.nChannels.toLong, m.sampleRate,
