@@ -139,6 +139,28 @@ object ScalarQueries {
           col("prio_v"))
         .orderBy(col("o_orderkey"), col("k"))),
 
+    // The four higher-order MAP functions (r5) — transform_keys /
+    // transform_values / map_filter / map_zip_with — the map-side
+    // complement of the array lambdas used throughout; results
+    // flattened to scalars via element_at/size so the oracle mirrors
+    // the per-column arithmetic directly. All lambdas run inside
+    // codegen'd MapObjects loops — a narrow map stage.
+    "fn_map_higher_order" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("m", map(
+          lit("prio"), col("o_orderpriority"),
+          lit("status"), col("o_orderstatus")))
+        .withColumn("tv",
+          expr("transform_values(m, (k, v) -> concat(k, ':', v))"))
+        .select(col("o_orderkey"),
+          expr("element_at(transform_keys(m, (k, v) -> upper(k)), 'PRIO')")
+            .as("tk_prio"),
+          expr("element_at(tv, 'status')").as("tv_status"),
+          expr("size(map_filter(m, (k, v) -> k = 'prio'))").as("mf_size"),
+          expr("element_at(map_zip_with(m, tv, (k, v1, v2) -> " +
+            "concat(v1, '|', v2)), 'prio')").as("mz_prio"))
+        .orderBy(col("o_orderkey"))),
+
     "fn_json" -> ((s, d) =>
       events(s, d)
         .select(
@@ -356,6 +378,15 @@ object ScalarQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |WHERE token <> '' GROUP BY token
         |ORDER BY n DESC, token ASC""".stripMargin,
+    // Each lambda's effect is a pure per-column expression over the
+    // two map entries, so the mirror needs no map type at all.
+    "fn_map_higher_order" ->
+      """SELECT o_orderkey,
+        |  o_orderpriority AS tk_prio,
+        |  'status:' || o_orderstatus AS tv_status,
+        |  CAST(1 AS INT) AS mf_size,
+        |  o_orderpriority || '|' || 'prio:' || o_orderpriority AS mz_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_map_ops" ->
       """SELECT o_orderkey, k, v, o_orderpriority AS prio_v FROM (
         |  SELECT o_orderkey, 'prio' AS k, o_orderpriority AS v, o_orderpriority FROM orders
