@@ -69,8 +69,12 @@ object Bench {
     // own count instead
     val total = mins.values.filter(_ >= 0).sum
     val nFailed = mins.values.count(_ < 0)
+    // n_success is the count the total actually sums over (ADVICE r5:
+    // value/n_queries is a per-query average only when n_failed = 0 —
+    // cross-round total comparisons need n_failed = 0 on both sides)
+    val nSuccess = mins.size - nFailed
     def line(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_failed":$nFailed,"runs_per_query":$runsPerQuery,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_success":$nSuccess,"n_failed":$nFailed,"runs_per_query":$runsPerQuery,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
     // full map (min + every run; negative run = that attempt threw) →
     // repo file (judge-readable; stdout would truncate it)
     val bySlowest = mins.toSeq.sortBy(-_._2)

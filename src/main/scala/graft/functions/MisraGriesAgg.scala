@@ -42,6 +42,11 @@ case class MisraGriesAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
+  // k <= 0 would make every update take the decrement-all branch and
+  // the sketch silently emit an empty candidate set ("no heavy
+  // hitters") — fail at analysis time instead (ADVICE r5)
+  require(k >= 1, s"graft_misra_gries needs k >= 1, got $k")
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 

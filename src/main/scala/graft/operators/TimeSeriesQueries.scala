@@ -50,28 +50,59 @@ object TimeSeriesQueries {
   private val GapUs = 30L * 60L * 1000000L // 30-minute inactivity gap
 
   val queries: Map[String, Q] = Map(
-    // Exponentially weighted moving average per user (r5): the
-    // sequential recurrence s = 0.25x + 0.75s folded over each user's
-    // events in (ts, event_id) total order — trend smoothing, the
-    // classic time-series shape that a window function CANNOT express
-    // (each step depends on the previous smoothed value, not raw
-    // rows). The per-user history is collected and sorted INSIDE the
-    // aggregate (state ∝ one user's events — the irreducible cost of
-    // a per-key sequential recurrence; the key-partitioned shuffle is
-    // the only corpus-wide data movement). α = 0.25 and 1−α = 0.75
-    // are exact binary doubles and the fold is left-to-right, so the
-    // emitted double is bit-identical to DuckDB's ordered
-    // list_reduce.
-    "ts_ewma" -> ((s, d) =>
+    // Exponentially weighted moving average per user (r5, re-planned
+    // r6): the sequential recurrence s = 0.25x + 0.75s folded over
+    // each user's events in (ts, event_id) total order — trend
+    // smoothing, the classic time-series shape a window function
+    // CANNOT express (each step depends on the previous smoothed
+    // value, not raw rows). r5 collected each user's whole history
+    // into one aggregate buffer (`collect_list` + fold) — an
+    // unbounded per-KEY buffer that OOMs on a hot key at corpus
+    // scale (r5 VERDICT's last named scale-killer). r6 uses the
+    // secondary-sort shape instead: one hash repartition on user_id,
+    // an EXTERNAL sort within partitions on (user_id, ts, event_id)
+    // — Spark's sort spills to disk, so a 10⁸-event key never holds
+    // memory — then a streaming per-key fold whose state is ONE
+    // accumulator (mapPartitions, iterator in / iterator out, no
+    // partition or group materialization). The affine-composition
+    // aggregate alternative (compose s′=αx+(1−α)s maps) merges with
+    // a₂·b₁+b₂, which REASSOCIATES the float multiplies and can
+    // drift ulps from the oracle's strict left-to-right fold; the
+    // secondary sort keeps the exact multiply-add order, so the
+    // emitted double stays bit-identical to DuckDB's ordered
+    // list_reduce (α = 0.25 and 1−α = 0.75 are exact binary
+    // doubles). PlanHygieneSpec pins the plan collect_list-free.
+    "ts_ewma" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
       events(s, d)
-        .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("ts_us"),
-          col("event_id"), col("value")))).as("evs"))
-        .select(col("user_id"),
-          size(col("evs")).cast("long").as("n_events"),
-          expr("aggregate(evs, cast(0.0 as double), " +
-            "(acc, e) -> e.value * 0.25d + acc * 0.75d)").as("ewma"))
-        .orderBy(col("user_id"))),
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").cast("double").as("v"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long, Double)]
+        .mapPartitions { rows =>
+          // rows arrive clustered by user_id and time-ordered within
+          // each user; fold one run at a time with O(1) state
+          val in = rows.buffered
+          new Iterator[(Long, Long, Double)] {
+            override def hasNext: Boolean = in.hasNext
+            override def next(): (Long, Long, Double) = {
+              val key = in.head._1
+              var n = 0L
+              var acc = 0.0
+              while (in.hasNext && in.head._1 == key) {
+                val r = in.next()
+                acc = r._4 * 0.25 + acc * 0.75
+                n += 1
+              }
+              (key, n, acc)
+            }
+          }
+        }
+        .toDF("user_id", "n_events", "ewma")
+        .orderBy(col("user_id"))
+    }),
 
     // Batch sessionization: split each user's event stream into
     // sessions at >30-min inactivity gaps (lag + flag + running sum),

@@ -61,8 +61,12 @@ object WavDecoder {
       off = body + avail.toInt + (avail.toInt & 1)
     }
     fmt.collect {
+      // bps must be byte-aligned: a container declaring e.g. 12 bits
+      // per sample would integer-truncate bps/8 and miscount frames —
+      // classify it malformed like any other bad container (ADVICE r5)
       case (af, ch, sr, bps)
-        if !truncated && dataBytes >= 0 && ch > 0 && bps >= 8 && sr > 0 =>
+        if !truncated && dataBytes >= 0 && ch > 0 &&
+          bps >= 8 && bps <= 64 && bps % 8 == 0 && sr > 0 =>
         WavMeta(af, ch, sr, bps, dataBytes / (ch.toLong * (bps / 8)))
     }
   }

@@ -73,6 +73,14 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(merged.size <= k)
   }
 
+  test("k <= 0 is rejected at construction (analysis time), not silently empty") {
+    // with k = 0 every update would take the decrement-all branch and
+    // the sketch would emit an empty candidate set — reading as "no
+    // heavy hitters" downstream (ADVICE r5)
+    intercept[IllegalArgumentException](agg(0))
+    intercept[IllegalArgumentException](agg(-3))
+  }
+
   test("buffer survives serialize/deserialize byte-exactly") {
     val a = agg(8)
     val buf = mutable.HashMap("alpha" -> 3L, "βeta" -> 7L, "c" -> 1L)

@@ -61,6 +61,17 @@ class WavDecoderSpec extends SparkSpecBase {
     assert(WavDecoder.parse(wav.dropRight(2)).isEmpty)
   }
 
+  test("non-byte-aligned bits-per-sample classifies as malformed (ADVICE r5)") {
+    // a container declaring 12 bits/sample would integer-truncate
+    // bps/8 to 1 and miscount frames — must be None, not wrong meta
+    val wav = WavDecoder.synthesize(8000, 1, Array[Short](1, 2, 3, 4))
+    wav(34) = 12.toByte // bits/sample LE16 lives at header offset 34
+    assert(WavDecoder.parse(wav).isEmpty)
+    // and an absurd width (> 64) is equally malformed
+    wav(34) = 72.toByte
+    assert(WavDecoder.parse(wav).isEmpty)
+  }
+
   test("mm_wav_meta decodes real container bytes end to end") {
     val rows = SparkEntry.queries("mm_wav_meta")(spark, sfDir).collect()
     assert(rows.nonEmpty)
