@@ -197,6 +197,62 @@ object JoinQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // AQE runtime skew split — the engine-native complement to
+    // `join_skew_salted`'s manual fan-out (r6): the same 3-orders-of-
+    // magnitude key skew (90% of the fact lands on key 0), but left
+    // for ADAPTIVE execution to fix — after the shuffle map stage, AQE
+    // observes the oversized partition and OptimizeSkewedJoin splits
+    // it into multiple reducer tasks (duplicating the matching dim
+    // partition), restoring parallelism with no query rewrite. Confs
+    // are scoped to a CLONED session (same SparkContext/catalog, own
+    // conf) so the fixture-scale thresholds that make a ~100 KB
+    // partition count as "skewed" never leak into other queries; at
+    // 100 TB the DEFAULT thresholds (256 MB) do the same job. The
+    // broadcast path is disabled because skew splitting is a
+    // sort-merge-join mechanism — with broadcast on, AQE would just
+    // broadcast the dim (also fine, but then nothing demonstrates the
+    // skew machinery this operator exists to pin). Result is
+    // identical to the unskewed-aware plan (oracle-verified);
+    // PlanShapeSpec asserts the executed plan actually split
+    // (skew=true on the SMJ).
+    "join_skew_aqe" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-scale skew thresholds (defaults are sized for real
+      // clusters: 256 MB / 5x median)
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = lineitem(s2, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .withColumn("skew_key",
+          when(col("l_orderkey") % 100 < 90, 0L)
+            .otherwise(col("l_orderkey") % 100))
+      val dim = s2.range(0, 100)
+        .select(col("id").as("skew_key"),
+          format_string("k%03d", col("id")).as("label"))
+      // AQE splits a skewed reducer partition at MAP-OUTPUT
+      // granularity — it regroups whole mapper chunks, never bytes —
+      // and the single-row-group fixture parquet reads as ONE map
+      // task, making the hot partition one indivisible chunk. The
+      // round-robin repartition stands in for the thousands of map
+      // tasks a real 100 TB scan produces naturally; it exists only
+      // because of the fixture's layout, not the technique.
+      fact.repartition(16).join(dim, Seq("skew_key"))
+        // aggregate on the LABEL (not the join key): the downstream
+        // exchange exists either way, so the skew split introduces no
+        // extra shuffle and OptimizeSkewedJoin's no-regression check
+        // accepts it
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySumD(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("label"))
+    }),
+
     // Bucketed co-located join: both fact tables written bucketed (and
     // sorted) by the join key, so the join needs NO shuffle of either
     // side — the 100 TB pattern for repeated fact-fact joins, where
@@ -341,6 +397,20 @@ object JoinQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_skew_aqe" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |              ELSE l_orderkey % 100 END AS skew_key,
+        |    l_quantity
+        |  FROM lineitem
+        |), dim AS (
+        |  SELECT unnest(generate_series(0, 99)) AS k
+        |)
+        |SELECT printf('k%03d', f.skew_key) AS label,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM f JOIN dim ON f.skew_key = k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -2,33 +2,43 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schema, batch shape, and determinism of the
-  * partition-wise (stub-)decode stage.
+/** Multimodal plumbing: schema, decoded-geometry, and determinism of
+  * the partition-wise decode stage (real BMP/WAV codecs as of r6).
   */
 class MultimodalSpec extends SparkSpecBase {
 
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
-  test("mm_feature_extract emits one row per document, batches <= 32") {
+  test("mm_feature_extract emits one decoded geometry row per document") {
     val rows = run("mm_feature_extract").collect()
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(rows.length.toLong == nDocs)
     rows.foreach { r =>
-      val batchLen = r.getLong(2)
-      assert(batchLen >= 1 && batchLen <= 32, s"batch_len=$batchLen")
+      val (id, w, h, bpp, stride, img) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(w == 16 + id % 17)
+      assert(bpp == 24L)
+      assert(stride == (3 * w + 3) / 4 * 4)
+      assert(img == stride * h)
     }
   }
 
-  test("mm_feature_extract features match a direct byte computation") {
+  test("mm_feature_extract sums match a direct byte computation") {
     val feats = run("mm_feature_extract").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(6), r.getLong(7))).toMap
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect().take(50).foreach { r =>
+        val id = r.getLong(0)
         val bytes = r.getString(1).getBytes("UTF-8")
-        val expSum = bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
-        val (nBytes, fSum) = feats(r.getLong(0))
-        assert(nBytes == bytes.length.toLong && fSum == expSum)
+        val w = (16 + id % 17).toInt
+        val expSum = 3L * bytes.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+        val expRow0 = 3L * bytes.take(w).foldLeft(0L)(
+          (acc, b) => acc + (b & 0xff))
+        val expH = (bytes.length + w - 1) / w
+        val (h, px, row0) = feats(id)
+        assert(h == expH.toLong && px == expSum && row0 == expRow0)
       }
   }
 
@@ -42,17 +52,22 @@ class MultimodalSpec extends SparkSpecBase {
       }
   }
 
-  test("mm_frame_sample emits stride-64 frame windows per document") {
+  test("mm_frame_sample frames come from the parsed container layout") {
     val byDoc = run("mm_frame_sample").collect()
       .groupBy(_.getLong(0))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect().take(30).foreach { r =>
+        val id = r.getLong(0)
         val nBytes = r.getString(1).getBytes("UTF-8").length
-        val expFrames = math.max(0, (nBytes - 16) / 64 + 1)
-        val got = byDoc.getOrElse(r.getLong(0), Array.empty)
+        val w = (16 + id % 17).toInt
+        val expFrames = (nBytes + w - 1) / w // decoded height
+        val got = byDoc.getOrElse(id, Array.empty)
         assert(got.length == expFrames,
-          s"doc ${r.getLong(0)}: ${got.length} frames, expected $expFrames")
-        assert(got.map(_.getInt(1)).sorted.toSeq == (0 until expFrames))
+          s"doc $id: ${got.length} frames, expected $expFrames")
+        assert(got.map(_.getLong(1)).sorted.toSeq ==
+          (0 until expFrames).map(_.toLong))
+        // every frame is exactly one decoded row stride wide
+        got.foreach(f => assert(f.getLong(2) == (3 * w + 3) / 4 * 4))
       }
   }
 

@@ -313,6 +313,18 @@ class PlanShapeSpec extends SparkSpecBase {
       s"DPP scan read $scanned of $total rows — no partitions skipped")
   }
 
+  test("join_skew_aqe's executed plan actually split the skewed partition") {
+    val df = SparkEntry.queries("join_skew_aqe")(spark, sfDir)
+    df.collect()
+    // after execution AQE's final plan is visible; OptimizeSkewedJoin
+    // marks the SMJ it rewrote with skew=true and the shuffle read
+    // with "skewed" split metrics — either marker proves the runtime
+    // split happened (vs merely being enabled)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$p")
+  }
+
   test("sql_exists_or plans the ExistenceJoin variant") {
     val p = plan("sql_exists_or")
     assert(p.contains("ExistenceJoin"), p)
