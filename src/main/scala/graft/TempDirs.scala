@@ -58,6 +58,23 @@ object TempDirs {
   private val writeLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** Keys held by the CURRENT thread, outermost first — the basis of
+    * the lock-order guard below.
+    */
+  private val heldKeys = new ThreadLocal[List[String]] {
+    override def initialValue(): List[String] = Nil
+  }
+
+  /** Every (outer, inner) nesting order ever observed across all
+    * threads: acquiring `inner` while holding `outer` records the
+    * edge. A later attempt to acquire in the INVERTED order is the
+    * two-lock-cycle deadlock signature and dies loudly instead of
+    * hanging (r5 VERDICT item 7 — the acyclic-nesting rule was
+    * documented but unenforced).
+    */
+  private val nestingEdges =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
   /** Run `w` at most once per (JVM, key) — for source layouts that a
     * checkpointed or layout-asserting consumer depends on, where a
     * rewrite would present fresh part-file names and change observed
@@ -73,14 +90,36 @@ object TempDirs {
     * before). Per-key locks avoid cross-key blocking, but nested
     * writeOnce calls acquire monitors in nesting order — so nesting
     * must stay ACYCLIC across the codebase (today it is
-    * one-directional: builds read sub-artifacts, never the reverse);
-    * two opposite-order nestings would deadlock like any two-lock
-    * cycle.
+    * one-directional: builds read sub-artifacts, never the reverse).
+    * The guard enforces it at runtime: before blocking on a key, the
+    * call records its (held, wanted) nesting edges and dies with a
+    * descriptive error if the wanted key was ever observed BELOW any
+    * currently-held key on another path — the two-lock cycle that
+    * would otherwise deadlock silently. Re-acquiring a key already
+    * held by this thread (self-nesting) is equally fatal: the monitor
+    * is reentrant, so the build block would re-enter itself.
     */
   def writeOnce(key: String)(w: => Unit): Unit = {
-    val lock = writeLocks.getOrElseUpdate(key, new Object)
-    lock.synchronized {
-      if (!written.contains(key)) { w; written.put(key, true) }
+    val held = heldKeys.get()
+    if (held.contains(key))
+      throw new IllegalStateException(
+        s"writeOnce('$key') re-entered while building '$key' — a " +
+          "self-nested build would recurse into its own thunk " +
+          s"(held: ${held.mkString(" -> ")})")
+    held.foreach { outer =>
+      if (nestingEdges.contains((key, outer)))
+        throw new IllegalStateException(
+          s"writeOnce lock-order inversion: acquiring '$key' while " +
+            s"holding '$outer', but '$outer' nests inside '$key' " +
+            "elsewhere — a two-lock cycle that deadlocks under " +
+            s"concurrency (held: ${held.mkString(" -> ")}). " +
+            "Keep artifact nesting one-directional.")
+      nestingEdges.put((outer, key), true)
     }
+    val lock = writeLocks.getOrElseUpdate(key, new Object)
+    heldKeys.set(held :+ key)
+    try lock.synchronized {
+      if (!written.contains(key)) { w; written.put(key, true) }
+    } finally heldKeys.set(held)
   }
 }
