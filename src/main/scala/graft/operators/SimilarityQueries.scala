@@ -124,21 +124,21 @@ object SimilarityQueries {
     * order, prefix length n - ceil(0.4 n) + 1, id-only equi-join on
     * exploded prefix grams) SHIPS as `ngramPrefixCandidatePairs` /
     * `dedup_ngram_prefix` below (r4), proven pair-identical to this
-    * path; it is not the headline plan because the fixture's
-    * synthetic vocabulary has only 931 distinct bigrams over 256k
-    * gram instances (avg document frequency 275), so even
-    * rarest-first prefixes share hot grams — 135k prefix candidates
-    * vs 197k bucket all-pairs (1.4x, not the >= 5x a
-    * natural-vocabulary corpus gives), while the df ordering costs
-    * extra shuffles of the full gram multiset. On a real corpus
-    * (vocabulary ~ corpus size, Zipfian df) the prefix filter is the
-    * correct 100 TB candidate stage (PrefixFilterSpec measures
-    * exactly that on a synthetic Zipfian corpus); against this
-    * fixture the bucket blocking wins, so the headline plan blocks on
-    * (len_bkt, ratio) only. A probabilistic MinHash-band prefilter
-    * was rejected outright: a borderline j = 0.4 pair shares a 4x4
-    * band with probability ~0.10, which breaks the exact oracle
-    * pairing and the dedup_cc_clusters component structure.
+    * path. Since r6 the headline `ngramCandidatePairs` picks BETWEEN
+    * the two stages by corpus size (see `BucketStageMaxDocs`): the
+    * bucket join wins below a few thousand docs, where fixed
+    * per-stage overhead dominates and the fixture's synthetic
+    * 931-bigram vocabulary blunts rarest-first prefixes (135k prefix
+    * candidates vs 197k bucket all-pairs at sf0.01 — 1.4x, not the
+    * >= 5x a natural vocabulary gives); above it, bucket occupancy
+    * grows linearly with the corpus and the all-pairs join grows
+    * QUADRATICALLY — the r6 sf1 sweep measured 15.5 s vs the prefix
+    * stage's 1.95 s at 50k docs (13x vs 2.3x per-decade slope), the
+    * predicted crossover arriving on schedule. A probabilistic
+    * MinHash-band prefilter was rejected outright: a borderline
+    * j = 0.4 pair shares a 4x4 band with probability ~0.10, which
+    * breaks the exact oracle pairing and the dedup_cc_clusters
+    * component structure.
     */
   /** (doc_id, len_bkt, grams hash-sorted ascending, n_grams) — the
     * shared signature table of both word-bigram near-dup paths,
@@ -188,9 +188,11 @@ object SimilarityQueries {
         (col("sz_sum") - col("inter_sz")).as("union_sz"))
       .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
 
-  private[operators] def ngramCandidatePairs(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val grams = hashedGramTable(s, d)
+  /** Bucket all-pairs candidate stage + inline verify over a gram
+    * signature table: O(Σ bucket²) pairs — cheapest while buckets stay
+    * small, quadratic once bucket occupancy grows with the corpus.
+    */
+  private def bucketPairs(grams: DataFrame): DataFrame =
     grams.as("a")
       .join(grams.as("b"),
         col("a.len_bkt") === col("b.len_bkt") &&
@@ -205,6 +207,35 @@ object SimilarityQueries {
       .select(col("doc_a"), col("doc_b"), col("inter_sz"),
         (col("sz_sum") - col("inter_sz")).as("union_sz"))
       .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
+
+  /** Corpus-size threshold of the cost-based candidate-stage pick in
+    * `ngramCandidatePairs`. Measured (r6 sf1 sweep, same binary):
+    * bucket all-pairs wins below a few thousand docs where fixed
+    * per-stage overhead dominates (sf0.01: 0.21 s vs the prefix
+    * path's extra df/rank shuffles), the prefix filter wins above it
+    * and the gap grows with the square of bucket occupancy (sf0.1 =
+    * 5 k docs: 1.03 vs 0.83 s; sf1 = 50 k docs: 15.5 vs 1.95 s — 8×,
+    * and the 13×-per-decade bucket slope vs ~2.3× for prefix). Both
+    * stages produce the PROVEN-identical verified pair set
+    * (PrefixFilterSpec + the shared DuckDB oracle), so the pick is
+    * semantics-free.
+    */
+  private[operators] val BucketStageMaxDocs = 2048L
+
+  /** Near-dup candidate pairs with COST-BASED stage selection — the
+    * engine's own mini-optimizer move, mirroring what Catalyst does
+    * for join strategies: the corpus size (one parquet-metadata count
+    * of the signature artifact) picks bucket all-pairs below
+    * `BucketStageMaxDocs` and the AllPairs/PPJoin prefix filter above
+    * it. Shared by `dedup_ngram_jaccard`, `text_edit_distance`, and
+    * the `dedup_cc_clusters` pair graph, so the r6 fix bounds every
+    * consumer of the pair stage at once.
+    */
+  private[operators] def ngramCandidatePairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val grams = hashedGramTable(s, d)
+    if (grams.count() <= BucketStageMaxDocs) bucketPairs(grams)
+    else prefixPairs(grams)
   }
 
   /** The EXACT AllPairs/PPJoin prefix-filter candidate stage
@@ -234,8 +265,10 @@ object SimilarityQueries {
     * ordering deliberately minimizes.
     */
   private[operators] def ngramPrefixCandidatePairs(
-      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val grams = hashedGramTable(s, d)
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    prefixPairs(hashedGramTable(s, d))
+
+  private def prefixPairs(grams: DataFrame): DataFrame = {
     val gramRows = grams.select(col("doc_id"), col("len_bkt"),
       col("n_grams"), explode(col("grams")).as("gram"))
     val dfTable = gramRows.groupBy(col("gram"))
@@ -365,8 +398,9 @@ object SimilarityQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // Character-5-gram Jaccard near-dup with (lang, length-bucket)
-    // blocking; integer intersect/union counts keep it oracle-exact.
+    // Word-bigram Jaccard near-dup; candidate stage is COST-PICKED by
+    // corpus size (bucket all-pairs small, AllPairs prefix filter at
+    // scale — both proven pair-identical, see ngramCandidatePairs).
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
 

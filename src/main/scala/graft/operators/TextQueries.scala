@@ -106,8 +106,10 @@ object TextQueries {
     // Edit distance between near-dup candidates: the character-level
     // second opinion on the Jaccard pair graph (an exact dup has
     // lev = 0; a template edit has small lev). Bounded cost: the
-    // distance runs only on pairs the bucket join surfaced, over
-    // 200-char prefixes (O(200^2) per pair), never all pairs.
+    // distance runs only on verified near-dup pairs from the
+    // cost-picked candidate stage (r6: sub-quadratic prefix filter at
+    // scale), over 200-char prefixes (O(200^2) per pair), never all
+    // pairs.
     // ASCII projection first: DuckDB's levenshtein counts BYTE edits
     // while Spark counts CHARACTER edits (verified: 'héllo'/'hello' is
     // 2 vs 1), so multi-byte text would diverge between engines.
