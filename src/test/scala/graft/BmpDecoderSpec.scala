@@ -101,6 +101,36 @@ class BmpDecoderSpec extends SparkSpecBase {
     assert(BmpDecoder.parse(oddBpp).isEmpty)
   }
 
+  test("parse(synthesize) roundtrips geometry and pixels for generated inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.chooseNum(1, 64)
+      n <- Gen.chooseNum(0, 600)
+      bytes <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (w, bytes.toArray)
+    (0 until 200).foreach { i =>
+      val (w, payload) =
+        gen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      val bmp = BmpDecoder.synthesize(w, payload)
+      val m = BmpDecoder.parse(bmp).getOrElse(
+        fail(s"case $i (w=$w, n=${payload.length}) failed to parse"))
+      assert(m.width == w && m.bitsPerPixel == 24 && !m.topDown)
+      assert(m.height == (payload.length + w - 1) / w)
+      assert(m.rowStride == (3 * w + 3) / 4 * 4)
+      assert(m.imageBytes == m.rowStride * m.height)
+      // walking logical rows through the decoder recovers the payload
+      // bytes in order (each pixel is 3 identical bytes; pad is zero)
+      val recovered = (0 until m.height).iterator.flatMap { r =>
+        BmpDecoder.row(bmp, m, r).grouped(3).take(w).map(_.head)
+      }.take(payload.length).toArray
+      assert(recovered.toSeq == payload.toSeq, s"case $i pixel walk")
+      // truncating anywhere inside the pixel array must classify None
+      if (m.imageBytes > 0)
+        assert(BmpDecoder.parse(bmp.dropRight(1 + i % 3)).isEmpty)
+    }
+  }
+
   test("mm_feature_extract decodes real container bytes end to end") {
     val rows = SparkEntry.queries("mm_feature_extract")(spark, sfDir)
       .collect()
