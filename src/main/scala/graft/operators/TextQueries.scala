@@ -33,7 +33,87 @@ object TextQueries {
     "es" -> Seq("el", "la", "los", "query", "data", "column"),
     "fr" -> Seq("le", "la", "les", "scan", "merge", "join"))
 
+  /** Corpus bigram language-model tables (r6) — the statistics behind
+    * `text_lm_score`, materialized once per (JVM, input dir) like the
+    * gram/label tables (SURVEY §3.3): an LM is a corpus ARTIFACT,
+    * rebuilt when the corpus changes, not per query. `lm_bigrams`
+    * holds (w1, w2, c) observed word-bigram counts; the context
+    * counts c(w1,·) derive from it by one tiny aggregate, and
+    * `lm_vocab` holds the single-row distinct-token count V used by
+    * add-one smoothing. Both builds are independent (no nested
+    * writeOnce).
+    */
+  private def lmBigrams(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.TempDirs.scoped("lm_bigrams", d)
+    graft.TempDirs.writeOnce("lm_bigrams" + d) {
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  private def lmVocab(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame = {
+    val dir = graft.TempDirs.scoped("lm_vocab", d)
+    graft.TempDirs.writeOnce("lm_vocab" + d) {
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct(col("w")).as("vocab"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    // Corpus bigram-LM quality score (r6): mean bits per bigram under
+    // an add-one-smoothed word-bigram model of the corpus itself —
+    // the CCNet/KenLM-style perplexity gate every pretraining
+    // pipeline runs (gibberish scores high, fluent-for-this-corpus
+    // text scores low). bits(w1 w2) = -log2((c(w1,w2)+1)/(c(w1,·)+V)).
+    // Scale shape: LM tables are corpus artifacts (one groupBy each,
+    // built once); scoring joins the exploded per-doc bigrams to the
+    // count tables on high-cardinality well-spread keys, and the
+    // per-doc fold state is bounded by ONE document's bigram list (a
+    // per-ROW payload, not a per-key history). Oracle-exact: the
+    // per-bigram doubles fold in (w1, w2)-sorted order (the
+    // mm_byte_stats ordered-fold proof) and surface only as rounded
+    // integer millibits.
+    "text_lm_score" -> ((s, d) => {
+      val bg = lmBigrams(s, d)
+      val cu = bg.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
+      val docBigrams = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      docBigrams
+        .join(bg, Seq("w1", "w2"))
+        .join(cu, Seq("w1"))
+        .crossJoin(lmVocab(s, d))
+        .withColumn("bits",
+          -log2((col("c") + 1).cast("double") /
+            (col("cu") + col("vocab")).cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(
+          struct(col("w1"), col("w2"), col("bits")))).as("bs"),
+          count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("cast(round(aggregate(bs, cast(0.0 as double), " +
+            "(acc, e) -> acc + e.bits) / n_bigrams * 1000) as bigint)")
+            .as("bits_mbits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID: score text against each profile, pick argmax
     // (ties broken by profile order = score desc, lang asc).
     "text_langid" -> ((s, d) => {
@@ -305,6 +385,38 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Same smoothed-probability arithmetic, same (w1, w2)-ordered
+    // double fold (duplicate bigrams contribute equal addends, so
+    // order among them cannot change the sum) — bit-identical before
+    // the millibit rounding.
+    "text_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), b AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        |), cb AS (
+        |  SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2
+        |), cu AS (
+        |  SELECT w1, sum(c) AS cu FROM cb GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT w) AS vocab
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |), x AS (
+        |  SELECT b.doc_id, b.w1, b.w2,
+        |    -log2(CAST(cb.c + 1 AS DOUBLE) /
+        |          CAST(cu.cu + v.vocab AS DOUBLE)) AS bits
+        |  FROM b
+        |  JOIN cb USING (w1, w2)
+        |  JOIN cu USING (w1)
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(round(list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE), list(bits ORDER BY w1, w2)),
+        |    (acc, e) -> acc + e) / count(*) * 1000) AS BIGINT) AS bits_mbits
+        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
