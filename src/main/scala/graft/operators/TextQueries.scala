@@ -381,10 +381,117 @@ object TextQueries {
           parse_url(col("url"), lit("HOST")).as("host"),
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY")).as("query"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // URL-canonicalization dedup (r6): the crawl-level dedup step that
+    // runs BEFORE any content dedup — the same page arrives under
+    // uppercase hosts, default ports, trailing slashes, tracking
+    // params, and fragments. Four deterministic messy variants are
+    // synthesized per doc (the fixture has no URL column), then
+    // canonicalized with engine-portable regex (lowercased host
+    // without port + path without trailing slash; query/fragment
+    // dropped) and grouped. Scale shape: pure per-row map + one
+    // groupBy on the canonical key — the exact-dedup shape.
+    "dedup_url_canonical" -> ((s, d) => {
+      val k = expr("doc_id div 4")
+      val base = concat(col("source"), lit(".example.org"))
+      val path = concat(lit("/"), col("lang"), lit("/"), k)
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://"), base, path))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTPS://"), upper(base), lit(":443"), path, lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://"), base, path,
+            lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("https://"), base, path, lit("#section-2")))
+      val host = lower(regexp_extract(col("url"),
+        "^[a-zA-Z]+://([^/:?#]+)", 1))
+      val rawPath = regexp_replace(regexp_extract(col("url"),
+        "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+      documents(s, d)
+        .withColumn("url", url)
+        .withColumn("canonical",
+          concat(host, when(rawPath === "", "/").otherwise(rawPath)))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_urls"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical"))
+    }),
+
+    // Training-window chunking (r6): fixed 64-token windows at stride
+    // 48 (16-token overlap) — how a corpus becomes model-sized
+    // sequences while keeping context across boundaries. Chunk count
+    // is 1 + ceil((n-64)/48) (one chunk for docs at or under the
+    // window), all integer arithmetic; per-chunk token/char counts
+    // make the fan-out oracle-checkable. Scale shape: narrow
+    // generator fan-out (explode of a per-row sequence), no shuffle
+    // except the output sort.
+    "text_chunk_windows" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("k", explode(expr(
+          "sequence(0, case when n <= 64 then 0 " +
+            "else (n - 64 + 47) div 48 end)")))
+        .withColumn("chunk", expr("slice(toks, k * 48 + 1, 64)"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          (col("k") * 48).as("start_tok"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          length(concat_ws(" ", col("chunk"))).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("chunk_idx")))
   )
 
   val oracle: Map[String, String] = Map(
+    // Same variant synthesis, same portable-regex canonicalization.
+    "dedup_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'https://' || source || '.example.org/' ||
+        |        lang || '/' || (doc_id // 4)
+        |      WHEN 1 THEN 'HTTPS://' || upper(source || '.example.org')
+        |        || ':443/' || lang || '/' || (doc_id // 4) || '/'
+        |      WHEN 2 THEN 'https://' || source || '.example.org/' ||
+        |        lang || '/' || (doc_id // 4) ||
+        |        '?utm_source=feed&utm_campaign=x'
+        |      ELSE 'https://' || source || '.example.org/' || lang ||
+        |        '/' || (doc_id // 4) || '#section-2'
+        |    END AS url
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) ||
+        |    CASE WHEN regexp_replace(regexp_extract(url,
+        |        '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '') = ''
+        |      THEN '/'
+        |      ELSE regexp_replace(regexp_extract(url,
+        |        '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+        |    END AS canonical
+        |  FROM u
+        |)
+        |SELECT canonical, count(*) AS n_urls, min(doc_id) AS first_doc
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+    // Same window arithmetic: chunk k covers tokens
+    // [48k+1, min(48k+64, n)] (1-based, end-inclusive in DuckDB's
+    // list_slice vs start+LENGTH in Spark's slice).
+    "text_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, ws, n,
+        |    unnest(generate_series(0,
+        |      CASE WHEN n <= 64 THEN 0
+        |           ELSE (n - 64 + 47) // 48 END)) AS ki
+        |  FROM t
+        |)
+        |SELECT doc_id, ki AS chunk_idx, ki * 48 AS start_tok,
+        |  CAST(len(list_slice(ws, ki * 48 + 1, least(ki * 48 + 64, n)))
+        |    AS BIGINT) AS n_toks,
+        |  CAST(len(array_to_string(
+        |    list_slice(ws, ki * 48 + 1, least(ki * 48 + 64, n)), ' '))
+        |    AS BIGINT) AS n_chars
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
     // Same smoothed-probability arithmetic, same (w1, w2)-ordered
     // double fold (duplicate bigrams contribute equal addends, so
     // order among them cannot change the sum) — bit-identical before
