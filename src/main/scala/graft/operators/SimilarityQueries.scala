@@ -339,6 +339,36 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Symmetric int8 embedding quantization (r6): the compression
+    // step ANN stores and training pipelines run over every vector —
+    // q_i = round(x_i * 127 / max|x|), all of [-127, 127] reachable,
+    // zero stays zero. Per-row discipline only: the max|x| fold is
+    // exact (max is associative-commutative in IEEE), the per-element
+    // divide-round happens elementwise with the SAME double literals
+    // both engines, and all emitted aggregates (sum, L1, nonzero
+    // count) are integer folds over the quantized values. Scale
+    // shape: pure narrow map over the vector column — no shuffle but
+    // the output sort; at 100 TB this runs fused into the scan that
+    // writes the ANN index artifact.
+    "emb_quantize_int8" -> ((s, d) =>
+      embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("maxabs", expr(
+          "aggregate(v, cast(0.0 as double), (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("q", expr(
+          "transform(v, x -> case when maxabs = 0.0 then cast(0 as bigint) " +
+            "else cast(round(x * 127.0 / maxabs) as bigint) end)"))
+        .select(col("vec_id"),
+          size(col("q")).cast("long").as("dim"),
+          expr("cast(round(maxabs / 127.0 * 1000000) as bigint)")
+            .as("scale_u"),
+          expr("aggregate(q, cast(0 as bigint), (a, x) -> a + x)")
+            .as("sum_q"),
+          expr("aggregate(q, cast(0 as bigint), (a, x) -> a + abs(x))")
+            .as("l1_q"),
+          expr("cast(size(filter(q, x -> x != 0)) as bigint)").as("nnz_q"))
+        .orderBy(col("vec_id"))),
+
     // SimHash near-dup: 4 x 16-bit band join guarantees recall of all
     // pairs with hamming distance <= 3 (pigeonhole), verified exactly
     // via bit_count(xor). N-operator (hash values are Spark-specific).
@@ -622,6 +652,31 @@ object SimilarityQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same elementwise round(x * 127 / max|x|) with the same double
+    // literals; every emitted aggregate is an integer fold.
+    "emb_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS maxabs
+        |  FROM v
+        |), q AS (
+        |  SELECT vec_id, maxabs,
+        |    list_transform(v, x -> CASE WHEN maxabs = 0.0
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round(x * 127.0 / maxabs) AS BIGINT) END) AS q
+        |  FROM m
+        |)
+        |SELECT vec_id,
+        |  CAST(len(q) AS BIGINT) AS dim,
+        |  CAST(round(maxabs / 127.0 * 1000000) AS BIGINT) AS scale_u,
+        |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1_q,
+        |  CAST(len(list_filter(q, x -> x != 0)) AS BIGINT) AS nnz_q
+        |FROM q ORDER BY vec_id""".stripMargin,
     "dedup_ngram_prefix" -> ngramJaccardSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     // Full SQL mirror of the sign-random-projection structure: same

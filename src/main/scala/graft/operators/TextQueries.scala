@@ -437,10 +437,89 @@ object TextQueries {
           (col("k") * 48).as("start_tok"),
           size(col("chunk")).cast("long").as("n_toks"),
           length(concat_ws(" ", col("chunk"))).cast("long").as("n_chars"))
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // BM25 top-k retrieval (r6): the lexical-retrieval scorer of RAG
+    // and dataset-search pipelines — Okapi BM25 (k1 = 1.2, b = 0.75)
+    // of a fixed 3-term query over the corpus, top-20 docs. Float
+    // discipline: every constant appears as the SAME literal in both
+    // engines (2.2 and 0.25 written out, never computed as k1+1 or
+    // 1−b, whose compile-time double can land a ulp off the literal),
+    // and each per-term score rounds to integer micro-units BEFORE
+    // the per-doc sum — so the only cross-engine float surface is
+    // one ln() and a handful of IEEE mul/divs per (doc, term), and
+    // the sum itself is exact integer math in any order. Scale
+    // shape: term filter BEFORE the explode-aggregate keeps the tf
+    // table ∝ matching postings; df and corpus stats broadcast; the
+    // ranking is a global top-20 (TakeOrderedAndProject, no full
+    // sort materialization).
+    "text_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("query", "join", "fast")
+      val docs = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val corpus = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .filter(col("term").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfT), "term")
+        .crossJoin(broadcast(corpus))
+        .withColumn("idf", log(
+          (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("tfn",
+          col("tf").cast("double") * 2.2 /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+                (col("sum_dl").cast("double") / col("n_docs").cast("double")))))
+        .withColumn("score_u",
+          expr("cast(round(idf * tfn * 1000000) as bigint)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("score_u")).as("bm25_u"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25_u").desc, col("doc_id"))
+        .limit(20)
+    })
   )
 
   val oracle: Map[String, String] = Map(
+    // Same literal constants (2.2, 1.2, 0.25, 0.75), same one-ln
+    // formula, same per-term micro-unit rounding before the integer
+    // per-doc sum.
+    "text_bm25_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM docs
+        |), tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+        |  WHERE term IN ('query', 'join', 'fast')
+        |  GROUP BY doc_id, dl, term
+        |), dft AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |)
+        |SELECT tf.doc_id,
+        |  CAST(sum(CAST(round(
+        |    ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |    (CAST(tf AS DOUBLE) * 2.2 /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        CAST(dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) *
+        |    1000000) AS BIGINT)) AS BIGINT) AS bm25_u,
+        |  count(*) AS n_terms
+        |FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN corpus
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25_u DESC, tf.doc_id LIMIT 20""".stripMargin,
     // Same variant synthesis, same portable-regex canonicalization.
     "dedup_url_canonical" ->
       """WITH u AS (

@@ -104,6 +104,39 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Robust per-key outlier detection (r6): median / MAD (median
+    // absolute deviation), the standard telemetry-cleaning gate —
+    // events beyond 3 MADs from the median flag as outliers (robust
+    // where mean/stddev is dragged by the outliers themselves). Both
+    // medians use percentile_disc, which picks ACTUAL data values
+    // (deterministic across engines, the agg_percentile_disc
+    // precedent); dev = |value − med| and the 3·MAD gate are exact
+    // IEEE ops on those picked values. Scale shape: three shuffles,
+    // all on user_id (co-partitioned end to end). percentile_disc
+    // buffers a group's values, so at 100 TB the thresholds come
+    // from approx_percentile or a per-key sample and apply as a
+    // map-only filter — the exact-disc form here is what makes the
+    // operator oracle-pairable (same trade as agg_percentile_disc).
+    "ts_outlier_mad" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("value"))
+      val med = ev.groupBy(col("user_id")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("med"))
+      val dev = ev.join(med, "user_id")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("user_id")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+          .as("mad"))
+      dev.join(mad, "user_id")
+        .groupBy(col("user_id"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("dev") > col("mad") * 3.0, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .select(col("user_id"), col("n_events"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy(col("user_id"))
+    }),
+
     // Batch sessionization: split each user's event stream into
     // sessions at >30-min inactivity gaps (lag + flag + running sum),
     // then one aggregate per session. Two window passes + one hash
@@ -228,6 +261,28 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // quantile_disc picks the same actual data values as Spark's
+    // percentile_disc (the agg_percentile_disc precedent); dev and
+    // the 3-MAD gate are the same IEEE ops on those values.
+    "ts_outlier_mad" ->
+      """WITH e AS (
+        |  SELECT user_id, value FROM events
+        |), med AS (
+        |  SELECT user_id, quantile_disc(value, 0.5) AS med
+        |  FROM e GROUP BY user_id
+        |), dev AS (
+        |  SELECT e.user_id, med.med, abs(value - med.med) AS dev
+        |  FROM e JOIN med ON e.user_id = med.user_id
+        |), mad AS (
+        |  SELECT user_id, quantile_disc(dev, 0.5) AS mad
+        |  FROM dev GROUP BY user_id
+        |)
+        |SELECT dev.user_id, count(*) AS n_events, dev.med, mad.mad,
+        |  CAST(sum(CASE WHEN dev > mad.mad * 3.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.user_id = mad.user_id
+        |GROUP BY dev.user_id, dev.med, mad.mad
+        |ORDER BY dev.user_id""".stripMargin,
     // Same left-to-right fold over the same (ts, event_id) order with
     // the same exact-binary 0.25/0.75 constants — bit-identical
     // doubles (the sim_search_topk ordered-fold proof).

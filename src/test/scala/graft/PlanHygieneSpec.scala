@@ -21,7 +21,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "sim_search_cosine" -> "brute-force baseline: bounded query side x corpus",
     "ann_ivf_topk" -> "16-centroid broadcast fan-out per vector",
     "ann_ivf_built_topk" -> "k=8-centroid broadcast fan-out per vector",
-    "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows"
+    "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows",
+    "text_lm_score" -> "single-row vocab-size frame crossed onto the scorer",
+    "text_bm25_topk" -> "single-row corpus-stats frame crossed onto postings"
   )
 
   private lazy val plansByQuery: Map[String, String] =

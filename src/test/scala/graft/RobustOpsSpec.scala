@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant pins for the r6 scoring/compression operators:
+  * `text_bm25_topk`, `emb_quantize_int8`, and `ts_outlier_mad`.
+  */
+class RobustOpsSpec extends SparkSpecBase {
+
+  test("emb_quantize_int8: quantized range and extreme-element pin") {
+    val out = SparkEntry.queries("emb_quantize_int8")(spark, sfDir).cache()
+    // |q_i| <= 127 always implies L1 <= 127 * dim
+    assert(out.filter(col("l1_q") > col("dim") * 127).count() === 0)
+    // the max-|x| element always quantizes to exactly +/-127, so a
+    // non-degenerate vector has L1 >= 127
+    assert(out.filter(col("scale_u") > 0 && col("l1_q") < 127)
+      .count() === 0)
+    assert(out.filter(col("nnz_q") > col("dim")).count() === 0)
+    out.unpersist()
+  }
+
+  test("emb_quantize_int8: formula pin incl. the all-zero vector") {
+    // the operator's exact lambda on known vectors: [3, -6, 0] has
+    // maxabs 6 -> q = [64, -127, 0] (3*127/6 = 63.5 rounds HALF_UP
+    // to 64); the zero vector quantizes to zeros with scale 0
+    val rows = spark.sql(
+      """SELECT transform(v, x -> CASE WHEN m = 0.0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(round(x * 127.0 / m) AS BIGINT) END) AS q
+        |FROM (
+        |  SELECT v, aggregate(v, cast(0.0 as double),
+        |    (a, x) -> greatest(a, abs(x))) AS m
+        |  FROM VALUES (array(3.0D, -6.0D, 0.0D)),
+        |              (array(0.0D, 0.0D, 0.0D)) AS t(v)
+        |)""".stripMargin).collect()
+    assert(rows(0).getSeq[Long](0) === Seq(64L, -127L, 0L))
+    assert(rows(1).getSeq[Long](0) === Seq(0L, 0L, 0L))
+  }
+
+  test("text_bm25_topk: ranked, bounded, and term-grounded") {
+    val out = SparkEntry.queries("text_bm25_topk")(spark, sfDir).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    // descending by score with doc_id tiebreak — already the output
+    // order; re-assert it holds
+    val scores = out.map(r => (r.getAs[Long]("bm25_u"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy(t => (-t._1, t._2))))
+    // every returned doc really contains at least one query term and
+    // matched at most the 3 query terms
+    assert(out.forall(r => r.getAs[Long]("n_terms") >= 1 &&
+      r.getAs[Long]("n_terms") <= 3))
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    def arrayOverlapCount = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(arrays_overlap(split(col("text"), " "),
+        array(lit("query"), lit("join"), lit("fast"))))
+      .count()
+    assert(arrayOverlapCount === ids.length.toLong)
+  }
+
+  test("ts_outlier_mad: median grounded in data, outliers minority") {
+    val out = SparkEntry.queries("ts_outlier_mad")(spark, sfDir).cache()
+    assert(out.filter(col("mad") < 0).count() === 0)
+    assert(out.filter(col("n_outliers") * 2 > col("n_events")).count() === 0,
+      "more than half a user's events flagged as outliers")
+    // each user's median is an ACTUAL value of that user (disc pick)
+    val ev = Tables.events(spark, sfDir).select(col("user_id"), col("value"))
+    val missing = out.select(col("user_id"), col("med"))
+      .join(ev, out("user_id") === ev("user_id") &&
+        out("med") === ev("value"), "left_anti")
+    assert(missing.count() === 0)
+    out.unpersist()
+  }
+}
