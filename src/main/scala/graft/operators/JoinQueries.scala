@@ -317,6 +317,40 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_rows"),
           moneySumD(col("l_quantity")).as("sum_qty"))
         .orderBy(col("label"))
+    }),
+
+    // Injected runtime bloom filter (r6): the third runtime-
+    // optimization demo next to `join_dpp` (partition-level skipping)
+    // and `join_skew_aqe` (partition splitting). A selectively
+    // filtered dim side joins the fact on a non-partition key, so DPP
+    // cannot help; Catalyst's InjectRuntimeFilter builds a bloom
+    // filter over the dim join keys and pushes
+    // bloom_filter_might_contain onto the FACT SCAN — rows that
+    // cannot join die before the shuffle. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the ~matching fraction. Fixture-scale conf: the application-
+    // side size threshold (10 GB default, sized for real lakes) drops
+    // to 0 and broadcast is disabled — bloom reduction matters
+    // exactly when the join must shuffle. Plan-asserted in
+    // PlanShapeSpec (might_contain on the fact scan's filter).
+    "join_runtime_bloom" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val dim = orders(s2, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      lineitem(s2, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          moneySumD(col("l_quantity")).as("sum_qty"))
     })
   )
 
@@ -421,6 +455,13 @@ object JoinQueries {
         |SELECT label, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN dim ON l_returnflag = flag
-        |GROUP BY label ORDER BY label""".stripMargin
+        |GROUP BY label ORDER BY label""".stripMargin,
+    // the bloom filter is a pure pre-shuffle reduction — the join
+    // result is the plain selective equi join
+    "join_runtime_bloom" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'""".stripMargin
   )
 }

@@ -313,6 +313,17 @@ class PlanShapeSpec extends SparkSpecBase {
       s"DPP scan read $scanned of $total rows — no partitions skipped")
   }
 
+  test("join_runtime_bloom pushes might_contain onto the fact scan") {
+    val df = SparkEntry.queries("join_runtime_bloom")(spark, sfDir)
+    // InjectRuntimeFilter fires at logical optimization — the bloom
+    // probe must appear on the lineitem (application) side BEFORE the
+    // shuffle, not merely anywhere in the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter was injected:\n$p")
+    assert(df.collect().head.getLong(0) > 0)
+  }
+
   test("join_skew_aqe's executed plan actually split the skewed partition") {
     val df = SparkEntry.queries("join_skew_aqe")(spark, sfDir)
     df.collect()
