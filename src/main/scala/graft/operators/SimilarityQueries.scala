@@ -338,7 +338,74 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  // --- product quantization -----------------------------------------
+
+  /** PQ codebook: 8 subspaces x 4 centroids x 8 dims of deterministic
+    * literal doubles (integer lattice scaled by 1/9 — part of the
+    * operator definition, like the LSH hyperplanes; a real pipeline
+    * trains these per-corpus and ships them as literals the same way).
+    */
+  private lazy val pqCentroids: Seq[Double] =
+    for {
+      m <- 0 until 8; k <- 0 until 4; j <- 0 until 8
+    } yield (((m * 131 + k * 47 + j * 13) % 19) - 9) / 9.0
+
+  /** Deterministic PQ probe vector (integer lattice scaled by 1/8). */
+  private lazy val pqQuery: Seq[Double] =
+    (0 until 64).map(i => (((i * 31) % 17) - 8) / 8.0)
+
+  private def sqlArr(xs: Seq[Double]): String =
+    xs.mkString("[", ", ", "]")
+
   val queries: Map[String, Q] = Map(
+    // Product-quantization ADC top-k (r6): the memory-compression arm
+    // of the ANN family (IVF partitions the corpus, LSH buckets it,
+    // PQ shrinks each vector to M*log2(K) bits). Encode: each
+    // vector's 8
+    // 8-dim subvectors map to their nearest of 4 literal centroids
+    // (argmin by ordered-fold squared distance, first-minimum
+    // tie-break); search: asymmetric distance — the query's 8x4
+    // distance table is built ONCE and each vector's approximate
+    // distance is 8 table lookups summed in subspace order. Scale
+    // shape: codes are 16 bits/vector (vs 256 float bytes), the scan
+    // is map-only, and the top-10 is TakeOrderedAndProject — at
+    // 100 TB the code table is the build-once index artifact and ADC
+    // never touches the raw vectors. Oracle-exact: centroids/query
+    // are shared literals (Double.toString round-trips), every float
+    // fold is ordered, min/equality on doubles is exact, and the
+    // emitted distance rounds to micro-units.
+    "ann_pq_topk" -> ((s, d) =>
+      embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("cent", array(pqCentroids.map(lit): _*))
+        .withColumn("q", array(pqQuery.map(lit): _*))
+        .withColumn("dls", expr(
+          "transform(sequence(0, 7), m -> transform(sequence(0, 3), k -> " +
+            "aggregate(sequence(0, 7), cast(0.0 as double), (a, j) -> " +
+            "a + (element_at(v, m*8 + j + 1) - " +
+            "element_at(cent, (m*4 + k)*8 + j + 1)) * " +
+            "(element_at(v, m*8 + j + 1) - " +
+            "element_at(cent, (m*4 + k)*8 + j + 1)))))"))
+        .withColumn("codes", expr(
+          "transform(dls, dl -> array_position(dl, array_min(dl)) - 1)"))
+        .withColumn("qdt", expr(
+          "transform(sequence(0, 7), m -> transform(sequence(0, 3), k -> " +
+            "aggregate(sequence(0, 7), cast(0.0 as double), (a, j) -> " +
+            "a + (element_at(q, m*8 + j + 1) - " +
+            "element_at(cent, (m*4 + k)*8 + j + 1)) * " +
+            "(element_at(q, m*8 + j + 1) - " +
+            "element_at(cent, (m*4 + k)*8 + j + 1)))))"))
+        .withColumn("adc", expr(
+          "aggregate(sequence(0, 7), cast(0.0 as double), (a, m) -> " +
+            "a + element_at(element_at(qdt, m + 1), " +
+            "cast(element_at(codes, m + 1) + 1 as int)))"))
+        .select(col("vec_id"),
+          expr("aggregate(codes, cast(0 as bigint), (a, c) -> a * 4 + c)")
+            .as("code_pack"),
+          expr("cast(round(adc * 1000000) as bigint)").as("adc_u"))
+        .orderBy(col("adc_u"), col("vec_id"))
+        .limit(10)),
+
     // Symmetric int8 embedding quantization (r6): the compression
     // step ANN stores and training pipelines run over every vector —
     // q_i = round(x_i * 127 / max|x|), all of [-127, 127] reachable,
@@ -652,6 +719,48 @@ object SimilarityQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Same literal codebook/query (Double.toString round-trips), same
+    // ordered-fold subspace distances, same first-minimum argmin, same
+    // m-ordered ADC sum — bit-identical before the micro-unit round.
+    "ann_pq_topk" ->
+      s"""WITH cent AS (SELECT ${sqlArr(pqCentroids)} AS c),
+         |qv AS (SELECT ${sqlArr(pqQuery)} AS q),
+         |enc AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(0, 7), m ->
+         |      list_transform(generate_series(0, 3), k ->
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(generate_series(0, 7), j ->
+         |            (CAST(embedding[m*8 + j + 1] AS DOUBLE) -
+         |              c[(m*4 + k)*8 + j + 1]) *
+         |            (CAST(embedding[m*8 + j + 1] AS DOUBLE) -
+         |              c[(m*4 + k)*8 + j + 1]))),
+         |          (a, x) -> a + x))) AS dls
+         |  FROM embeddings CROSS JOIN cent
+         |), codes AS (
+         |  SELECT vec_id,
+         |    list_transform(dls, dl ->
+         |      list_position(dl, list_aggregate(dl, 'min')) - 1) AS codes
+         |  FROM enc
+         |), qdt AS (
+         |  SELECT list_transform(generate_series(0, 7), m ->
+         |    list_transform(generate_series(0, 3), k ->
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(generate_series(0, 7), j ->
+         |          (q[m*8 + j + 1] - c[(m*4 + k)*8 + j + 1]) *
+         |          (q[m*8 + j + 1] - c[(m*4 + k)*8 + j + 1]))),
+         |        (a, x) -> a + x))) AS t
+         |  FROM qv CROSS JOIN cent
+         |)
+         |SELECT vec_id,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+         |    (a, cd) -> a * 4 + cd) AS BIGINT) AS code_pack,
+         |  CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(0, 7), m ->
+         |      t[m + 1][CAST(codes[m + 1] + 1 AS INT)])),
+         |    (a, x) -> a + x) * 1000000) AS BIGINT) AS adc_u
+         |FROM codes CROSS JOIN qdt
+         |ORDER BY adc_u, vec_id LIMIT 10""".stripMargin,
     // Same elementwise round(x * 127 / max|x|) with the same double
     // literals; every emitted aggregate is an integer fold.
     "emb_quantize_int8" ->

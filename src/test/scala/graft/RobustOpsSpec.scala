@@ -57,6 +57,48 @@ class RobustOpsSpec extends SparkSpecBase {
     assert(arrayOverlapCount === ids.length.toLong)
   }
 
+  test("ann_pq_topk: codes and ADC agree with an independent recompute") {
+    // recompute the PQ encode + ADC in plain Scala (no Spark
+    // expressions) for the returned top-10 and compare exactly
+    val cent: IndexedSeq[Double] =
+      for {
+        m <- 0 until 8; k <- 0 until 4; j <- 0 until 8
+      } yield (((m * 131 + k * 47 + j * 13) % 19) - 9) / 9.0
+    val q: IndexedSeq[Double] =
+      (0 until 64).map(i => (((i * 31) % 17) - 8) / 8.0)
+    def subDist(v: IndexedSeq[Double], m: Int, k: Int): Double = {
+      var a = 0.0
+      var j = 0
+      while (j < 8) {
+        val diff = v(m * 8 + j) - cent((m * 4 + k) * 8 + j)
+        a += diff * diff
+        j += 1
+      }
+      a
+    }
+    val out = SparkEntry.queries("ann_pq_topk")(spark, sfDir).collect()
+    assert(out.length === 10)
+    val embByIdRows: Map[Long, IndexedSeq[Double]] =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .collect().map { r =>
+          r.getAs[Long]("vec_id") ->
+            r.getSeq[Float](r.fieldIndex("embedding"))
+              .map(_.toDouble).toIndexedSeq
+        }.toMap
+    out.foreach { r =>
+      val v = embByIdRows(r.getAs[Long]("vec_id"))
+      val codes = (0 until 8).map { m =>
+        val ds = (0 until 4).map(k => subDist(v, m, k))
+        ds.indexOf(ds.min)
+      }
+      val pack = codes.foldLeft(0L)((a, c) => a * 4 + c)
+      assert(r.getAs[Long]("code_pack") === pack)
+      val adc = (0 until 8).foldLeft(0.0)((a, m) =>
+        a + subDist(q, m, codes(m)))
+      assert(r.getAs[Long]("adc_u") === math.round(adc * 1e6))
+    }
+  }
+
   test("ts_outlier_mad: median grounded in data, outliers minority") {
     val out = SparkEntry.queries("ts_outlier_mad")(spark, sfDir).cache()
     assert(out.filter(col("mad") < 0).count() === 0)
