@@ -230,6 +230,36 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Per-group OLS regression (r6): slope/intercept of price on
+    // quantity per return flag from the same exact sufficient
+    // statistics as agg_corr_exact (whole-dollar decimal sums stay
+    // under 2^53, so every DECIMAL→DOUBLE cast is exact and the
+    // closed-form arithmetic is a fixed IEEE expression both engines
+    // evaluate identically). Mergeable five-scalar state through the
+    // map-side partial agg — the textbook distributed-regression
+    // shape at any corpus size.
+    "agg_linreg" -> ((s, d) => {
+      val q = col("l_quantity").cast(DecimalType(18, 0))
+      val p = col("l_extendedprice").cast(DecimalType(18, 0))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(q).cast(DoubleType).as("sx"),
+          sum(p).cast(DoubleType).as("sy"),
+          sum(q * p).cast(DoubleType).as("sxy"),
+          sum(q * q).cast(DoubleType).as("sxx"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          (((col("n") * col("sxy")) - (col("sx") * col("sy"))) /
+            ((col("n") * col("sxx")) - (col("sx") * col("sx"))))
+            .as("slope"),
+          ((col("sy") - (((col("n") * col("sxy")) - (col("sx") * col("sy"))) /
+            ((col("n") * col("sxx")) - (col("sx") * col("sx")))) * col("sx")) /
+            col("n")).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Equi-width histogram of order value: integer-cents bucketing
     // (bucket = cents div 5,000,000, i.e. $50k-wide bins, top bin
     // open) plus each bin's share in basis points via a single-row
@@ -477,6 +507,23 @@ object AggQueries {
         |  quantile_disc(l_quantity, 0.5) AS p50_qty,
         |  quantile_disc(l_extendedprice, 0.9) AS p90_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same exact decimal sufficient statistics, same closed-form IEEE
+    // expression (textually identical slope subterm)
+    "agg_linreg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_extendedprice AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope,
+        |  (sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx) / n
+        |    AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_corr_exact" ->
       """WITH s AS (
         |  SELECT l_returnflag,

@@ -99,6 +99,28 @@ class RobustOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("agg_linreg: residuals sum to ~zero (the OLS normal equation)") {
+    val res = SparkEntry.queries("agg_linreg")(spark, sfDir).collect()
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice")).collect()
+      .groupBy(_.getString(0))
+    res.foreach { r =>
+      val (slope, icept) = (r.getAs[Double]("slope"),
+        r.getAs[Double]("intercept"))
+      val rows = li(r.getString(0))
+      val meanResid = rows.map(x => x.getDouble(2) -
+        (icept + slope * x.getDouble(1))).sum / rows.length
+      val meanY = rows.map(_.getDouble(2)).sum / rows.length
+      // the operator's sufficient statistics round to whole dollars
+      // (the 2^53-exactness trade, see agg_corr_exact), so residuals
+      // against the raw cents-precision values carry that rounding —
+      // bounded well under 1e-6 relative
+      assert(math.abs(meanResid) / meanY < 1e-6,
+        s"flag ${r.getString(0)}: mean residual $meanResid vs mean $meanY")
+    }
+  }
+
   test("ts_outlier_mad: median grounded in data, outliers minority") {
     val out = SparkEntry.queries("ts_outlier_mad")(spark, sfDir).cache()
     assert(out.filter(col("mad") < 0).count() === 0)
