@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Product-quantization encode of one embedding in a single fused
+  * pass, as a native codegen'd Catalyst expression: for each of the
+  * `nSub` subspaces of `subDim` dims, the index of the nearest of the
+  * subspace's `nCent` centroids (squared L2, first minimum wins ties).
+  *
+  * The built-in formulation — nested `transform`/`aggregate` lambdas
+  * with `element_at` per term — evaluates ~`nSub * nCent * subDim`
+  * interpreted lambda steps per row with boxed accumulators; it
+  * measured 4.1 s over 2 k vectors at sf0.1 (r6 sweep), two orders
+  * over the scan cost. Here the codebook is a codegen reference object
+  * and the encode is one tight primitive loop nest fused into the
+  * surrounding stage — the `SignProjectionExpr` treatment.
+  *
+  * Semantics are bit-identical to the interpreted form (asserted by
+  * the independent recompute in RobustOpsSpec and the unchanged DuckDB
+  * oracle): distances accumulate `acc + diff * diff` in ascending dim
+  * order, and the argmin scans centroids in ascending order keeping
+  * strict improvements — the first minimum, exactly
+  * `array_position(dl, array_min(dl))`.
+  */
+case class PqEncodeExpr(child: Expression, centroids: Seq[Double],
+                        nSub: Int, nCent: Int, subDim: Int)
+  extends UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+      if centroids.length == nSub * nCent * subDim =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode requires array<float|double> input and " +
+        s"|centroids| == nSub*nCent*subDim, got " +
+        s"${child.dataType.simpleString}, ${centroids.length} centroids")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val centArr: Array[Double] = centroids.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val out = new Array[Long](nSub)
+    var m = 0
+    while (m < nSub) {
+      var bestK = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < nCent) {
+        var s = 0.0
+        var j = 0
+        while (j < subDim) {
+          val i = m * subDim + j
+          val x =
+            if (i >= arr.numElements()) 0.0
+            else if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+          val diff = x - centArr((m * nCent + k) * subDim + j)
+          s += diff * diff
+          j += 1
+        }
+        if (s < bestD) { bestD = s; bestK = k }
+        k += 1
+      }
+      out(m) = bestK.toLong
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cRef = ctx.addReferenceObj("centroids", centArr, "double[]")
+      val getter = if (elemIsFloat) "getFloat" else "getDouble"
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val diff = ctx.freshName("diff")
+      val bestK = ctx.freshName("bestK")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |long[] $out = new long[$nSub];
+         |for (int $m = 0; $m < $nSub; $m++) {
+         |  int $bestK = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $k = 0; $k < $nCent; $k++) {
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $subDim; $j++) {
+         |      int $i = $m * $subDim + $j;
+         |      double $x = $i >= $a.numElements()
+         |        ? 0.0 : (double) $a.$getter($i);
+         |      double $diff = $x - $cRef[($m * $nCent + $k) * $subDim + $j];
+         |      $s += $diff * $diff;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $bestK = $k; }
+         |  }
+         |  $out[$m] = (long) $bestK;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeExpr = copy(child = newChild)
+
+  override def prettyName: String = "graft_pq_encode"
+}
+
+object PqEncodeExpr {
+  /** Column API: PQ codes (array<long>, length nSub) of an
+    * `array<float|double>` embedding.
+    */
+  def codes(c: Column, centroids: Seq[Double],
+            nSub: Int, nCent: Int, subDim: Int): Column =
+    ColumnBridge.column(PqEncodeExpr(
+      ColumnBridge.expression(c), centroids, nSub, nCent, subDim))
+}
