@@ -38,6 +38,7 @@ object SparkEntry {
       (PipelineQueries.queries, PipelineQueries.oracle),
       (MaintenanceQueries.queries, MaintenanceQueries.oracle),
       (SqlQueries.queries, SqlQueries.oracle),
+      (GraphQueries.queries, GraphQueries.oracle),
       (TimeSeriesQueries.queries, TimeSeriesQueries.oracle),
       (StreamingQueries.queries, StreamingQueries.oracle)
     )

@@ -74,6 +74,32 @@ object ScalarQueries {
           last_day(col("o_orderdate")).as("month_end"))
         .orderBy(col("o_orderkey"))),
 
+    // ANSI INTERVAL types (r6, Spark 4 surface distinct from
+    // fn_date_arith's date functions): year-month and day-time
+    // interval LITERAL arithmetic on timestamps, plus timestamp
+    // subtraction yielding a day-time interval whose components are
+    // extracted as integers. Interval values themselves never reach
+    // the output (no stable cross-engine rendering); what leaves the
+    // plan is timestamps and BIGINT components. Both engines clamp
+    // month-adds to month end (Jan 31 + 1 month = Feb 29/28) and
+    // split a negative difference into same-signed components, so
+    // the anchor mid-range of the feed exercises both signs.
+    "fn_interval_arith" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          (col("ts_ts") + expr("INTERVAL '2-3' YEAR TO MONTH"))
+            .as("plus_ym"),
+          (col("ts_ts") + expr("INTERVAL '10 12:30:00' DAY TO SECOND"))
+            .as("plus_dts"),
+          expr("extract(DAY FROM (TIMESTAMP '2024-01-15 12:00:00' - ts_ts))")
+            .cast(LongType).as("days_comp"),
+          expr("extract(HOUR FROM (TIMESTAMP '2024-01-15 12:00:00' - ts_ts))")
+            .cast(LongType).as("hours_comp"),
+          expr("extract(MINUTE FROM (TIMESTAMP '2024-01-15 12:00:00' - ts_ts))")
+            .cast(LongType).as("mins_comp"))
+        .orderBy(col("event_id"))),
+
     "fn_math" -> ((s, d) =>
       lineitem(s, d)
         .select(
@@ -349,6 +375,15 @@ object ScalarQueries {
         |  CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS months_since,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_interval_arith" ->
+      """WITH e AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS t FROM events)
+        |SELECT event_id,
+        |  t + INTERVAL '2 years 3 months' AS plus_ym,
+        |  t + INTERVAL '10 days 12 hours 30 minutes' AS plus_dts,
+        |  CAST(extract(day FROM (TIMESTAMP '2024-01-15 12:00:00' - t)) AS BIGINT) AS days_comp,
+        |  CAST(extract(hour FROM (TIMESTAMP '2024-01-15 12:00:00' - t)) AS BIGINT) AS hours_comp,
+        |  CAST(extract(minute FROM (TIMESTAMP '2024-01-15 12:00:00' - t)) AS BIGINT) AS mins_comp
+        |FROM e ORDER BY event_id""".stripMargin,
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_extendedprice - 1000.0) AS abs_diff,

@@ -1,0 +1,246 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.P — graph analytics over a derived similarity graph.
+  *
+  * Football reading: a "plays-like" supplier network — clubs/suppliers
+  * that stock the same parts are neighbors; triangles and PageRank
+  * surface the tightly-coupled clusters and the most central vendors
+  * (derived surface — `/root/reference/README.md:2`).
+  *
+  * Graph construction is the scale decision. The naive co-occurrence
+  * graph ("edge iff two suppliers share ≥1 part") is degenerate at
+  * every fixture scale — it converges to the COMPLETE graph K_N
+  * (measured: 499 500 edges over 1 000 suppliers at sf0.1), and any
+  * fixed count threshold is scale-dependent the other way (at 10× the
+  * data every pair clears it). The scale-invariant construction is the
+  * top-k similarity digraph: each node keeps edges to its K=3
+  * strongest co-suppliers by (shared-part count DESC, id) — bounded
+  * out-degree K regardless of corpus size, the k-NN-graph shape every
+  * large-scale graph pipeline uses. Downstream cost is then O(N·K),
+  * not O(N²).
+  *
+  * Scale notes (100 TB):
+  * - The co-occurrence count stage is the one data-proportional cost:
+  *   Σ_parts C(suppliers_per_part, 2) pairs through one partial-agg
+  *   shuffle (map-side combine on (u, v)). Hot parts with huge
+  *   supplier lists are the skew risk; a production run caps or
+  *   frequency-splits them (same playbook as the dedup blocking
+  *   buckets, SURVEY §2.K).
+  * - The edge table is a build-once corpus artifact
+  *   (`TempDirs.writeOnce`, same offline-build/online-read split as
+  *   the cc-labels and IVF artifacts): three queries consume it, and
+  *   a triangle join that referenced the raw subtree would otherwise
+  *   re-run the pair stage once per self-join alias.
+  * - Triangle counting uses degree-ordered orientation (each edge
+  *   points from the (degree, id)-smaller endpoint): every wedge is
+  *   enumerated at its π-minimum vertex, bounding intermediate size by
+  *   Σ outdeg² — the arboricity-bounded classic, never all-pairs.
+  * - PageRank runs a FIXED 3 iterations with integer micro-unit
+  *   arithmetic (rank mass 10^12, contributions via `div`): integer
+  *   sums are associative, so the result is partitioning- and
+  *   order-invariant — byte-identical in DuckDB — where a double
+  *   accumulation would hash-diverge on summation order. Each
+  *   iteration is one join + one partial-agg shuffle over the O(N·K)
+  *   edge list; lineage stays linear off the parquet artifact.
+  */
+object GraphQueries {
+
+  /** Out-degree cap of the similarity digraph. */
+  private val K = 3
+
+  /** Integer PageRank: total rank mass, damping 0.85 as 85/100. */
+  private val Mass = 1000000000000L
+
+  /** Top-K co-supplier digraph, built once per (JVM, input dir) as a
+    * parquet artifact. Columns: u, v, shared_parts (u → its K
+    * strongest neighbors).
+    */
+  private def edgesTopK(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.TempDirs.scoped("graph_edges", d)
+    graft.TempDirs.writeOnce("graph_edges" + d) {
+      val ps = lineitem(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val pairs = ps.as("a")
+        .join(ps.as("b"),
+          col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+        .groupBy(col("a.sup").as("u"), col("b.sup").as("v"))
+        .agg(count(lit(1)).as("shared_parts"))
+      val sym = pairs.select(col("u"), col("v"), col("shared_parts"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v"),
+          col("shared_parts")))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("shared_parts").desc, col("v").asc)
+      sym.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .drop("rn")
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** Undirected edge set of the top-K digraph (either direction
+    * counts), oriented low→high by the (degree, id) total order π.
+    * `dhi` carries π's first component for the hi endpoint so the
+    * triangle wedge join can compare π without re-joining degrees.
+    */
+  private def oriented(e: DataFrame): DataFrame = {
+    val und = e.select(least(col("u"), col("v")).as("x"),
+      greatest(col("u"), col("v")).as("y")).distinct()
+    val deg = und.select(col("x").as("n"))
+      .unionByName(und.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val xFirst = col("dx.dg") < col("dy.dg") ||
+      (col("dx.dg") === col("dy.dg") && col("x") < col("y"))
+    und.join(deg.as("dx"), col("x") === col("dx.n"))
+      .join(deg.as("dy"), col("y") === col("dy.n"))
+      .select(
+        when(xFirst, col("x")).otherwise(col("y")).as("lo"),
+        when(xFirst, col("y")).otherwise(col("x")).as("hi"),
+        when(xFirst, col("dy.dg")).otherwise(col("dx.dg")).as("dhi"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // The graph construction IS the operator: per-node top-K strongest
+    // co-suppliers. N·K rows out, deterministic tie-break (count DESC,
+    // neighbor id).
+    "graph_edges_topk" -> ((s, d) =>
+      edgesTopK(s, d)
+        .select(col("u").as("supplier"), col("v").as("neighbor"),
+          col("shared_parts"))
+        .orderBy(col("supplier"), col("shared_parts").desc, col("neighbor"))),
+
+    // Per-node triangle participation, top 20 by (count DESC, id).
+    // Wedge join at the π-min vertex of each triangle: e1=(a,b),
+    // e2=(a,c) with π(b) < π(c), closed by the oriented edge (b,c)
+    // (orientation guarantees it is stored exactly as lo=b, hi=c).
+    "graph_triangle_count" -> ((s, d) => {
+      val o = oriented(edgesTopK(s, d))
+      val tri = o.as("e1")
+        .join(o.as("e2"),
+          col("e1.lo") === col("e2.lo") &&
+            (col("e1.dhi") < col("e2.dhi") ||
+              (col("e1.dhi") === col("e2.dhi") &&
+                col("e1.hi") < col("e2.hi"))))
+        .join(o.as("e3"),
+          col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
+        .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+          col("e2.hi").as("c"))
+      tri.select(col("a").as("n"))
+        .unionByName(tri.select(col("b").as("n")))
+        .unionByName(tri.select(col("c").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("n_triangles"))
+        .select(col("n").as("supplier"), col("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("supplier"))
+        .limit(20)
+    }),
+
+    // 3-iteration PageRank in integer micro-units, top 20 by rank.
+    // new = (15·(Mass div N)) div 100 + (85·Σ incoming) div 100, with
+    // contrib(u) = rank(u) div outdeg(u) — every op is int64, so the
+    // result is exact and order-invariant (see scaladoc).
+    "graph_pagerank" -> ((s, d) => {
+      val e = edgesTopK(s, d).select(col("u"), col("v"))
+      val outdeg = e.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      val nodes = e.select(col("u").as("n"))
+        .unionByName(e.select(col("v").as("n"))).distinct()
+      val nn = nodes.agg(count(lit(1)).as("c"))
+      var ranks = nodes.crossJoin(nn)
+        .select(col("n"), expr(s"$Mass div c").as("rank"), col("c"))
+      for (_ <- 1 to 3) {
+        val inc = ranks.join(e, ranks("n") === e("u"))
+          .join(outdeg, "u")
+          .select(col("v"), expr("rank div od").as("contrib"))
+          .groupBy(col("v")).agg(sum(col("contrib")).as("inc"))
+        ranks = ranks.join(inc, ranks("n") === inc("v"), "left")
+          .select(col("n"),
+            expr(s"(15 * ($Mass div c)) div 100 + " +
+              "(85 * coalesce(inc, 0L)) div 100").as("rank"),
+            col("c"))
+      }
+      ranks.select(col("n").as("supplier"), col("rank").as("pr_rank"))
+        .orderBy(col("pr_rank").desc, col("supplier"))
+        .limit(20)
+    })
+  )
+
+  /** Shared DuckDB mirror of the artifact build (SURVEY §5.3: the
+    * oracle re-derives artifacts inline).
+    */
+  private val edgeCte =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+      |pairs AS (
+      |  SELECT a.sup AS u, b.sup AS v, count(*) AS shared_parts
+      |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+      |  GROUP BY a.sup, b.sup),
+      |sym AS (
+      |  SELECT u, v, shared_parts FROM pairs
+      |  UNION ALL
+      |  SELECT v AS u, u AS v, shared_parts FROM pairs),
+      |topk AS (
+      |  SELECT u, v, shared_parts,
+      |         row_number() OVER (PARTITION BY u ORDER BY shared_parts DESC, v) AS rn
+      |  FROM sym),
+      |e AS (SELECT u, v, shared_parts FROM topk WHERE rn <= 3)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "graph_edges_topk" -> (edgeCte +
+      """
+        |SELECT u AS supplier, v AS neighbor, shared_parts
+        |FROM e ORDER BY supplier, shared_parts DESC, neighbor""".stripMargin),
+
+    "graph_triangle_count" -> (edgeCte +
+      """,
+        |und AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM e),
+        |deg AS (SELECT n, count(*) AS dg FROM (
+        |  SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und) t GROUP BY n),
+        |ornt AS (
+        |  SELECT CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
+        |              THEN und.x ELSE und.y END AS lo,
+        |         CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
+        |              THEN und.y ELSE und.x END AS hi,
+        |         CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
+        |              THEN dy.dg ELSE dx.dg END AS dhi
+        |  FROM und JOIN deg dx ON dx.n = und.x JOIN deg dy ON dy.n = und.y),
+        |tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM ornt e1 JOIN ornt e2 ON e1.lo = e2.lo
+        |    AND ((e1.dhi < e2.dhi) OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+        |  JOIN ornt e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        |SELECT n AS supplier, count(*) AS n_triangles FROM (
+        |  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+        |  UNION ALL SELECT c AS n FROM tri) t
+        |GROUP BY n ORDER BY n_triangles DESC, supplier LIMIT 20""".stripMargin),
+
+    "graph_pagerank" -> (edgeCte +
+      """,
+        |de AS (SELECT u, v FROM e),
+        |outdeg AS (SELECT u, count(*) AS od FROM de GROUP BY u),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT u AS n FROM de UNION ALL SELECT v AS n FROM de) t),
+        |nn AS (SELECT count(*) AS c FROM nodes),
+        |r0 AS (SELECT n, (1000000000000 // c) AS rank, c FROM nodes, nn),
+        |i1 AS (SELECT de.v AS n, CAST(sum(r0.rank // od.od) AS BIGINT) AS inc
+        |  FROM r0 JOIN de ON r0.n = de.u JOIN outdeg od ON od.u = de.u GROUP BY de.v),
+        |r1 AS (SELECT r0.n, (15 * (1000000000000 // r0.c)) // 100
+        |    + (85 * coalesce(i1.inc, 0)) // 100 AS rank, r0.c AS c
+        |  FROM r0 LEFT JOIN i1 ON r0.n = i1.n),
+        |i2 AS (SELECT de.v AS n, CAST(sum(r1.rank // od.od) AS BIGINT) AS inc
+        |  FROM r1 JOIN de ON r1.n = de.u JOIN outdeg od ON od.u = de.u GROUP BY de.v),
+        |r2 AS (SELECT r1.n, (15 * (1000000000000 // r1.c)) // 100
+        |    + (85 * coalesce(i2.inc, 0)) // 100 AS rank, r1.c AS c
+        |  FROM r1 LEFT JOIN i2 ON r1.n = i2.n),
+        |i3 AS (SELECT de.v AS n, CAST(sum(r2.rank // od.od) AS BIGINT) AS inc
+        |  FROM r2 JOIN de ON r2.n = de.u JOIN outdeg od ON od.u = de.u GROUP BY de.v),
+        |r3 AS (SELECT r2.n, (15 * (1000000000000 // r2.c)) // 100
+        |    + (85 * coalesce(i3.inc, 0)) // 100 AS rank
+        |  FROM r2 LEFT JOIN i3 ON r2.n = i3.n)
+        |SELECT n AS supplier, rank AS pr_rank FROM r3
+        |ORDER BY pr_rank DESC, supplier LIMIT 20""".stripMargin)
+  )
+}

@@ -332,6 +332,81 @@ object StreamingQueries {
     // the sink is byte-identical — the exactly-once restart contract,
     // asserted in StreamingParitySpec. (This is the production sink
     // shape; the memory sinks elsewhere are test harness only.)
+    // CDC upsert sink via foreachBatch (r6): maintain a keyed serving
+    // table ("latest state per user") from a changelog feed — THE
+    // production pattern for landing a stream into a table format that
+    // has no streaming MERGE of its own. Each micro-batch reduces to
+    // its per-key latest row (max over the (ts_us, event_id) total
+    // order), merges with the prior table version, and writes a NEW
+    // versioned parquet snapshot — versions make the write idempotent
+    // under batch replay (a failed batch overwrites its own version,
+    // never corrupts the prior one), mirroring how transactional
+    // table formats commit. The per-key latest-wins merge is an
+    // associative, commutative max, so the final table is provably
+    // independent of file pickup order and micro-batch chunking
+    // (maxFilesPerTrigger=1 forces 4 real merge rounds). State
+    // versions are serving-table-sized (|keys| rows), not feed-sized;
+    // at 100 TB the same loop lands on a MERGE-capable table format
+    // (the §2.M boundary) instead of full-snapshot rewrites.
+    "stream_foreachbatch_upsert" -> ((s0, d) => {
+      val srcDir = graft.TempDirs.scoped("fbusrc", d)
+      writeOnce("fbusrc" + d) {
+        events(s0, d)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(4, pmod(col("event_id"), lit(4)))
+          .write.mode("overwrite").parquet(srcDir)
+      }
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val outDir = graft.TempDirs.scoped("fbuout", d)
+      val dataRoot = s"$outDir/state"
+      def versions(): Seq[Long] = {
+        val p = java.nio.file.Paths.get(dataRoot)
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else {
+          val st = java.nio.file.Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala.toSeq.map(_.getFileName.toString)
+              .filter(_.startsWith("v")).map(_.drop(1).toLong)
+          } finally st.close()
+        }
+      }
+      def reduceLatest(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("last_ts_us"), col("last_event_id"),
+          col("last_value"))).as("m"))
+        .select(col("user_id"), col("m.last_ts_us").as("last_ts_us"),
+          col("m.last_event_id").as("last_event_id"),
+          col("m.last_value").as("last_value"))
+      val q = s.readStream
+        .schema(Encoders.product[Ev].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val latest = reduceLatest(batch
+            .select(col("user_id"), col("ts_us").as("last_ts_us"),
+              col("event_id").as("last_event_id"),
+              col("value").as("last_value")))
+          val merged = versions().maxOption match {
+            case Some(v) =>
+              reduceLatest(s.read.parquet(s"$dataRoot/v$v")
+                .unionByName(latest))
+            case None => latest
+          }
+          merged.write.mode("overwrite").parquet(s"$dataRoot/v$batchId")
+          ()
+        }
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(s"$dataRoot/v${versions().max}")
+        .orderBy(col("user_id"))
+    }),
+
     "stream_sink_parquet" -> ((s0, d) => {
       val srcDir = graft.TempDirs.scoped("sinksrc", d)
       writeOnce("sinksrc" + d) {
@@ -485,6 +560,21 @@ object StreamingQueries {
       """SELECT n_name, count(*) AS n_events
         |FROM events JOIN nation ON user_id % 25 = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // Latest-wins over the (ts, event_id) total order — the stream's
+    // 4-round merge must land on the same per-key argmax the batch
+    // window computes in one pass (row_number, not arg_max: this
+    // DuckDB has no list-keyed arg_max overload — the
+    // ts_resample_ohlc precedent).
+    "stream_foreachbatch_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, tus AS last_ts_us, event_id AS last_event_id,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "stream_sink_parquet" ->
       """SELECT user_id, count(*) AS n_purchases,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
