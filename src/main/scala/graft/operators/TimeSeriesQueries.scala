@@ -232,6 +232,43 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("hr"))
     }),
 
+    // Linear interpolation (r6): missing grid buckets filled on the
+    // straight line between the neighboring observations — the
+    // midpoint-filling complement of LOCF (which holds the left value
+    // flat). Two windows over the SAME (user_id, hr) sort give the
+    // previous/next observed (value, hour); the interpolation
+    // v = pv + (nv − pv) · (hr − ph)/(nh − ph) is one fixed IEEE
+    // expression tree over exactly equal operands in both engines
+    // (values are fixture doubles, hour distances exact small ints,
+    // double division/multiply/add are correctly rounded) — so the
+    // emitted doubles hash-match without any rounding trick. Grid
+    // edges (no neighbor on one side) extend the nearest observation.
+    // Scale: both windows share one key-partitioned sort; state is
+    // one (value, hour) pair per direction.
+    "ts_interpolate_linear" -> ((s, d) => {
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid(s, d)
+        .join(hourly(s, d), Seq("user_id", "hr"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hr")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hr")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("v_interp",
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                ((col("hr") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double")))
+            .otherwise(coalesce(col("pv"), col("nv"))))
+        .select(col("user_id"), col("hr"), col("v_interp"))
+        .orderBy(col("user_id"), col("hr"))
+    }),
+
     // OHLC downsampling (r4): per (user, hour) bar of the 2-dp money
     // value — open/close = value at the first/last event in the bar
     // ((ts, event_id) is a total order, so the endpoints are unique),
@@ -405,6 +442,41 @@ object TimeSeriesQueries {
         |    PARTITION BY g.user_id ORDER BY g.hr
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.hr = g.hr
-        |ORDER BY g.user_id, g.hr""".stripMargin
+        |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    // Identical IEEE expression tree — pv + (nv - pv) * ((hr - ph) /
+    // (nh - ph)) over identical operands — so the doubles hash-match.
+    "ts_interpolate_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, value FROM events
+        |  WHERE user_id < 100
+        |), c AS (
+        |  SELECT user_id, hr, max(value) AS v FROM e GROUP BY 1, 2
+        |), s AS (
+        |  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM s
+        |), w AS (
+        |  SELECT g.user_id, g.hr, c.v,
+        |    last_value(c.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN c.v IS NOT NULL THEN g.hr END IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(c.v IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN c.v IS NOT NULL THEN g.hr END IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hr
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.hr = g.hr
+        |)
+        |SELECT user_id, hr,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + (nv - pv) * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        |       ELSE COALESCE(pv, nv) END AS v_interp
+        |FROM w ORDER BY user_id, hr""".stripMargin
   )
 }
