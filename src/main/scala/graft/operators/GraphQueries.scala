@@ -140,6 +140,32 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Bounded-depth BFS: minimum hop distance from supplier 0 over
+    // the undirected top-K graph, depth ≤ 4 (fixed rounds keep the
+    // plan static; unreachable-within-4 nodes are excluded, which is
+    // deterministic). Each round is one join + one min-combine over
+    // the O(N·k) edge list — frontier state is the (node, dist)
+    // table, never paths. The DuckDB mirror is a recursive CTE with a
+    // level counter; its path enumeration and this round-unrolled
+    // min-fold agree because min-over-paths ≤ 4 is the same quantity.
+    "graph_bfs_hops" -> ((s, d) => {
+      val e = edgesTopK(s, d)
+      val und = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+        .distinct()
+      var dist = und.select(col("x").as("n")).distinct()
+        .filter(col("n") === 0L)
+        .withColumn("d", lit(0L))
+      for (_ <- 1 to 4) {
+        val next = dist.join(und, dist("n") === und("x"))
+          .select(col("y").as("n"), (col("d") + 1L).as("d"))
+        dist = dist.unionByName(next)
+          .groupBy(col("n")).agg(min(col("d")).as("d"))
+      }
+      dist.select(col("n").as("supplier"), col("d").as("hops"))
+        .orderBy(col("supplier"))
+    }),
+
     // 3-iteration PageRank in integer micro-units, top 20 by rank.
     // new = (15·(Mass div N)) div 100 + (85·Σ incoming) div 100, with
     // contrib(u) = rank(u) div outdeg(u) — every op is int64, so the
@@ -216,6 +242,20 @@ object GraphQueries {
         |  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
         |  UNION ALL SELECT c AS n FROM tri) t
         |GROUP BY n ORDER BY n_triangles DESC, supplier LIMIT 20""".stripMargin),
+
+    "graph_bfs_hops" -> (edgeCte +
+      """,
+        |und AS (SELECT DISTINCT x, y FROM (
+        |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
+        |bfs AS (
+        |  WITH RECURSIVE walk(n, d) AS (
+        |    SELECT CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS d
+        |    WHERE EXISTS (SELECT 1 FROM und WHERE x = 0)
+        |    UNION ALL
+        |    SELECT und.y, walk.d + 1 FROM walk JOIN und ON und.x = walk.n
+        |    WHERE walk.d < 4)
+        |  SELECT n, min(d) AS hops FROM walk GROUP BY n)
+        |SELECT n AS supplier, hops FROM bfs ORDER BY supplier""".stripMargin),
 
     "graph_pagerank" -> (edgeCte +
       """,

@@ -86,6 +86,22 @@ class GraphSpec extends SparkSpecBase {
     assert(rank.values.sum <= mass)
   }
 
+  test("bfs hop distances match a plain queue BFS over the edge set") {
+    val und = edges.flatMap { case (u, v, _) => Seq((u, v), (v, u)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = List(0L)
+    for (k <- 1L to 4L) {
+      frontier = frontier.flatMap(n => und.getOrElse(n, Nil))
+        .filterNot(dist.contains).distinct
+      frontier.foreach(n => dist(n) = k)
+    }
+    val expected = dist.toSeq.sortBy(_._1)
+    val got = GraphQueries.queries("graph_bfs_hops")(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == expected)
+  }
+
   test("pagerank is invariant under input repartitioning") {
     val a = GraphQueries.queries("graph_pagerank")(spark, sfDir)
       .collect().toSeq

@@ -21,6 +21,29 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("stream_foreachbatch_upsert equals batch latest-per-key and is restart-stable") {
+    val first = run("stream_foreachbatch_upsert").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // Independent argmax over (ts_us, event_id): the 4-round versioned
+    // merge must land on the same per-key latest row a single batch
+    // pass computes.
+    val batch = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.maxBy { case (_, ts, id, _) => (ts, id) })
+      .values.toSeq
+      .map { case (u, ts, id, v) => (u, ts, id, v) }
+      .sortBy(_._1)
+    assert(first.toSeq == batch)
+    // Re-invocation restarts the stream against the same checkpoint:
+    // no new source files, so no new state version and identical rows.
+    val again = run("stream_foreachbatch_upsert").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("stream_stateful_count equals batch per-user counts") {
     val streamed = run("stream_stateful_count").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
