@@ -269,6 +269,34 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("hr"))
     }),
 
+    // Ordered-funnel analysis (r6): how many users completed
+    // view → click → purchase IN TIME ORDER — the product-analytics
+    // staple (conversion funnels). Step k's anchor is the EARLIEST
+    // event of step k's type strictly after the user's step-(k−1)
+    // anchor ("first qualifying event" semantics, the standard funnel
+    // definition); anchors are exact µs longs, so every comparison is
+    // integer and the result is engine-deterministic. Three
+    // user-keyed conditional min-aggregations chained by join — one
+    // shuffle key end to end (user_id), each stage map-combinable;
+    // at 100 TB this is the canonical funnel shape (the alternative
+    // single mapGroups pass would lose partial aggregation).
+    "ts_funnel_steps" -> ((s, d) => {
+      val e = events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .filter(col("event_type") === "click" && col("ts_us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2"))
+      val s3 = e.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts_us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3"))
+      s1.agg(lit(1L).as("step"), count(lit(1)).as("n_users"))
+        .unionByName(s2.agg(lit(2L).as("step"), count(lit(1)).as("n_users")))
+        .unionByName(s3.agg(lit(3L).as("step"), count(lit(1)).as("n_users")))
+        .orderBy(col("step"))
+    }),
+
     // OHLC downsampling (r4): per (user, hour) bar of the 2-dp money
     // value — open/close = value at the first/last event in the bar
     // ((ts, event_id) is a total order, so the endpoints are unique),
@@ -443,6 +471,24 @@ object TimeSeriesQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.hr = g.hr
         |ORDER BY g.user_id, g.hr""".stripMargin,
+
+    "ts_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(tus) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.tus > s1.t1 GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus > s2.t2 GROUP BY e.user_id
+        |)
+        |SELECT 1 AS step, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, count(*) FROM s2
+        |UNION ALL SELECT 3, count(*) FROM s3
+        |ORDER BY step""".stripMargin,
 
     // Identical IEEE expression tree — pv + (nv - pv) * ((hr - ph) /
     // (nh - ph)) over identical operands — so the doubles hash-match.
