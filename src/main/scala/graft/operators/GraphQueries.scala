@@ -166,6 +166,35 @@ object GraphQueries {
         .orderBy(col("supplier"))
     }),
 
+    // Link prediction by neighbor overlap: top 20 NON-adjacent node
+    // pairs ranked by Jaccard similarity of their neighbor sets —
+    // the classic common-neighbors predictor. Candidate pairs come
+    // from the wedge join (pairs sharing ≥1 neighbor, intermediate
+    // ∝ Σ deg² like the triangle count — never all-pairs); the score
+    // is integer milli-Jaccard (1000·|∩| div (deg_u + deg_v − |∩|)),
+    // so ranking is exact in both engines. Existing edges are
+    // anti-joined away: the output is predicted NEW links.
+    "graph_link_predict" -> ((s, d) => {
+      val e = edgesTopK(s, d)
+      val und = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+        .distinct()
+      val deg = und.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val inter = und.as("a").join(und.as("b"),
+          col("a.x") === col("b.x") && col("a.y") < col("b.y"))
+        .groupBy(col("a.y").as("u"), col("b.y").as("v"))
+        .agg(count(lit(1)).as("inter"))
+      val adj = und.filter(col("x") < col("y"))
+        .select(col("x").as("u"), col("y").as("v"))
+      inter.join(adj, Seq("u", "v"), "left_anti")
+        .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+        .select(col("u"), col("v"),
+          expr("(1000 * inter) div (du + dv - inter)").as("jaccard_milli"))
+        .orderBy(col("jaccard_milli").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
     // 3-iteration PageRank in integer micro-units, top 20 by rank.
     // new = (15·(Mass div N)) div 100 + (85·Σ incoming) div 100, with
     // contrib(u) = rank(u) div outdeg(u) — every op is int64, so the
@@ -256,6 +285,23 @@ object GraphQueries {
         |    WHERE walk.d < 4)
         |  SELECT n, min(d) AS hops FROM walk GROUP BY n)
         |SELECT n AS supplier, hops FROM bfs ORDER BY supplier""".stripMargin),
+
+    "graph_link_predict" -> (edgeCte +
+      """,
+        |und AS (SELECT DISTINCT x, y FROM (
+        |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
+        |deg AS (SELECT x, count(*) AS dg FROM und GROUP BY x),
+        |inter AS (
+        |  SELECT a.y AS u, b.y AS v, count(*) AS inter
+        |  FROM und a JOIN und b ON a.x = b.x AND a.y < b.y
+        |  GROUP BY a.y, b.y),
+        |cand AS (
+        |  SELECT i.u, i.v, i.inter FROM inter i
+        |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.x = i.u AND und.y = i.v))
+        |SELECT c.u, c.v,
+        |  (1000 * c.inter) // (du.dg + dv.dg - c.inter) AS jaccard_milli
+        |FROM cand c JOIN deg du ON du.x = c.u JOIN deg dv ON dv.x = c.v
+        |ORDER BY jaccard_milli DESC, u, v LIMIT 20""".stripMargin),
 
     "graph_pagerank" -> (edgeCte +
       """,

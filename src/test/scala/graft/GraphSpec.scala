@@ -102,6 +102,23 @@ class GraphSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("link prediction matches brute-force neighbor-set Jaccard") {
+    val und = edges.flatMap { case (u, v, _) => Seq((u, v), (v, u)) }.toSet
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = nbrs.keys.toSeq.sorted
+    val cands = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      (u, v) = (nodes(i), nodes(j))
+      inter = (nbrs(u) & nbrs(v)).size
+      if inter > 0 && !und((u, v))
+    } yield (u, v,
+      1000L * inter / (nbrs(u).size + nbrs(v).size - inter))
+    val expected = cands.sortBy { case (u, v, jm) => (-jm, u, v) }.take(20)
+    val got = GraphQueries.queries("graph_link_predict")(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+  }
+
   test("pagerank is invariant under input repartitioning") {
     val a = GraphQueries.queries("graph_pagerank")(spark, sfDir)
       .collect().toSeq
