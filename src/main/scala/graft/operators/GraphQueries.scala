@@ -241,7 +241,7 @@ object GraphQueries {
       |  SELECT u, v, shared_parts,
       |         row_number() OVER (PARTITION BY u ORDER BY shared_parts DESC, v) AS rn
       |  FROM sym),
-      |e AS (SELECT u, v, shared_parts FROM topk WHERE rn <= 3)""".stripMargin
+      |e AS MATERIALIZED (SELECT u, v, shared_parts FROM topk WHERE rn <= 3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "graph_edges_topk" -> (edgeCte +
@@ -251,10 +251,10 @@ object GraphQueries {
 
     "graph_triangle_count" -> (edgeCte +
       """,
-        |und AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM e),
+        |und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM e),
         |deg AS (SELECT n, count(*) AS dg FROM (
         |  SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und) t GROUP BY n),
-        |ornt AS (
+        |ornt AS MATERIALIZED (
         |  SELECT CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
         |              THEN und.x ELSE und.y END AS lo,
         |         CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
@@ -274,7 +274,7 @@ object GraphQueries {
 
     "graph_bfs_hops" -> (edgeCte +
       """,
-        |und AS (SELECT DISTINCT x, y FROM (
+        |und AS MATERIALIZED (SELECT DISTINCT x, y FROM (
         |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
         |bfs AS (
         |  WITH RECURSIVE walk(n, d) AS (
@@ -288,7 +288,7 @@ object GraphQueries {
 
     "graph_link_predict" -> (edgeCte +
       """,
-        |und AS (SELECT DISTINCT x, y FROM (
+        |und AS MATERIALIZED (SELECT DISTINCT x, y FROM (
         |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
         |deg AS (SELECT x, count(*) AS dg FROM und GROUP BY x),
         |inter AS (
@@ -305,7 +305,7 @@ object GraphQueries {
 
     "graph_pagerank" -> (edgeCte +
       """,
-        |de AS (SELECT u, v FROM e),
+        |de AS MATERIALIZED (SELECT u, v FROM e),
         |outdeg AS (SELECT u, count(*) AS od FROM de GROUP BY u),
         |nodes AS (SELECT DISTINCT n FROM (
         |  SELECT u AS n FROM de UNION ALL SELECT v AS n FROM de) t),
