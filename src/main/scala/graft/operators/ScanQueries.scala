@@ -94,6 +94,43 @@ object ScanQueries {
         .orderBy(col("tok0"))
     }),
 
+    // binaryFile source (r6): Spark's whole-file reader — the
+    // ingestion path for multimodal corpora (images/audio/arbitrary
+    // blobs land as one row per FILE with path/length/content, no
+    // row-format assumption). Staging writes each document's text as
+    // its own doc_id-named file via a distributed mapPartitions pass
+    // (per-file layout is the POINT of this source; a text() write
+    // would pack many docs per part file and make content
+    // order-dependent). The read-back digests each file's bytes, so
+    // the oracle — sha256 over the same UTF-8 text straight from the
+    // documents table — proves byte-exact file round-tripping, not
+    // just row counts. Scale: one task per file batch on both sides;
+    // binaryFile is the documented Spark source for < ~100 MB blobs
+    // (bigger payloads stay in parquet binary columns, the mm_* path).
+    "scan_binaryfile" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("binfilesrc", d)
+      graft.TempDirs.writeOnce("binfilesrc" + d) {
+        documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(8)
+          .foreachPartition {
+            (rows: Iterator[org.apache.spark.sql.Row]) =>
+              rows.foreach { r =>
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(dir, s"${r.getLong(0)}.txt"),
+                  r.getString(1).getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+              }
+          }
+      }
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          sha2(col("content"), 256).as("h_sha256"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multi-file parallel scan: the table split into 8 part files and
     // read back as one dataset — the layout every distributed write
     // produces (one file per task), and the unit of scan parallelism
@@ -175,6 +212,14 @@ object ScanQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Digest over the table's text == digest over each round-tripped
+    // file's bytes (UTF-8 both ways) — byte-exact file ingestion.
+    "scan_binaryfile" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "scan_text_roundtrip" ->
       """SELECT string_split(text, ' ')[1] AS tok0,
         |  count(*) AS n_lines,
