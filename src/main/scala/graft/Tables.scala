@@ -35,20 +35,50 @@ object Tables {
 
   /** Single chokepoint for `events` (SURVEY.md §7.4 risk 1).
     *
-    * The fixture stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * 4.1.2 rejects unless `spark.sql.legacy.parquet.nanosAsLong=true`;
-    * with the flag, `ts` arrives as LongType nanos-since-epoch.
+    * The fixture's physical timestamp encoding is NOT stable across
+    * driver regenerations — it has shipped as both parquet
+    * TIMESTAMP(NANOS) (rounds 1-5) and TIMESTAMP(MICROS, NTZ) (round 6)
+    * — so this reader adapts to whatever `ts` loads as instead of
+    * assuming one unit (the round-6 RED verdict was exactly that
+    * assumption). Either way the derived columns are identical:
+    * `ts_us` BIGINT epoch-micros and `ts_ts` TIMESTAMP.
     *
-    * `ts_us` MUST use integer division (`div`): epoch-nanos for 2024 are
-    * ~1.7e18, beyond double's 53-bit mantissa, so `col("ts") / 1000`
-    * (double division) would corrupt microseconds. The DuckDB oracle's
-    * `epoch_us(ts)` truncates identically.
+    * The DuckDB oracle side needs no branch: `epoch_us(ts)` is
+    * unit-correct for both parquet encodings.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // Legacy flag: lets TIMESTAMP(NANOS) fixtures load (as LongType
+    // nanos-since-epoch) instead of failing the read outright. Harmless
+    // for micros fixtures, which ignore it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val raw = table(spark, sfDir, "events")
+    raw
+      .withColumn("ts_us", eventsTsUs(raw.schema))
       .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+  }
+
+  /** Epoch-microseconds expression for a raw `events` frame, branched on
+    * the loaded dtype of `ts`:
+    *
+    *  - `LongType`: nanos-since-epoch (TIMESTAMP(NANOS) fixture read
+    *    under `nanosAsLong`). MUST use integer division (`div`):
+    *    epoch-nanos for 2024 are ~1.7e18, beyond double's 53-bit
+    *    mantissa, so `col("ts") / 1000` (double division) would corrupt
+    *    microseconds.
+    *  - `TimestampType`/`TimestampNTZType`: TIMESTAMP(MICROS) fixture.
+    *    `unix_micros` needs TIMESTAMP, and the NTZ→TIMESTAMP cast is
+    *    exact because every session in this repo pins
+    *    `spark.sql.session.timeZone=UTC`.
+    *
+    * Takes the schema (not the frame) so streaming readers can reuse it.
+    */
+  def eventsTsUs(schema: StructType): Column = schema("ts").dataType match {
+    case LongType         => expr("ts div 1000")
+    case TimestampType    => unix_micros(col("ts"))
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case other => throw new IllegalStateException(
+      s"events.ts loaded as unsupported type $other; expected LongType " +
+        "(nanos fixture), TimestampType, or TimestampNTZType (micros fixture)")
   }
 
   /** Money cast for aggregation inputs (SURVEY.md §5.3.2). All fixture

@@ -162,7 +162,7 @@ class StreamingParitySpec extends SparkSpecBase {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"), dst)
     val schema = Tables.table(s, sfDir, "events").schema
     val q = s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts_fix", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_fix", timestamp_micros(Tables.eventsTsUs(schema)))
       .withWatermark("ts_fix", "10 minutes")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
