@@ -262,19 +262,22 @@ object AggQueries {
 
     // Equi-width histogram of order value: integer-cents bucketing
     // (bucket = cents div 5,000,000, i.e. $50k-wide bins, top bin
-    // open) plus each bin's share in basis points via a single-row
-    // window total. One hash aggregate over ≤10 groups — at any corpus
-    // size the shuffle carries 10 rows per partition; the bp division
-    // is exact integer math so the histogram hash-matches.
-    "agg_histogram" -> ((s, d) =>
-      orders(s, d)
+    // open) plus each bin's share in basis points via a 1-row total
+    // aggregate broadcast-crossed back onto the ≤10 bins (NOT an
+    // unpartitioned window — PlanHygieneSpec bans that shape). The bp
+    // division is exact integer math so the histogram hash-matches.
+    "agg_histogram" -> ((s, d) => {
+      val bins = orders(s, d)
         .withColumn("bucket", expr(
           "least(cast(cast(o_totalprice as decimal(18,2)) * 100 " +
             "as bigint) div 5000000, 9)"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("share_bp", expr("n * 10000 div sum(n) over ()"))
-        .orderBy(col("bucket"))),
+      bins.crossJoin(broadcast(bins.agg(sum(col("n")).as("n_sum"))))
+        .withColumn("share_bp", expr("n * 10000 div n_sum"))
+        .select(col("bucket"), col("n"), col("share_bp"))
+        .orderBy(col("bucket"))
+    }),
 
     // Per-group mode with a total deterministic order: most frequent
     // o_orderpriority per order status, ties broken by priority string

@@ -115,9 +115,14 @@ object PipelineQueries {
     // source keeps everything).
     "mix_temperature" -> ((s, d) => {
       val docs = documents(s, d)
-      val rates = docs.groupBy(col("source"))
+      val counts = docs.groupBy(col("source"))
         .agg(count(lit(1)).as("n_total"))
-        .withColumn("n_max", max(col("n_total")).over(Window.partitionBy()))
+      // global max via 1-row aggregate cross-join (the text_bm25_topk
+      // pattern), NOT max().over(Window.partitionBy()): an unpartitioned
+      // window funnels all rows to one partition, and PlanHygieneSpec
+      // now pins the whole surface free of that shape
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(max(col("n_total")).as("n_max"))))
         .withColumn("rate16", greatest(
           floor(lit(16) * sqrt(col("n_total").cast("double") / col("n_max"))),
           lit(1L)))

@@ -24,15 +24,26 @@ class PlanHygieneSpec extends SparkSpecBase {
     "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows",
     "text_lm_score" -> "single-row vocab-size frame crossed onto the scorer",
     "text_bm25_topk" -> "single-row corpus-stats frame crossed onto postings",
-    "graph_pagerank" -> "single-row node-count frame crossed onto the node list"
+    "graph_pagerank" -> "single-row node-count frame crossed onto the node list",
+    "mix_temperature" -> "single-row max-count frame crossed onto the rate table",
+    "agg_histogram" -> "single-row bin-total frame crossed onto the <=10 bins"
   )
 
-  private lazy val plansByQuery: Map[String, String] =
+  private lazy val framesByQuery
+      : Map[String, Either[String, org.apache.spark.sql.DataFrame]] =
     SparkEntry.queries.map { case (name, fn) =>
       name -> (
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLANFAIL ${e.getMessage}" })
+        try Right(fn(spark, sfDir))
+        catch { case e: Throwable => Left(s"PLANFAIL ${e.getMessage}") })
     }
+
+  private lazy val plansByQuery: Map[String, String] =
+    framesByQuery.view.mapValues {
+      case Right(df) =>
+        try df.queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANFAIL ${e.getMessage}" }
+      case Left(err) => err
+    }.toMap
 
   private lazy val productsByQuery: Map[String, Boolean] =
     plansByQuery.view.mapValues(p =>
@@ -59,6 +70,26 @@ class PlanHygieneSpec extends SparkSpecBase {
       assert(productsByQuery.getOrElse(k, false),
         s"whitelist entry $k no longer plans a product join — remove it")
     }
+  }
+
+  // r6 VERDICT item 6: an unpartitioned window (Window.partitionBy()
+  // with no keys) funnels every input row through ONE partition — fine
+  // on a 20-row rate table today, a silent full-data serialization
+  // point the day someone reuses the shape on a corpus-sized frame.
+  // Global aggregates belong in a 1-row agg + broadcast cross-join
+  // (the text_bm25_topk pattern). Checked on the optimized LOGICAL
+  // plan: the physical Window node's string form doesn't expose an
+  // empty partition spec distinguishably.
+  test("no operator plans an unpartitioned window") {
+    val offenders = framesByQuery.collect {
+      case (name, Right(df))
+          if df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty => w
+          }.nonEmpty => name
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"unpartitioned Window (single-partition funnel) in: ${offenders.mkString(", ")}")
   }
 
   // r5 VERDICT's last named scale-killer: ts_ewma once collected each
