@@ -78,7 +78,7 @@ object IvfIndexBuilder {
         graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .agg(avg(col("cos"))).collect()(0).getDouble(0)
+      .agg(avg(col("cos"))).first().getDouble(0)
   }
 }
 

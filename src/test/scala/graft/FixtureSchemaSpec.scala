@@ -65,6 +65,50 @@ class FixtureSchemaSpec extends SparkSpecBase {
     assert(tsUs("micros") == micros, "timestamp-micros fixture decoded wrong")
   }
 
+  /** Loaded-schema contract for EVERY fixture table, pinned 2026-08-13
+    * (micros-era fixtures; note o_orderdate/l_shipdate silently moved
+    * ms→µs-NTZ in the same regeneration that broke events — harmless
+    * only because timestamp coercion covered it). The LOADED Spark
+    * schema is the level queries actually depend on, so that is what
+    * is pinned — a physical re-encoding that loads identically stays
+    * green. `events.ts` accepts both supported encodings (§1.3).
+    * On failure: diff the message, re-audit queries touching the
+    * changed columns, then update the pin here deliberately.
+    */
+  private val pinnedSchemas = Map(
+    "region" -> Seq("struct<r_regionkey:int,r_name:string>"),
+    "nation" -> Seq("struct<n_nationkey:int,n_name:string,n_regionkey:int>"),
+    "customer" -> Seq("struct<c_custkey:bigint,c_name:string,c_nationkey:int,c_acctbal:double,c_mktsegment:string>"),
+    "supplier" -> Seq("struct<s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double>"),
+    "part" -> Seq("struct<p_partkey:bigint,p_name:string,p_brand:string,p_type:string,p_size:int,p_retailprice:double>"),
+    "orders" -> Seq(
+      "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string>",
+      "struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp,o_orderpriority:string>"),
+    "lineitem" -> Seq(
+      "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>",
+      "struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp>"),
+    "events" -> Seq(
+      "struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint,event_type:string,value:double,props:string>",
+      "struct<event_id:bigint,ts:timestamp,user_id:bigint,event_type:string,value:double,props:string>",
+      "struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string,value:double,props:string>"),
+    "documents" -> Seq("struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>"),
+    "embeddings" -> Seq("struct<vec_id:bigint,embedding:array<float>,label:int>"))
+
+  test("every fixture table's loaded schema matches the pinned contract") {
+    // nanosAsLong first so a nanos-era events fixture loads at all
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val diffs = for {
+      d <- fixtureDirs
+      (t, accepted) <- pinnedSchemas.toSeq.sortBy(_._1)
+      loaded = Tables.table(spark, d, t).schema.simpleString
+      if !accepted.contains(loaded)
+    } yield s"$d/$t loaded as\n  $loaded\nexpected one of\n  ${accepted.mkString("\n  ")}"
+    assert(diffs.isEmpty,
+      "fixture schema drift (driver regenerated testdata?) — re-audit " +
+        "queries touching the changed columns, then update the pin:\n" +
+        diffs.mkString("\n"))
+  }
+
   test("an unsupported ts encoding fails loudly, naming the type") {
     import spark.implicits._
     val dir = TempDirs.scoped("fixture_canary", "badunit")
