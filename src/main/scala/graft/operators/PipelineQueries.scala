@@ -152,8 +152,62 @@ object PipelineQueries {
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Bloom-prefiltered ingest admission (r7): the incremental-dedup
+    // shape optimized for the 100 TB reality that MOST of a fresh
+    // crawl batch is new. A mergeable Bloom filter over the standing
+    // corpus digests (Spark's own BloomFilterAggregate — map-side
+    // partials, the merged sketch is the only thing that leaves the
+    // executors) routes each batch row: might_contain = false is a
+    // PROVEN-new row (Bloom has no false negatives) and skips the
+    // anti-join shuffle entirely; only the might_contain = true sliver
+    // (true dups + the fpp tail) pays the exact digest anti-join that
+    // removes false positives. Output is therefore EXACTLY the plain
+    // anti-join admission — oracle-paired — at a fraction of its
+    // shuffle volume (BloomPrefilterSpec proves set-equality even with
+    // a deliberately saturated 64-bit filter). The filter build is one
+    // scalar aggregate collected driver-side and re-embedded as a
+    // foldable literal, the same offline-build/online-serve split as
+    // the IVF centroids; at cluster scale the identical expressions
+    // ship via Spark's bloom-subquery injection (join_runtime_bloom).
+    "dedup_bloom_prefilter" -> ((s, d) =>
+      bloomAdmit(documents(s, d), 100000L, 800000L))
   )
+
+  /** The `dedup_bloom_prefilter` kernel, parameterized so the spec can
+    * force a saturated (high-fpp) filter and prove the output identical
+    * to the exact anti-join regardless of Bloom sizing.
+    */
+  private[graft] def bloomAdmit(
+      documents: org.apache.spark.sql.DataFrame,
+      estItems: Long,
+      numBits: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val docs = documents.withColumn("h", md5(col("text")))
+    val standing = docs.filter(col("source") =!= "src0").select(col("h"))
+    val batch = docs.filter(col("source") === "src0")
+    val bf = standing.select(column(
+        new BloomFilterAggregate(expression(xxhash64(col("h"))),
+          expression(lit(estItems)), expression(lit(numBits)))
+          .toAggregateExpression()).as("bf"))
+      .first().getAs[Array[Byte]](0)
+    // empty standing corpus -> the aggregate evals to null; the whole
+    // batch is proven-new (might_contain(null, x) would return null and
+    // silently drop every row instead)
+    if (bf == null)
+      return batch.select(col("doc_id")).orderBy(col("doc_id"))
+    val might = column(BloomFilterMightContain(
+      expression(lit(bf)), expression(xxhash64(col("h")))))
+    val provenNew = batch.filter(!might)
+    val confirmedNew = batch.filter(might)
+      .join(standing.distinct(), Seq("h"), "left_anti")
+    provenNew.select(col("doc_id"))
+      .unionAll(confirmedNew.select(col("doc_id")))
+      .orderBy(col("doc_id"))
+  }
 
   val oracle: Map[String, String] = Map(
     "mix_temperature" ->
@@ -212,6 +266,19 @@ object PipelineQueries {
         |)
         |SELECT min(doc_id) AS doc_id
         |FROM d WHERE source = 'src0' AND h NOT IN (SELECT h FROM ex)
-        |GROUP BY h ORDER BY doc_id""".stripMargin
+        |GROUP BY h ORDER BY doc_id""".stripMargin,
+
+    // the Bloom prefilter is an execution strategy, not a semantic: the
+    // oracle is the plain exact anti-join admission (per-row, no
+    // in-batch dedup — that is dedup_incremental's contract)
+    "dedup_bloom_prefilter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents
+        |), ex AS (
+        |  SELECT DISTINCT h FROM d WHERE source <> 'src0'
+        |)
+        |SELECT doc_id
+        |FROM d WHERE source = 'src0' AND h NOT IN (SELECT h FROM ex)
+        |ORDER BY doc_id""".stripMargin
   )
 }
