@@ -447,6 +447,40 @@ object SimilarityQueries {
           expr("cast(size(filter(q, x -> x != 0)) as bigint)").as("nnz_q"))
         .orderBy(col("vec_id"))),
 
+    // Matryoshka (MRL) coarse-to-fine retrieval (r7): rank the corpus
+    // by cosine over the FIRST 8 dims only (the truncation tier an
+    // MRL-trained embedding is built for — an 8x smaller scan), keep
+    // the top 16 candidates per query, then re-rank exactly that
+    // sliver by full-64-dim cosine and emit the top 3. The funnel is
+    // the production shape for dimension-tiered retrieval: the coarse
+    // tier reads 1/8th of the vector bytes (at scale: a separate
+    // narrow column / int8 artifact), the expensive full-dim cosine
+    // touches 16 rows per query. Both tiers are the ordered-fold
+    // cosine with total tie-orders (score desc, c_id asc), so the
+    // candidate SET and the final ranking are engine-exact —
+    // oracle-paired end to end, unlike recall-probabilistic ANN.
+    "emb_mrl_topk" -> ((s, d) => {
+      val e = embeddings(s, d).withColumn("t", slice(col("embedding"), 1, 8))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("t").as("q_t"),
+          col("embedding").as("q_f"))
+      val c = e.select(col("vec_id").as("c_id"), col("t").as("c_t"),
+        col("embedding").as("c_f"))
+      val wc = Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("c_id").asc)
+      val wf = Window.partitionBy(col("q_id"))
+        .orderBy(col("fcos").desc, col("c_id").asc)
+      broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("ccos", cosine(col("q_t"), col("c_t")))
+        .withColumn("crk", row_number().over(wc))
+        .filter(col("crk") <= 16)
+        .withColumn("fcos", cosine(col("q_f"), col("c_f")))
+        .withColumn("rank", row_number().over(wf))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // SimHash near-dup: 4 x 16-bit band join guarantees recall of all
     // pairs with hamming distance <= 3 (pigeonhole), verified exactly
     // via bit_count(xor). N-operator (hash values are Spark-specific).
@@ -886,6 +920,31 @@ object SimilarityQueries {
          |  SELECT q_id, c_id,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rank
          |  FROM scored)
+         |SELECT q_id, rank, c_id AS neighbor_id FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // two-tier MRL funnel: coarse top-16 on the 8-dim prefix, exact
+    // full-dim re-rank — same ordered-fold cosine both tiers, total
+    // tie-orders make the candidate set and final ranking engine-exact
+    "emb_mrl_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, embedding[1:8] AS t FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, t AS q_t, embedding AS q_f FROM e WHERE vec_id < 10
+         |), coarse AS (
+         |  SELECT q.q_id, c.vec_id AS c_id, q.q_f, c.embedding AS c_f,
+         |    ${duckCos("q.q_t", "c.t")} AS ccos
+         |  FROM q JOIN e c ON c.vec_id <> q.q_id
+         |), cand AS (
+         |  SELECT q_id, c_id, q_f, c_f FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ccos DESC, c_id ASC) AS crk FROM coarse) t
+         |  WHERE crk <= 16
+         |), ranked AS (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ${duckCos("q_f", "c_f")} DESC, c_id ASC) AS rank
+         |  FROM cand)
          |SELECT q_id, rank, c_id AS neighbor_id FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   )

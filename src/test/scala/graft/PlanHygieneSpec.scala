@@ -18,6 +18,7 @@ class PlanHygieneSpec extends SparkSpecBase {
   private val intentionalProducts: Map[String, String] = Map(
     "join_cross" -> "the operator IS a cross join (bounded dims)",
     "sim_search_topk" -> "brute-force baseline: bounded query side x corpus",
+    "emb_mrl_topk" -> "coarse tier: bounded query side x corpus (8-dim prefix)",
     "sim_search_cosine" -> "brute-force baseline: bounded query side x corpus",
     "ann_ivf_topk" -> "16-centroid broadcast fan-out per vector",
     "ann_ivf_built_topk" -> "k=8-centroid broadcast fan-out per vector",
