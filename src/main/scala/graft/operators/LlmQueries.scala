@@ -184,6 +184,51 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
         .orderBy(col("h"))),
 
+    // Global sub-document dedup (r7): the C4/RefinedWeb curation step
+    // that whole-doc digests can't express — duplicated SPANS recur
+    // across otherwise-distinct pages (boilerplate, quotes, templated
+    // text). Documents split into non-overlapping 8-word chunks; every
+    // chunk occurrence is ranked globally by (doc_id, position) and
+    // only the FIRST survives (in-doc repeats dedup too, C4-style);
+    // each doc is then rebuilt from its surviving chunks in order.
+    // Output is (doc_id, n_chunks, n_kept, md5(rebuilt)) — the digest
+    // proves byte-exact reassembly without shipping corpus text.
+    // Scale shape: one explode + ONE shuffle on chunk text (the
+    // global first-occurrence window) + a per-doc regroup; per-group
+    // window state is O(1) (row_number) and regroup state is one
+    // document — the only per-key buffers are document-bounded by
+    // construction. At 100 TB the chunk table shuffles hashes + text
+    // of each chunk once; exact, no sketch.
+    "dedup_chunk_global" -> ((s, d) => {
+      val docs = documents(s, d)
+      val chunks = docs
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("explode(sequence(0, (size(w)-1) div 8))").as("i"),
+          col("w"))
+        .select(col("doc_id"), col("i"),
+          array_join(slice(col("w"), col("i") * 8 + 1, lit(8)), " ").as("chunk"))
+      val wFirst = Window.partitionBy(col("chunk"))
+        .orderBy(col("doc_id"), col("i"))
+      val kept = chunks
+        .withColumn("rn", row_number().over(wFirst))
+        .filter(col("rn") === 1)
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("i"), col("chunk")))),
+              x => x.getField("chunk")), " ").as("rtext"))
+      docs
+        .select(col("doc_id"),
+          expr("cast((size(split(text, ' '))-1) div 8 + 1 as bigint)")
+            .as("n_chunks"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          md5(coalesce(col("rtext"), lit(""))).as("h_rebuilt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language routing + per-source quality gate.
     "text_lang_filter" -> ((s, d) =>
       documents(s, d)
@@ -450,6 +495,34 @@ object LlmQueries {
     "dedup_exact_text" ->
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // global first-occurrence chunk dedup + per-doc reassembly; the
+    // rebuilt-text digest proves byte-exact reassembly cross-engine
+    "dedup_chunk_global" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, unnest(generate_series(0, (len(w)-1) // 8)) AS i, w
+        |  FROM t
+        |), ch AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(w, 8*i + 1, 8*i + 8), ' ') AS chunk
+        |  FROM c
+        |), kept AS (
+        |  SELECT doc_id, i, chunk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY chunk
+        |      ORDER BY doc_id, i) AS rn FROM ch) x
+        |  WHERE rn = 1
+        |), reb AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY i) AS rtext
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST((len(t.w)-1) // 8 + 1 AS BIGINT) AS n_chunks,
+        |  COALESCE(reb.n_kept, 0) AS n_kept,
+        |  md5(COALESCE(reb.rtext, '')) AS h_rebuilt
+        |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "text_lang_filter" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang IN ('en', 'de') AND n_chars BETWEEN 100 AND 2000
