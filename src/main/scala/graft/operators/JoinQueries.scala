@@ -155,6 +155,36 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join, forward + nearest directions (r7): the other two
+    // merge_asof semantics. prior = most recent signup with ts <= t
+    // (RANGE unbounded-preceding..current-row — peers included, same
+    // rule both engines), next = earliest signup with ts >= t (RANGE
+    // current-row..unbounded-following), nearest = smaller |Δ| with
+    // ties to prior — all integer-µs arithmetic, engine-exact. Both
+    // windows share one (user_id, ts_us) partitioning+sort, so the
+    // plan is the SAME single shuffle as backward join_asof: direction
+    // costs nothing.
+    "join_asof_nearest" -> ((s, d) => {
+      val wPrior = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+      events(s, d)
+        .withColumn("signup_us",
+          when(col("event_type") === "signup", col("ts_us")))
+        .withColumn("prior_us", max(col("signup_us")).over(wPrior))
+        .withColumn("next_us", min(col("signup_us")).over(wNext))
+        .withColumn("nearest_us",
+          when(col("prior_us").isNull, col("next_us"))
+            .when(col("next_us").isNull, col("prior_us"))
+            .when(col("ts_us") - col("prior_us") <=
+              col("next_us") - col("ts_us"), col("prior_us"))
+            .otherwise(col("next_us")))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("next_us"), col("nearest_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // 5-way star join (TPC-H Q5 shape) + group aggregation.
     "join_multiway" -> ((s, d) =>
       customer(s, d)
@@ -412,6 +442,27 @@ object JoinQueries {
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |     AND epoch_us(s.ts) < epoch_us(e.ts)) AS last_signup_us
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    // correlated min/max mirrors of the two range-frame windows;
+    // nearest = smaller integer-us delta, ties to prior
+    "join_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+        |), j AS (
+        |  SELECT e.event_id, e.user_id, e.tus,
+        |    (SELECT max(s.tus) FROM e s
+        |     WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |       AND s.tus <= e.tus) AS prior_us,
+        |    (SELECT min(s.tus) FROM e s
+        |     WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |       AND s.tus >= e.tus) AS next_us
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, tus AS ts_us, next_us,
+        |  CASE WHEN prior_us IS NULL THEN next_us
+        |       WHEN next_us IS NULL THEN prior_us
+        |       WHEN tus - prior_us <= next_us - tus THEN prior_us
+        |       ELSE next_us END AS nearest_us
+        |FROM j ORDER BY event_id""".stripMargin,
     "join_multiway" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
