@@ -156,6 +156,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-source relative quality gate (r7): keep each source's top
+    // 30% by quality score. Absolute thresholds over- or under-prune
+    // when source quality DISTRIBUTIONS differ (a clean source's worst
+    // doc can beat a crawl's best) — production curation gates
+    // per-source. Score is the integer complement of the stopword +
+    // short-token basis points (higher = better), the keep count is
+    // ceil(0.3·n_src) in exact integer arithmetic, and the rank order
+    // (score desc, doc_id asc) is total — engine-exact row-level
+    // output. Both windows (rank + per-source count) share one
+    // source-partitioned exchange.
+    "text_quality_topfrac" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stop = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val wSrc = Window.partitionBy(col("source"))
+      documents(s, d)
+        .withColumn("tok_cnt", size(toks).cast("long"))
+        .withColumn("stop_cnt",
+          size(filter(toks, t => array_position(stop, t) > 0)).cast("long"))
+        .withColumn("short_cnt",
+          size(filter(toks, t => length(t) <= lit(2))).cast("long"))
+        .withColumn("score", expr(
+          "20000 - stop_cnt * 10000 div tok_cnt - short_cnt * 10000 div tok_cnt"))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("n_src", count(lit(1)).over(wSrc))
+        .filter(col("rk") <= expr("(3 * n_src + 9) div 10"))
+        .select(col("doc_id"), col("source"), col("score"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Token counting: whitespace tokens, BPE-ish regex tokens (letter
     // runs / digit runs / single other chars), distinct tokens.
     "text_token_count" -> ((s, d) =>
@@ -673,6 +705,29 @@ object TextQueries {
         |  short_cnt * 10000 // tok_cnt AS short_bp,
         |  tok_cnt >= 20 AND stop_cnt * 10000 // tok_cnt < 4000 AS passes_gate
         |FROM c ORDER BY doc_id""".stripMargin,
+    // per-source top-30% by integer score; total rank order and exact
+    // integer ceil keep the row-level output engine-identical
+    "text_quality_topfrac" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS tok_cnt,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS stop_cnt,
+        |    CAST(len(list_filter(toks, t -> len(t) <= 2)) AS BIGINT) AS short_cnt
+        |  FROM t
+        |), sc AS (
+        |  SELECT doc_id, source,
+        |    20000 - stop_cnt * 10000 // tok_cnt - short_cnt * 10000 // tok_cnt AS score
+        |  FROM c
+        |), r AS (
+        |  SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM sc)
+        |SELECT doc_id, source, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= (3 * n_src + 9) // 10
+        |ORDER BY source, rk""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
