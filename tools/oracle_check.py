@@ -55,8 +55,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; scaled fixtures (e.g.
+        # ScaleFixtures' /tmp/sf1) are Spark part-file DIRECTORIES
+        p = Path(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{src}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     results = {}
     dumped = {p.name for p in Path(out_dir).iterdir() if p.is_dir()}
