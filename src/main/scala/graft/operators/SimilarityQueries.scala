@@ -588,6 +588,51 @@ object SimilarityQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // SemDeDup-style semantic dedup (r7): cluster-scoped embedding
+    // dedup — the OTHER scale path for embedding near-dup vs the
+    // LSH-bucketed `dedup_embedding_cosine` (SemDeDup, Abbas et al.
+    // 2023: cluster first, compare only within clusters). Vectors are
+    // assigned to their nearest of the 16 fixed deterministic coarse
+    // centroids (exactly the ann_ivf_topk assignment pass — one
+    // broadcast crossJoin + one vec_id-partitioned window), then ONLY
+    // same-cluster pairs are compared: a vector is a semantic
+    // duplicate iff some smaller-id cluster-mate has cosine >= 0.45
+    // (deterministic min-id survivor in ONE parallel pass — the
+    // paper's sequential greedy has no order-free scalable
+    // equivalent, and min-id-wins is the same convention as
+    // dedup_keep_canonical). Scale shape: candidate volume is
+    // sum over clusters of |c|^2, not N^2; at corpus scale nlist
+    // grows ~sqrt(N) (bounded cluster sizes, skew handled by AQE on
+    // the cent_id-keyed pair join) and the centroids come from the
+    // offline k-means artifact (`ann_ivf_built_topk`'s build). The
+    // dup-id join-back is unhinted id-equi (AQE broadcasts at fixture
+    // scale). Oracle-paired bit-exactly: the IVF assignment mirror +
+    // the embedding-cosine ordered-fold gate, combined.
+    "dedup_semantic" -> ((s, d) => {
+      val nrm = embN(s, d)
+      val cents = broadcast(
+        nrm.filter(col("vec_id").between(100, 115))
+          .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id").asc)
+      val assigned = nrm.crossJoin(cents)
+        .withColumn("cos", dotN(col("emb_n"), col("cent_vec")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cent_id"), col("emb_n"))
+      val dups = assigned.as("a").join(assigned.as("b"),
+          col("a.cent_id") === col("b.cent_id") &&
+            col("a.vec_id") < col("b.vec_id") &&
+            dotN(col("a.emb_n"), col("b.emb_n")) >= 0.45)
+        .select(col("b.vec_id").as("vec_id"))
+        .distinct()
+      assigned
+        .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cent_id"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Brute-force exact top-3 cosine neighbors for a bounded query set,
     // id-only. The ordered-fold cosine is bit-identical to the DuckDB
     // formulation, so this IS oracle-paired (floats are computed, but
@@ -946,6 +991,41 @@ object SimilarityQueries {
          |      ORDER BY ${duckCos("q_f", "c_f")} DESC, c_id ASC) AS rank
          |  FROM cand)
          |SELECT q_id, rank, c_id AS neighbor_id FROM ranked
-         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // Full SQL mirror of the SemDeDup structure: the ann_ivf_topk
+    // assignment CTE (bit-identical ordered-fold cosines + the same
+    // row_number tie-break) feeding the dedup_embedding_cosine-style
+    // >= 0.45 gate, restricted to same-cluster pairs.
+    "dedup_semantic" -> {
+      val normSql =
+        s"""SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
+           |  FROM embeddings""".stripMargin
+      s"""WITH nrm AS (
+         |  $normSql
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, emb_n AS cent_vec FROM nrm
+         |  WHERE vec_id BETWEEN 100 AND 115
+         |), ac AS (
+         |  SELECT c.cent_id, n.vec_id, n.emb_n,
+         |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos
+         |  FROM nrm n CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT cent_id, vec_id, emb_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cent_id ASC) AS rn FROM ac) t
+         |  WHERE rn = 1
+         |), dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  WHERE ${duckDot("a.emb_n", "b.emb_n")} >= 0.45
+         |)
+         |SELECT v.vec_id, v.cent_id,
+         |  d.vec_id IS NOT NULL AS is_dup
+         |FROM assigned v LEFT JOIN dups d ON v.vec_id = d.vec_id
+         |ORDER BY v.vec_id""".stripMargin
+    }
   )
 }

@@ -515,6 +515,79 @@ object TextQueries {
           count(lit(1)).as("n_terms"))
         .orderBy(col("bm25_u").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // fastText-shape linear quality classifier (r7): score = mean
+    // milli-weight of the doc's hashed unigram+bigram features — the
+    // model-based quality-filter stage of pretraining pipelines
+    // (CCNet/DCLM-style fastText gate), with the trained weight table
+    // replaced by a deterministic literal hash->weight map. The
+    // operator shape IS the production one — hash each n-gram feature
+    // into a fixed bucket space, sum a per-bucket weight lookup,
+    // threshold the mean — only the weight values would come from an
+    // offline training job (out of engine scope, like the k-means
+    // build's data). Feature hash = the text_fingerprint rolling hash
+    // mod 4096 buckets; weight(f) = (f * 2654435761) % 2001
+    // milli-units in [0, 2000] (non-negative by construction, so the
+    // integer mean divides identically in both engines — Spark `div`
+    // truncates toward zero, DuckDB `//` floors, and they agree only
+    // on non-negative operands); verdict gates at mean >= 1000.
+    // All-integer arithmetic -> exactly oracle-paired. Scale shape:
+    // pure narrow map, no shuffle but the output sort; a real
+    // million-bucket weight table is a broadcast map-side lookup.
+    "text_classifier_score" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams", expr(
+          "concat(toks, zip_with(slice(toks, 1, size(toks) - 1), " +
+            "slice(toks, 2, size(toks) - 1), " +
+            "(a, b) -> concat(a, ' ', b)))"))
+        .withColumn("wsum", expr(
+          "aggregate(grams, 0L, (acc, g) -> acc + " +
+            "((aggregate(transform(sequence(1, length(g)), " +
+            "i -> cast(ascii(substring(g, i, 1)) as long)), 0L, " +
+            "(h, c) -> (h * 31 + c) % 1000000007) % 4096) " +
+            "* 2654435761) % 2001)"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_feats"),
+          expr("wsum div size(grams)").as("score_milli"),
+          (expr("wsum div size(grams)") >= 1000).as("keep"))
+        .orderBy(col("doc_id"))),
+
+    // Domain-suffix blocklist filter (r7): the crawl-curation gate
+    // that drops documents whose URL host falls under any blocked
+    // domain. Matching is per REGISTRABLE SUFFIX (an entry blocks the
+    // domain and every subdomain — 'src3.example.org' catches
+    // 'de.src3.example.org'), not string contains. Hosts are
+    // synthesized lang.source.example.org (the fixture carries no URL
+    // column — text_url_parse's convention); each host explodes into
+    // its dot-suffixes and a broadcast LEFT SEMI join against the
+    // blocklist marks blocked docs. Scale shape: real deny-lists are
+    // millions of entries, far too big for a per-row literal array
+    // scan — the explode + broadcast semi join is map-side (no corpus
+    // shuffle; only matched doc_ids deduplicate, a volume bounded by
+    // the hit rate), exactly how a cluster-scale deny-list runs.
+    "text_url_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val blocklist = Seq("src3.example.org", "src7.example.org",
+        "de.src11.example.org", "ads.example.net", "tracker.invalid")
+        .toDF("bl_suffix")
+      val docs = documents(s, d).withColumn("host",
+        concat(col("lang"), lit("."), col("source"), lit(".example.org")))
+      val sfx = docs.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(host, '[.]'))), " +
+          "i -> array_join(slice(split(host, '[.]'), i, " +
+          "size(split(host, '[.]')) - i + 1), '.'))")).as("sfx"))
+      val blocked = sfx
+        .join(broadcast(blocklist), sfx("sfx") === blocklist("bl_suffix"),
+          "left_semi")
+        .select(col("doc_id")).distinct()
+      docs
+        .join(blocked.withColumn("blocked", lit(true)), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"), col("host"),
+          coalesce(col("blocked"), lit(false)).as("blocked"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -812,6 +885,52 @@ object TextQueries {
         |  (max_tok * 10000 // n_tok < 2000
         |    AND max_gram * 10000 // n_gram < 1800) AS keep
         |FROM ts JOIN gs ON ts.doc_id = gs.doc_id
-        |ORDER BY ts.doc_id""".stripMargin
+        |ORDER BY ts.doc_id""".stripMargin,
+    // Same rolling-hash/bucket/weight integer algebra; wsum is
+    // non-negative so // and Spark's div agree.
+    "text_classifier_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_concat(ws,
+        |    list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i + 1])) AS grams
+        |  FROM t
+        |), sc AS (
+        |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_feats,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(grams, gr ->
+        |        ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            list_transform(generate_series(1, len(gr)),
+        |              i -> CAST(ascii(substring(gr, i, 1)) AS BIGINT))),
+        |          (h, c) -> (h * 31 + c) % 1000000007) % 4096)
+        |         * 2654435761) % 2001)),
+        |      (a, b) -> a + b) AS wsum
+        |  FROM g
+        |)
+        |SELECT doc_id, n_feats, wsum // n_feats AS score_milli,
+        |  wsum // n_feats >= 1000 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // Same host synthesis + the same suffix explosion (list_slice is
+    // end-inclusive where Spark's slice takes a length — both yield
+    // labels i..n).
+    "text_url_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang || '.' || source || '.example.org' AS host
+        |  FROM documents
+        |), sfx AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(host, '.'))),
+        |    i -> array_to_string(list_slice(string_split(host, '.'), i,
+        |      len(string_split(host, '.'))), '.'))) AS s
+        |  FROM t
+        |), b AS (
+        |  SELECT DISTINCT doc_id FROM sfx
+        |  WHERE s IN ('src3.example.org', 'src7.example.org',
+        |    'de.src11.example.org', 'ads.example.net', 'tracker.invalid')
+        |)
+        |SELECT t.doc_id, t.host, b.doc_id IS NOT NULL AS blocked
+        |FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+        |ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -131,4 +131,42 @@ class CurationInvariantSpec extends SparkSpecBase {
     val losers = labels.filter { case (doc, cl) => cl < doc }.map(_._1).toSet
     assert(kept == all -- losers)
   }
+
+  test("text_classifier_score: exact feature count, bounded milli-score") {
+    val nToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("text_classifier_score")(spark, sfDir)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet == nToks.keySet)
+    rows.foreach { r =>
+      val (id, nf, score, keep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      val n = nToks(id)
+      // unigrams + (n-1) bigrams
+      assert(nf == (if (n >= 2) 2 * n - 1 else n), s"doc $id feature count")
+      // mean of per-feature weights in [0, 2000]
+      assert(score >= 0 && score <= 2000, s"doc $id score $score")
+      assert(keep == (score >= 1000), s"doc $id verdict")
+    }
+  }
+
+  test("text_url_blocklist blocks exactly the listed domain suffixes") {
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val got = SparkEntry.queries("text_url_blocklist")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet == meta.keySet)
+    got.foreach { case (id, host, blocked) =>
+      val (lang, src) = meta(id)
+      assert(host == s"$lang.$src.example.org")
+      // list: src3.example.org / src7.example.org block every subdomain
+      // of those sources; de.src11.example.org only the exact host
+      val exp = src == "src3" || src == "src7" ||
+        (lang == "de" && src == "src11")
+      assert(blocked == exp, s"doc $id host $host expected $exp")
+    }
+    assert(got.exists(_._3) && got.exists(!_._3), "both classes present")
+  }
 }

@@ -208,4 +208,39 @@ class SimilaritySpec extends SparkSpecBase {
       .count()
     assert(mismatches == 0)
   }
+
+  test("dedup_semantic agrees with an independent driver recomputation") {
+    // From-scratch Scala recomputation of the SemDeDup definition
+    // (normalize -> nearest-of-16-centroids -> same-cluster cos >= 0.45
+    // vs any smaller id) with the same left-to-right IEEE folds.
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nv = vecs.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v)); id -> v.map(_ / n)
+    }
+    val cents = nv.filter { case (id, _) => id >= 100 && id <= 115 }
+      .toSeq.sortBy(_._1)
+    val assign = nv.map { case (id, v) =>
+      id -> cents.minBy { case (cid, cv) => (-dot(v, cv), cid) }._1
+    }
+    val expDups = (for {
+      (b, cb) <- assign.toSeq
+      (a, ca) <- assign.toSeq
+      if ca == cb && a < b && dot(nv(a), nv(b)) >= 0.45
+    } yield b).toSet
+    val got = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet == vecs.keySet, "every vector labeled once")
+    got.foreach { case (id, cid, isDup) =>
+      assert(cid == assign(id), s"vector $id assigned to wrong centroid")
+      assert(isDup == expDups.contains(id), s"vector $id dup flag wrong")
+    }
+  }
 }
