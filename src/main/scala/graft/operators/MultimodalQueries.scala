@@ -208,6 +208,88 @@ object MultimodalQueries {
         }
         .toDF("doc_id", "frame_idx", "frame_bytes", "px_sum")
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Perceptual-hash image dedup (r7): the classic average-hash
+    // (aHash) near-dup detector over DECODED pixels — the image arm of
+    // the dedup family (text dedups by MinHash/SimHash; images dedup
+    // by perceptual hashes exactly like this). Each doc's canonical
+    // BMP is parsed by the real header walk and an 8x8 grid of
+    // nearest-neighbor pixel samples is read through the
+    // orientation-aware row reader (sampling, not mean pooling —
+    // integer-exact and well-defined even when height < 8).
+    // bit(i) = 64*sample_i > sum(samples); the 64 bits pack into FOUR
+    // 16-bit band values (never one 64-bit word: bit 63 would overflow
+    // the signed pack, and bigint overflow wraps in Spark but errors
+    // in DuckDB), which double as the SimHash-style LSH bucket keys —
+    // pairs sharing >= 1 band are candidates (hamming <= 3 recall
+    // guaranteed by pigeonhole over 4 bands), exact hamming
+    // (bit_count of per-band xor) <= 3 confirms. Scale shape: hash =
+    // narrow batched mapPartitions decode, binary never shuffles;
+    // candidate stage = id-only band-bucket equi-join; hash join-backs
+    // unhinted id-equi. Oracle-paired: the hash mirrors the synthesis
+    // arithmetic bit-for-bit (the mm_feature_extract technique), and
+    // the band/hamming algebra is pure integer.
+    "mm_phash_dedup" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      val hashes = documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.grouped(32).flatMap { batch =>
+            batch.iterator.map { case (id, payload) =>
+              val bmp = bmpFor(id, payload)
+              val m = BmpDecoder.parse(bmp).get
+              val samples = new Array[Int](64)
+              var ri = 0
+              while (ri < 8) {
+                val rowBytes = BmpDecoder.row(bmp, m, ri * m.height / 8)
+                var ci = 0
+                while (ci < 8) {
+                  samples(ri * 8 + ci) =
+                    rowBytes(3 * (ci * m.width / 8)) & 0xff
+                  ci += 1
+                }
+                ri += 1
+              }
+              var sum = 0L
+              samples.foreach(sum += _)
+              def band(b: Int): Long = {
+                var v = 0L
+                var j = 0
+                while (j < 16) {
+                  v = v * 2 +
+                    (if (64L * samples(16 * b + j) > sum) 1L else 0L)
+                  j += 1
+                }
+                v
+              }
+              (id, band(0), band(1), band(2), band(3))
+            }
+          }
+        }
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      val bands = hashes.select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .toDF("doc_id", "band", "band_val")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(hashes.toDF("doc_a", "a0", "a1", "a2", "a3"), "doc_a")
+        .join(hashes.toDF("doc_b", "c0", "c1", "c2", "c3"), "doc_b")
+        .withColumn("hamming", (
+          bit_count(col("a0").bitwiseXOR(col("c0"))) +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3")))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
     })
   )
 
@@ -297,6 +379,62 @@ object MultimodalQueries {
         |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  lang AS src_lang
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors the aHash over the synthesis arithmetic: sample (ri,ci)
+    // is payload byte (ri*h/8)*w + ci*w/8 (0 past the payload — the
+    // zero-padded partial last row), bit = 64*sample > sum, msb-first
+    // 16-bit band packs, band-bucket candidates, per-band xor
+    // bit_count hamming. CTEs materialized: bands self-joins and
+    // multi-references would otherwise inline and explode.
+    "mm_phash_dedup" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(text, ''), c -> ascii(c)) AS vals,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(16 + doc_id % 17 AS BIGINT) AS w
+        |  FROM documents
+        |), s AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 63), i ->
+        |      CASE WHEN ((i // 8) * ((n + w - 1) // w) // 8) * w
+        |                  + ((i % 8) * w // 8) < n
+        |        THEN CAST(vals[CAST(((i // 8) * ((n + w - 1) // w) // 8) * w
+        |                  + ((i % 8) * w // 8) + 1 AS INTEGER)] AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END) AS smp
+        |  FROM d
+        |), h AS MATERIALIZED (
+        |  SELECT doc_id, smp,
+        |    list_reduce(smp, (a, x) -> a + x) AS ssum
+        |  FROM s
+        |), bands AS MATERIALIZED (
+        |  SELECT doc_id, b,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(0, 15), j ->
+        |        CASE WHEN 64 * smp[CAST(16 * b + j + 1 AS INTEGER)] > ssum
+        |          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a * 2 + x) AS band_val
+        |  FROM h, unnest([0, 1, 2, 3]) AS u(b)
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.band_val = b.band_val
+        |      AND a.doc_id < b.doc_id
+        |), bt AS MATERIALIZED (
+        |  SELECT doc_id, list(band_val ORDER BY b) AS bv
+        |  FROM bands GROUP BY doc_id
+        |)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(bit_count(xor(x.bv[1], y.bv[1]))
+        |     + bit_count(xor(x.bv[2], y.bv[2]))
+        |     + bit_count(xor(x.bv[3], y.bv[3]))
+        |     + bit_count(xor(x.bv[4], y.bv[4])) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN bt x ON c.doc_a = x.doc_id
+        |JOIN bt y ON c.doc_b = y.doc_id
+        |WHERE bit_count(xor(x.bv[1], y.bv[1]))
+        |    + bit_count(xor(x.bv[2], y.bv[2]))
+        |    + bit_count(xor(x.bv[3], y.bv[3]))
+        |    + bit_count(xor(x.bv[4], y.bv[4])) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -77,4 +77,42 @@ class MultimodalSpec extends SparkSpecBase {
       assert(r.getString(1) == expected)
     }
   }
+
+  test("mm_phash_dedup equals a synthesis-arithmetic recomputation") {
+    // Independent second opinion: the operator hashes pixels read
+    // through the REAL decoder; this recomputes the bands straight
+    // from the synthesis definition (sample (ri,ci) = payload byte
+    // (ri*h/8)*w + ci*w/8, zero past the payload) and re-derives the
+    // full candidate + hamming<=3 pair set driver-side.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bandsOf(id: Long, text: String): Array[Long] = {
+      val payload = text.getBytes("UTF-8")
+      val w = (16 + id % 17).toInt
+      val n = payload.length
+      val h = (n + w - 1) / w
+      val smp = Array.tabulate(64) { i =>
+        val idx = ((i / 8) * h / 8) * w + (i % 8) * w / 8
+        if (idx < n) payload(idx) & 0xff else 0
+      }
+      val sum = smp.map(_.toLong).sum
+      Array.tabulate(4) { b =>
+        (0 until 16).foldLeft(0L)((acc, j) =>
+          acc * 2 + (if (64L * smp(16 * b + j) > sum) 1L else 0L))
+      }
+    }
+    val bs = docs.map { case (id, t) => id -> bandsOf(id, t) }
+    val exp = (for {
+      (a, ba) <- bs
+      (b, bb) <- bs
+      if a < b && (0 until 4).exists(k => ba(k) == bb(k))
+      ham = (0 until 4).map(k => java.lang.Long.bitCount(ba(k) ^ bb(k))).sum
+      if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val got = run("mm_phash_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp,
+      s"spurious=${got -- exp} missing=${exp -- got}")
+  }
 }
