@@ -21,6 +21,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "emb_mrl_topk" -> "coarse tier: bounded query side x corpus (8-dim prefix)",
     "sim_search_cosine" -> "brute-force baseline: bounded query side x corpus",
     "ann_ivf_topk" -> "16-centroid broadcast fan-out per vector",
+    "dedup_semantic" -> "16-centroid broadcast fan-out per vector (assignment)",
     "ann_ivf_built_topk" -> "k=8-centroid broadcast fan-out per vector",
     "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows",
     "text_lm_score" -> "single-row vocab-size frame crossed onto the scorer",
