@@ -185,6 +185,27 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join with a tolerance bound (r7): merge_asof's fourth
+    // parameter — the prior signup counts only within the last hour
+    // (ts_us in [t - 3600s, t]), else NULL. Spelled as a BOUNDED range
+    // frame (-tolerance .. current row), which is also the scale
+    // story: window state is capped by the tolerance span instead of
+    // unbounded-preceding history, exactly what a streaming/huge-key
+    // variant needs. Same single (user_id, ts_us) shuffle+sort as the
+    // other as-of directions.
+    "join_asof_tolerance" -> ((s, d) => {
+      val tolUs = 3600L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-tolUs, Window.currentRow)
+      events(s, d)
+        .withColumn("signup_us",
+          when(col("event_type") === "signup", col("ts_us")))
+        .withColumn("asof_us", max(col("signup_us")).over(w))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // 5-way star join (TPC-H Q5 shape) + group aggregation.
     "join_multiway" -> ((s, d) =>
       customer(s, d)
@@ -463,6 +484,18 @@ object JoinQueries {
         |       WHEN tus - prior_us <= next_us - tus THEN prior_us
         |       ELSE next_us END AS nearest_us
         |FROM j ORDER BY event_id""".stripMargin,
+    // correlated mirror of the bounded range frame: the max prior
+    // signup within [t - 1h, t], inclusive both ends
+    "join_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+        |)
+        |SELECT e.event_id, e.user_id, e.tus AS ts_us,
+        |  (SELECT max(s.tus) FROM e s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND s.tus <= e.tus
+        |     AND s.tus >= e.tus - 3600000000) AS asof_us
+        |FROM e ORDER BY e.event_id""".stripMargin,
     "join_multiway" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,

@@ -36,6 +36,32 @@ class AsofNearestSpec extends SparkSpecBase {
     assert(got(1L) == (Some(100L), Some(100L)))
   }
 
+  test("tolerance: prior signup matches only within the 1h bound") {
+    import spark.implicits._
+    val tol = 3600L * 1000000L
+    val rows = Seq(
+      (1L, 0L, 1L, "signup"),
+      (10L, tol, 1L, "view"),      // exactly at the bound -> match
+      (11L, tol + 1L, 1L, "view"), // 1us past the bound -> null
+      (12L, 100L, 1L, "view"),     // well within -> match
+      (20L, 500L, 2L, "view"))     // user 2 never signed up -> null
+      .map { case (id, t, u, et) => (id, t * 1000L, u, et, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = TempDirs.scoped("asof_tol_spec", "tiny")
+    TempDirs.writeOnce("asof_tol_spec_tiny") {
+      rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    val got = SparkEntry.queries("join_asof_tolerance")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString.toLong))
+      .toMap
+    assert(got(10L) == Some(0L))
+    assert(got(11L).isEmpty)
+    assert(got(12L) == Some(0L))
+    assert(got(20L).isEmpty)
+    assert(got(1L) == Some(0L)) // a signup matches itself (peer row)
+  }
+
   test("both direction windows share one shuffle (single user_id Exchange)") {
     val plan = SparkEntry.queries("join_asof_nearest")(spark, sfDir)
       .queryExecution.executedPlan.toString
