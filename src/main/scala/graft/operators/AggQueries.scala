@@ -396,6 +396,37 @@ object AggQueries {
             "min_d", "max_d")))
         .orderBy(col("col_name"))),
 
+    // Piggybacked metrics via Dataset.observe (r7): the CollectMetrics
+    // API — aggregates accumulated ON THE SIDE of a pass that is
+    // already running, the zero-extra-scan way a 100 TB pipeline
+    // gathers row counts / null counts / value bounds while producing
+    // its real output (profile_columns pays a dedicated scan; an
+    // observation pays none). The observed pass here is a minimal
+    // count() over lineitem; the observation's metric row IS the
+    // query result. Driver-coordinated by definition — Observation.get
+    // blocks on the host action's completion (the declared build-step
+    // shape, like the cc-labels fixpoint). Every metric is
+    // deterministic: exact counts, integer min/max, and an
+    // order-independent decimal money sum surfaced as double.
+    "profile_observe" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val host = lineitem(s, d).observe(obs,
+        count(lit(1)).as("n_rows"),
+        count(col("l_returnflag")).as("n_flag"),
+        min(col("l_orderkey")).as("min_okey"),
+        max(col("l_orderkey")).as("max_okey"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      host.count() // the host action the metrics piggyback on
+      val m = obs.get
+      val ss = s
+      import ss.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("n_flag").asInstanceOf[Long],
+        m("min_okey").asInstanceOf[Long], m("max_okey").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[Double]))
+        .toDF("n_rows", "n_flag", "min_okey", "max_okey", "sum_qty")
+    }),
+
     // Approximate quantiles via percentile_approx (GK summaries):
     // mergeable map-side sketches, rank error bounded by n/accuracy —
     // the distributed-quantile shape (exact percentiles need a full
@@ -610,6 +641,13 @@ object AggQueries {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |  count(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // plain aggregate mirror — the observation must equal what a
+    // dedicated scan computes
+    "profile_observe" ->
+      """SELECT count(*) AS n_rows, count(l_returnflag) AS n_flag,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin,
     "profile_columns" ->
       """SELECT 'c_acctbal' AS col_name, count(*) AS n,
         |  count(c_acctbal) AS n_nonnull, count(DISTINCT c_acctbal) AS n_distinct,
