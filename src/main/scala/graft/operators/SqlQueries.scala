@@ -161,6 +161,48 @@ object SqlQueries {
           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
           OR c.c_acctbal < 0.0
         ORDER BY c_custkey""")
+    }),
+
+    // SQL-defined scalar function (Spark 4 SQL UDF — CREATE FUNCTION
+    // ... RETURN expr): business logic shared as a CATALOG object, not
+    // a JVM closure. Catalyst inlines the body into the calling plan,
+    // so this stays whole-stage-codegen'd exact decimal arithmetic —
+    // unlike a Scala UDF, which is an opaque black box to the
+    // optimizer. The oracle inlines the same expression by hand: the
+    // function boundary must be a pure naming layer with zero
+    // numeric effect.
+    "sql_udf_create" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+          p DOUBLE, disc DOUBLE)
+        RETURNS DECIMAL(16, 4)
+        RETURN CAST(p AS DECIMAL(12, 2)) *
+          (CAST(1.00 AS DECIMAL(3, 2)) - CAST(disc AS DECIMAL(4, 2)))""")
+      s.sql("""
+        SELECT l_returnflag,
+          CAST(sum(graft_disc_price(l_extendedprice, l_discount))
+            AS DOUBLE) AS sum_disc,
+          count(*) AS n_rows
+        FROM lineitem_v
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // SQL pipe syntax (Spark 4): the |>-chained relational form —
+    // each stage consumes the previous result top-to-bottom, the way
+    // the engine's own DataFrame API composes. Same plan as the
+    // classic spelling (the parser desugars stages into the identical
+    // logical tree), proven by the oracle being the classic GROUP BY.
+    "sql_pipe_syntax" -> ((s, d) => {
+      views(s, d)
+      s.sql("""
+        FROM lineitem_v
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> AGGREGATE count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE)
+               AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus""")
     })
   )
 
@@ -216,6 +258,25 @@ object SqlQueries {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
         |  OR c.c_acctbal < 0.0
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    // the UDF body inlined by hand — the function boundary must have
+    // zero numeric effect
+    "sql_udf_create" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12, 2)) *
+        |    (CAST(1.00 AS DECIMAL(3, 2)) - CAST(l_discount AS DECIMAL(4, 2))))
+        |    AS DOUBLE) AS sum_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // classic spelling of the pipe chain — the desugaring must be a
+    // pure syntax layer
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }
