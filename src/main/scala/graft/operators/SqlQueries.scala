@@ -188,6 +188,25 @@ object SqlQueries {
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
+    // Parameterized SQL (Spark 4): named parameter markers bind VALUES
+    // outside the SQL text (the injection-safe templating API — the
+    // engine plans ONE query shape and the binding is a literal, never
+    // string splicing), and IDENTIFIER() binds a NAME from a parameter
+    // — the "same query over N tables" template a pipeline scheduler
+    // emits. The oracle inlines both bindings by hand: parameter
+    // passing must have zero semantic effect.
+    "sql_parameterized" -> ((s, d) => {
+      views(s, d)
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+          |    AS sum_price
+          |FROM IDENTIFIER(:tbl)
+          |WHERE o_totalprice > :floor
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        Map("tbl" -> "orders_v", "floor" -> 150000.0))
+    }),
+
     // SQL pipe syntax (Spark 4): the |>-chained relational form —
     // each stage consumes the previous result top-to-bottom, the way
     // the engine's own DataFrame API composes. Same plan as the
@@ -269,6 +288,15 @@ object SqlQueries {
         |  count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // both parameter bindings inlined by hand — parameter passing must
+    // have zero semantic effect
+    "sql_parameterized" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // classic spelling of the pipe chain — the desugaring must be a
     // pure syntax layer
     "sql_pipe_syntax" ->
