@@ -68,6 +68,27 @@ object PipelineQueries {
         .select(col("lang"), col("doc_id"), col("n_toks"), col("bin"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // Quality-tiered repetition schedule (r7): the UPsampling
+    // counterpart of mix_weighted/mix_temperature (which sample DOWN)
+    // — higher-quality documents repeat across training epochs (the
+    // multi-epoch weighting of modern data recipes: quality tier ->
+    // repeat count 3/2/1), each repeat emitted as its own
+    // (doc_id, epoch) row via a per-row sequence explode. Quality is
+    // the integer chars-per-token proxy (x100); the 540/556 tier
+    // thresholds are operator literals (roughly terciles of the
+    // fixture). Scale shape: narrow generator fan-out, output size
+    // = sum of repeats, no shuffle but the output sort.
+    "mix_repeat_by_quality" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("q", expr(
+          "n_chars * 100 div greatest(size(split(text, ' ')), 1)"))
+        .withColumn("repeats", when(col("q") >= 556, 3L)
+          .when(col("q") >= 540, 2L).otherwise(1L))
+        .withColumn("epoch", explode(expr("sequence(1, repeats)")))
+        .select(col("doc_id"), col("q").as("quality"),
+          col("repeats"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // Source-weighted mixture: per-source take-rates via hash
     // thresholds (src0-4 keep 12/16, src5-9 keep 8/16, the long tail
     // 4/16) — the data-mixing step that rebalances source proportions
@@ -210,6 +231,21 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // same integer quality proxy, same literal tiers, same fan-out
+    "mix_repeat_by_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    n_chars * 100 // greatest(len(string_split(text, ' ')), 1) AS q
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, q,
+        |    CASE WHEN q >= 556 THEN 3 WHEN q >= 540 THEN 2 ELSE 1 END
+        |      AS repeats
+        |  FROM t
+        |)
+        |SELECT doc_id, q AS quality, CAST(repeats AS BIGINT) AS repeats,
+        |  unnest(generate_series(1, repeats)) AS epoch
+        |FROM r ORDER BY doc_id, epoch""".stripMargin,
     "mix_temperature" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_total FROM documents GROUP BY source

@@ -588,6 +588,35 @@ object SimilarityQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // Embedding-space benchmark decontamination (r7): drop training
+    // vectors semantically too close to any EVAL-SET item — the
+    // embedding arm of decontamination (contamination_ngram is the
+    // lexical arm; modern pipelines run both, since paraphrased
+    // benchmark leakage defeats n-gram checks). The benchmark side is
+    // BOUNDED by definition (an eval set, here the first 20 corpus
+    // vectors — the fixture carries no separate benchmark table), so
+    // it broadcasts and the corpus-side check is MAP-SIDE: a
+    // broadcast-nested-loop LEFT SEMI with the cosine >= 0.45 gate,
+    // no corpus shuffle anywhere but the output sort; only matched
+    // ids (bounded by the hit rate) deduplicate for the flag
+    // join-back. Oracle-paired bit-exactly via the ordered-fold dot.
+    "contamination_embedding" -> ((s, d) => {
+      val nrm = embN(s, d)
+      val bench = broadcast(nrm.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("b_id"), col("emb_n").as("b_n")))
+      val hit = nrm.join(bench,
+          col("vec_id") =!= col("b_id") &&
+            dotN(col("emb_n"), col("b_n")) >= 0.45,
+          "left_semi")
+        .select(col("vec_id"))
+      nrm
+        .join(hit.withColumn("contaminated", lit(true)), Seq("vec_id"),
+          "left")
+        .select(col("vec_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup-style semantic dedup (r7): cluster-scoped embedding
     // dedup — the OTHER scale path for embedding near-dup vs the
     // LSH-bucketed `dedup_embedding_cosine` (SemDeDup, Abbas et al.
@@ -992,6 +1021,28 @@ object SimilarityQueries {
          |  FROM cand)
          |SELECT q_id, rank, c_id AS neighbor_id FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // Same bounded-benchmark structure: bench CTE + ordered-fold
+    // cosine gate + DISTINCT hit set + flag left join.
+    "contamination_embedding" -> {
+      val normSql =
+        s"""SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
+           |  FROM embeddings""".stripMargin
+      s"""WITH nrm AS (
+         |  $normSql
+         |), bench AS (
+         |  SELECT vec_id AS b_id, emb_n AS b_n FROM nrm WHERE vec_id < 20
+         |), hit AS (
+         |  SELECT DISTINCT n.vec_id
+         |  FROM nrm n JOIN bench b
+         |    ON n.vec_id <> b.b_id
+         |  WHERE ${duckDot("n.emb_n", "b.b_n")} >= 0.45
+         |)
+         |SELECT n.vec_id, h.vec_id IS NOT NULL AS contaminated
+         |FROM nrm n LEFT JOIN hit h ON n.vec_id = h.vec_id
+         |ORDER BY n.vec_id""".stripMargin
+    },
 
     // Full SQL mirror of the SemDeDup structure: the ann_ivf_topk
     // assignment CTE (bit-identical ordered-fold cosines + the same

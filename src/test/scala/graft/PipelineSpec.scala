@@ -84,4 +84,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(high > low,
       s"high-weight rate $high should exceed tail rate $low")
   }
+
+  test("mix_repeat_by_quality emits exactly repeats epochs per doc") {
+    val rows = SparkEntry.queries("mix_repeat_by_quality")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == nDocs, "every document scheduled")
+    byDoc.foreach { case (doc, rs) =>
+      val repeats = rs.head._3
+      assert(Set(1L, 2L, 3L).contains(repeats), s"doc $doc tier")
+      assert(rs.forall(_._3 == repeats))
+      assert(rs.map(_._4).sorted.toSeq == (1L to repeats), s"doc $doc epochs")
+      // tier is the declared function of the quality score
+      val q = rs.head._2
+      val exp = if (q >= 556) 3L else if (q >= 540) 2L else 1L
+      assert(repeats == exp, s"doc $doc q=$q")
+    }
+  }
 }

@@ -22,6 +22,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "sim_search_cosine" -> "brute-force baseline: bounded query side x corpus",
     "ann_ivf_topk" -> "16-centroid broadcast fan-out per vector",
     "dedup_semantic" -> "16-centroid broadcast fan-out per vector (assignment)",
+    "contamination_embedding" -> "bounded benchmark side broadcast, non-equi cosine gate",
     "ann_ivf_built_topk" -> "k=8-centroid broadcast fan-out per vector",
     "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows",
     "text_lm_score" -> "single-row vocab-size frame crossed onto the scorer",

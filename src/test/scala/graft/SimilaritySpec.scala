@@ -209,6 +209,35 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mismatches == 0)
   }
 
+  test("contamination_embedding equals an independent recomputation") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nv = vecs.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v)); id -> v.map(_ / n)
+    }
+    val bench = nv.filter(_._1 < 20)
+    val got = SparkEntry.queries("contamination_embedding")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.keySet == vecs.keySet)
+    nv.foreach { case (id, v) =>
+      val exp = bench.exists { case (b, bv) =>
+        b != id && dot(v, bv) >= 0.45
+      }
+      assert(got(id) == exp, s"vector $id contamination flag")
+    }
+    // no non-emptiness assertion: whether any corpus vector sits
+    // within 0.45 of the bounded benchmark is a property of the
+    // fixture (none do at sf0.001); the per-flag agreement above is
+    // the contract
+  }
+
   test("dedup_semantic agrees with an independent driver recomputation") {
     // From-scratch Scala recomputation of the SemDeDup definition
     // (normalize -> nearest-of-16-centroids -> same-cluster cos >= 0.45
