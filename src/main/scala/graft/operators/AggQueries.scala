@@ -421,9 +421,15 @@ object AggQueries {
       val m = obs.get
       val ss = s
       import ss.implicits._
+      // min/max/sum are NULL on an empty input — Option keeps the
+      // column nullable (a bare asInstanceOf[Long] would silently
+      // unbox null to 0 and diverge from the oracle's NULLs)
+      def optL(k: String): Option[Long] =
+        Option(m(k)).map(_.asInstanceOf[Long])
+      def optD(k: String): Option[Double] =
+        Option(m(k)).map(_.asInstanceOf[Double])
       Seq((m("n_rows").asInstanceOf[Long], m("n_flag").asInstanceOf[Long],
-        m("min_okey").asInstanceOf[Long], m("max_okey").asInstanceOf[Long],
-        m("sum_qty").asInstanceOf[Double]))
+        optL("min_okey"), optL("max_okey"), optD("sum_qty")))
         .toDF("n_rows", "n_flag", "min_okey", "max_okey", "sum_qty")
     }),
 

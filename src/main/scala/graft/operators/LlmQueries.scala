@@ -210,22 +210,25 @@ object LlmQueries {
           array_join(slice(col("w"), col("i") * 8 + 1, lit(8)), " ").as("chunk"))
       val wFirst = Window.partitionBy(col("chunk"))
         .orderBy(col("doc_id"), col("i"))
-      val kept = chunks
+      // ALL chunks flow through the regroup (survivors flagged, not
+      // filtered): n_chunks falls out of the same per-doc aggregate,
+      // so the corpus text is scanned and split exactly ONCE — the r7
+      // review caught the previous spelling re-reading documents a
+      // second time just to derive n_chunks, then paying a join to
+      // stitch it back (collect_list skips the nulls the `when` emits
+      // for dropped chunks, so only survivors are reassembled)
+      chunks
         .withColumn("rn", row_number().over(wFirst))
-        .filter(col("rn") === 1)
-      val rebuilt = kept.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
           array_join(
-            transform(array_sort(collect_list(struct(col("i"), col("chunk")))),
+            transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("i"), col("chunk"))))),
               x => x.getField("chunk")), " ").as("rtext"))
-      docs
-        .select(col("doc_id"),
-          expr("cast((size(split(text, ' '))-1) div 8 + 1 as bigint)")
-            .as("n_chunks"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chunks"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          md5(coalesce(col("rtext"), lit(""))).as("h_rebuilt"))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("rtext")).as("h_rebuilt"))
         .orderBy(col("doc_id"))
     }),
 

@@ -574,10 +574,14 @@ object TextQueries {
         .toDF("bl_suffix")
       val docs = documents(s, d).withColumn("host",
         concat(col("lang"), lit("."), col("source"), lit(".example.org")))
-      val sfx = docs.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(split(host, '[.]'))), " +
-          "i -> array_join(slice(split(host, '[.]'), i, " +
-          "size(split(host, '[.]')) - i + 1), '.'))")).as("sfx"))
+      // bind the label array once — a split() inside the HOF lambda
+      // would re-run the regex ~2n+1 times per row
+      val sfx = docs
+        .withColumn("labels", split(col("host"), "[.]"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(labels)), " +
+            "i -> array_join(slice(labels, i, " +
+            "size(labels) - i + 1), '.'))")).as("sfx"))
       val blocked = sfx
         .join(broadcast(blocklist), sfx("sfx") === blocklist("bl_suffix"),
           "left_semi")

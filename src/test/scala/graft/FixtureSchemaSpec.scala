@@ -49,8 +49,14 @@ class FixtureSchemaSpec extends SparkSpecBase {
     // sub-millisecond tail that double division would corrupt
     val micros = Seq(1709251200000000L, 1709251200001500L, 1709337600999999L)
     TempDirs.writeOnce("fixture_canary_unitflip") {
-      micros.map(us => (1L, us * 1000L)).toDF("event_id", "ts")
-        .write.mode("overwrite").parquet(s"$dir/nanos/events.parquet")
+      // The nanos leg must be BYTE-FAITHFUL to the r1-5 fixtures:
+      // physical `int64 ts (TIMESTAMP(NANOS, isAdjustedToUTC=false))`,
+      // which Spark can only load under nanosAsLong. A plain BIGINT
+      // column (the previous spelling, caught in the r7 review) loads
+      // as LongType with or without the flag, so it could never catch
+      // the flag being dropped or a Spark upgrade changing
+      // TIMESTAMP(NANOS) handling — parquet-mr writes the real thing.
+      writeNanosParquet(s"$dir/nanos/events.parquet", micros.map(_ * 1000L))
       // NTZ cast writes parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
       // — byte-for-byte the round-6 fixture encoding
       micros.toDF("us")
@@ -63,6 +69,35 @@ class FixtureSchemaSpec extends SparkSpecBase {
         .collect().map(_.getLong(0)).sorted.toSeq
     assert(tsUs("nanos") == micros, "int64-nanos fixture decoded wrong")
     assert(tsUs("micros") == micros, "timestamp-micros fixture decoded wrong")
+  }
+
+  /** Write `(event_id BIGINT, ts TIMESTAMP(NANOS, NTZ))` parquet via
+    * parquet-mr — the physical encoding Spark itself cannot write.
+    */
+  private def writeNanosParquet(dirPath: String, nanos: Seq[Long]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false,
+        LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    new java.io.File(dirPath).mkdirs()
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dirPath/part-00000.parquet"))
+      .withType(schema)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try nanos.foreach { ns =>
+      val g = f.newGroup()
+      g.add("event_id", 1L)
+      g.add("ts", ns)
+      w.write(g)
+    } finally w.close()
   }
 
   /** Loaded-schema contract for EVERY fixture table, pinned 2026-08-13
