@@ -30,7 +30,6 @@ object LlmQueries {
         when(size(col("toks")) < 3, array(array_join(col("toks"), " ")))
           .otherwise(expr(
             "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
-      .withColumn("sh_set", array_distinct(col("shingles")))
 
   /** 16-permutation MinHash signature over the shingle set.
     *
@@ -104,30 +103,38 @@ object LlmQueries {
       // label-table join, so the safety cap is generous: a diameter
       // beyond 100 in a near-dup graph means the blocking broke, and
       // failing loudly beats silently wrong clusters.
+      // try/finally so a mid-build Spark failure (shuffle fetch,
+      // executor loss) cannot leak persisted blocks into the shared
+      // context cache across writeOnce retries (r7 review) — the
+      // finally covers every exit path, and unpersist on an
+      // already-released frame is a no-op
       var labels = verts.select(col("v"), col("v").as("label"))
-      for (_ <- 1 to 4) labels = propagate(labels)
-      labels = labels.persist()
-      var changed = -1L
-      var rounds = 4
-      while (changed != 0 && rounds < 100) {
-        val next = propagate(labels).persist()
-        changed = next.as("n")
-          .join(labels.as("p"), col("n.v") === col("p.v"))
-          .filter(col("n.label") =!= col("p.label"))
-          .count()
+      try {
+        for (_ <- 1 to 4) labels = propagate(labels)
+        labels = labels.persist()
+        var changed = -1L
+        var rounds = 4
+        while (changed != 0 && rounds < 100) {
+          val next = propagate(labels).persist()
+          try {
+            changed = next.as("n")
+              .join(labels.as("p"), col("n.v") === col("p.v"))
+              .filter(col("n.label") =!= col("p.label"))
+              .count()
+          } catch { case t: Throwable => next.unpersist(); throw t }
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        if (changed != 0)
+          throw new IllegalStateException(
+            s"dedup_cc_clusters: labels not converged after $rounds rounds")
+        labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+          .write.mode("overwrite").parquet(dir)
+      } finally {
         labels.unpersist()
-        labels = next
-        rounds += 1
+        pairs.unpersist()
       }
-      if (changed != 0) {
-        labels.unpersist(); pairs.unpersist()
-        throw new IllegalStateException(
-          s"dedup_cc_clusters: labels not converged after $rounds rounds")
-      }
-      labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
-        .write.mode("overwrite").parquet(dir)
-      labels.unpersist()
-      pairs.unpersist()
     }
     s.read.parquet(dir)
   }

@@ -79,7 +79,6 @@ object StreamingQueries {
       .toDF("user_id", "cents_running")
   }
 
-  private val HourUs = 3600L * 1000000L
 
   // source chunk layouts that the CHECKPOINTED sink depends on are
   // written once per JVM via TempDirs.writeOnce: rewriting them with
@@ -153,7 +152,6 @@ object StreamingQueries {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s.implicits._
-    s.catalog.dropTempView(name)
     val src = s.readStream
       .schema(Encoders.product[Ev].schema)
       .option("maxFilesPerTrigger", "1")
@@ -395,7 +393,14 @@ object StreamingQueries {
             .select(col("user_id"), col("ts_us").as("last_ts_us"),
               col("event_id").as("last_event_id"),
               col("value").as("last_value")))
-          val merged = versions().maxOption match {
+          // merge from the max version STRICTLY BELOW this batch id:
+          // a replayed batch (failed before its checkpoint commit)
+          // must read its PREDECESSOR, not the version it is about to
+          // overwrite — reading and overwriting the same v$batchId dir
+          // would either throw (cannot overwrite a path being read /
+          // partial files) or silently drop keys, and nothing would
+          // ever clear the poisoned state (r7 review)
+          val merged = versions().filter(_ < batchId).maxOption match {
             case Some(v) =>
               reduceLatest(s.read.parquet(s"$dataRoot/v$v")
                 .unionByName(latest))
@@ -413,14 +418,11 @@ object StreamingQueries {
     }),
 
     "stream_sink_parquet" -> ((s0, d) => {
-      val srcDir = graft.TempDirs.scoped("sinksrc", d)
-      writeOnce("sinksrc" + d) {
-        events(s0, d)
-          .select(col("event_id"), col("ts_us"), col("user_id"),
-            col("event_type"), col("value"))
-          .repartition(2, pmod(col("event_id"), lit(2)))
-          .write.mode("overwrite").parquet(srcDir)
-      }
+      // the shared once-per-JVM source layout (identical content and
+      // chunking to a private staging — r7 review dropped the
+      // duplicate rewrite); writeOnce stability is exactly the
+      // never-rewritten property the checkpointed sink needs
+      val srcDir = plainEventsDir(s0, d)
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "4")
       import s.implicits._
@@ -484,7 +486,6 @@ object StreamingQueries {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", "4")
       import s.implicits._
-      s.catalog.dropTempView("graft_sink_ssj")
       def side(dir: String): Dataset[Ev] = s.readStream
         .schema(Encoders.product[Ev].schema)
         .parquet(dir)
