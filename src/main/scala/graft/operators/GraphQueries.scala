@@ -84,6 +84,15 @@ object GraphQueries {
     s.read.parquet(dir)
   }
 
+  /** Symmetrized distinct edge set (x, y) — BOTH directions of every
+    * top-k edge. Shared by BFS and link prediction so the two queries
+    * can never diverge on what "the undirected graph" means.
+    */
+  private def undirected(e: DataFrame): DataFrame =
+    e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      .distinct()
+
   /** Undirected edge set of the top-K digraph (either direction
     * counts), oriented low→high by the (degree, id) total order π.
     * `dhi` carries π's first component for the hi endpoint so the
@@ -150,9 +159,7 @@ object GraphQueries {
     // min-fold agree because min-over-paths ≤ 4 is the same quantity.
     "graph_bfs_hops" -> ((s, d) => {
       val e = edgesTopK(s, d)
-      val und = e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-        .distinct()
+      val und = undirected(e)
       var dist = und.select(col("x").as("n")).distinct()
         .filter(col("n") === 0L)
         .withColumn("d", lit(0L))
@@ -176,9 +183,7 @@ object GraphQueries {
     // anti-joined away: the output is predicted NEW links.
     "graph_link_predict" -> ((s, d) => {
       val e = edgesTopK(s, d)
-      val und = e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-        .distinct()
+      val und = undirected(e)
       val deg = und.groupBy(col("x")).agg(count(lit(1)).as("dg"))
       val inter = und.as("a").join(und.as("b"),
           col("a.x") === col("b.x") && col("a.y") < col("b.y"))
@@ -228,7 +233,7 @@ object GraphQueries {
     * oracle re-derives artifacts inline).
     */
   private val edgeCte =
-    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup FROM lineitem),
       |pairs AS (
       |  SELECT a.sup AS u, b.sup AS v, count(*) AS shared_parts
       |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
@@ -241,7 +246,7 @@ object GraphQueries {
       |  SELECT u, v, shared_parts,
       |         row_number() OVER (PARTITION BY u ORDER BY shared_parts DESC, v) AS rn
       |  FROM sym),
-      |e AS MATERIALIZED (SELECT u, v, shared_parts FROM topk WHERE rn <= 3)""".stripMargin
+      |e AS MATERIALIZED (SELECT u, v, shared_parts FROM topk WHERE rn <= $K)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "graph_edges_topk" -> (edgeCte +
@@ -304,26 +309,26 @@ object GraphQueries {
         |ORDER BY jaccard_milli DESC, u, v LIMIT 20""".stripMargin),
 
     "graph_pagerank" -> (edgeCte +
-      """,
+      s""",
         |de AS MATERIALIZED (SELECT u, v FROM e),
         |outdeg AS (SELECT u, count(*) AS od FROM de GROUP BY u),
         |nodes AS (SELECT DISTINCT n FROM (
         |  SELECT u AS n FROM de UNION ALL SELECT v AS n FROM de) t),
         |nn AS (SELECT count(*) AS c FROM nodes),
-        |r0 AS (SELECT n, (1000000000000 // c) AS rank, c FROM nodes, nn),
+        |r0 AS (SELECT n, ($Mass // c) AS rank, c FROM nodes, nn),
         |i1 AS (SELECT de.v AS n, CAST(sum(r0.rank // od.od) AS BIGINT) AS inc
         |  FROM r0 JOIN de ON r0.n = de.u JOIN outdeg od ON od.u = de.u GROUP BY de.v),
-        |r1 AS (SELECT r0.n, (15 * (1000000000000 // r0.c)) // 100
+        |r1 AS (SELECT r0.n, (15 * ($Mass // r0.c)) // 100
         |    + (85 * coalesce(i1.inc, 0)) // 100 AS rank, r0.c AS c
         |  FROM r0 LEFT JOIN i1 ON r0.n = i1.n),
         |i2 AS (SELECT de.v AS n, CAST(sum(r1.rank // od.od) AS BIGINT) AS inc
         |  FROM r1 JOIN de ON r1.n = de.u JOIN outdeg od ON od.u = de.u GROUP BY de.v),
-        |r2 AS (SELECT r1.n, (15 * (1000000000000 // r1.c)) // 100
+        |r2 AS (SELECT r1.n, (15 * ($Mass // r1.c)) // 100
         |    + (85 * coalesce(i2.inc, 0)) // 100 AS rank, r1.c AS c
         |  FROM r1 LEFT JOIN i2 ON r1.n = i2.n),
         |i3 AS (SELECT de.v AS n, CAST(sum(r2.rank // od.od) AS BIGINT) AS inc
         |  FROM r2 JOIN de ON r2.n = de.u JOIN outdeg od ON od.u = de.u GROUP BY de.v),
-        |r3 AS (SELECT r2.n, (15 * (1000000000000 // r2.c)) // 100
+        |r3 AS (SELECT r2.n, (15 * ($Mass // r2.c)) // 100
         |    + (85 * coalesce(i3.inc, 0)) // 100 AS rank
         |  FROM r2 LEFT JOIN i3 ON r2.n = i3.n)
         |SELECT n AS supplier, rank AS pr_rank FROM r3

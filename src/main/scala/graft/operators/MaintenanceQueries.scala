@@ -99,9 +99,15 @@ object MaintenanceQueries {
           .write.mode("overwrite").parquet(srcDir)
       }
       val outDir = graft.TempDirs.scoped("compacted", d)
-      s.read.parquet(srcDir)
-        .repartition(4)
-        .write.mode("overwrite").parquet(outDir)
+      // writeOnce like every other artifact build here: an unguarded
+      // overwrite re-ran the compaction on every construction and
+      // could race a concurrent suite's overwrite of the same scoped
+      // dir, making nParts observe a half-deleted layout (r7 review)
+      graft.TempDirs.writeOnce("compacted" + d) {
+        s.read.parquet(srcDir)
+          .repartition(4)
+          .write.mode("overwrite").parquet(outDir)
+      }
       def nParts(dir: String): Int =
         Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
           .count(_.getName.endsWith(".parquet"))

@@ -179,7 +179,7 @@ object TimeSeriesQueries {
           date_trunc("month", col("ts_ts")).cast("date").cast("string"))
         .withColumn("day",
           date_trunc("day", col("ts_ts")).cast("date").cast("string"))
-        .withColumn("hr", expr("ts_us div 3600000000"))
+        .withColumn("hr", expr(s"ts_us div $HourUs"))
         .rollup(col("mon"), col("day"), col("hr"))
         .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
           moneySumD(col("value")).as("sum_val"))
