@@ -24,8 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics: left-to-right summation, identical to the ordered fold of
   * the built-in formulation AND to the DuckDB oracle's `list_reduce`
   * formulation, so results remain bit-identical across all three.
-  * Array elements must be non-null (embedding vectors are); a null or
-  * shorter-than-left right array yields the dot over the common prefix.
+  * A NULL array (either side) yields NULL (BinaryExpression's standard
+  * null intolerance); a shorter right array yields the dot over the
+  * common prefix; a null ELEMENT throws — UnsafeArrayData would
+  * otherwise silently read the slot as 0.0, a wrong answer where the
+  * built-in zip_with formulation returns NULL (r7 review).
   */
 case class DotProductExpr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -47,7 +50,13 @@ case class DotProductExpr(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0.0
     var i = 0
-    while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_dot: null array element at index $i")
+      sum += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     sum
   }
 
@@ -61,6 +70,10 @@ case class DotProductExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_dot: null array element at index " + $i);
+         |  }
          |  $sum += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $sum;

@@ -33,6 +33,23 @@ case class MinHashSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // analysis-time type gate (r7 review): a non-string child would
+  // otherwise pass analysis and die per-task in update's
+  // asInstanceOf[UTF8String]
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash_sketch requires a STRING child, got ${other.simpleString}")
+    }
+
+  // k = 0 silently yields an empty sketch ("nothing similar") and
+  // k < 0 crashes at serialize time — same guard as MisraGriesAgg
+  require(k >= 1, s"graft_minhash_sketch needs k >= 1, got $k")
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 

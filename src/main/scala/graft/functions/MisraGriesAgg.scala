@@ -42,6 +42,19 @@ case class MisraGriesAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
+  // analysis-time type gate (r7 review): a non-string child would
+  // otherwise pass analysis and die per-task in update's
+  // asInstanceOf[UTF8String]
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_misra_gries requires a STRING child, got ${other.simpleString}")
+    }
+
   // k <= 0 would make every update take the decrement-all branch and
   // the sketch silently emit an empty candidate set ("no heavy
   // hitters") — fail at analysis time instead (ADVICE r5)

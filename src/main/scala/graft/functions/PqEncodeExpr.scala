@@ -38,12 +38,16 @@ case class PqEncodeExpr(child: Expression, centroids: Seq[Double],
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // each param must be positive INDIVIDUALLY: nCent = 0 satisfies
+    // the product check with an empty codebook (every code silently 0)
+    // and negative params can cancel in the product then crash at eval
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-      if centroids.length == nSub * nCent * subDim =>
+      if nSub >= 1 && nCent >= 1 && subDim >= 1 &&
+        centroids.length == nSub * nCent * subDim =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"graft_pq_encode requires array<float|double> input and " +
-        s"|centroids| == nSub*nCent*subDim, got " +
+        s"positive nSub/nCent/subDim with |centroids| == nSub*nCent*subDim, got " +
         s"${child.dataType.simpleString}, ${centroids.length} centroids")
   }
 

@@ -35,8 +35,13 @@ case class SignProjectionExpr(child: Expression, planes: Seq[Seq[Double]],
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // bitsPerBand >= 1 FIRST: short-circuit keeps the modulo from
+    // throwing a raw ArithmeticException inside analysis, and a
+    // negative bitsPerBand would otherwise pass (8 % -4 == 0) and
+    // crash with NegativeArraySizeException per row at execution
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-      if planes.nonEmpty && planes.length % bitsPerBand == 0 =>
+      if bitsPerBand >= 1 && planes.nonEmpty &&
+        planes.length % bitsPerBand == 0 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"graft_sign_projection requires array<float|double> input and " +

@@ -38,6 +38,19 @@ case class SimHashAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  // analysis-time type gate: the SQL-registered form would otherwise
+  // accept any child and die per-task with ClassCastException on the
+  // asInstanceOf[Long] in update (r7 review)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash_bands requires a BIGINT child, got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
