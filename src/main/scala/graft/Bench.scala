@@ -29,6 +29,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like every other entry point (Verify/BenchOne/Plans/
+      // specs): the NTZ timestamp reads and string->timestamp cutoff
+      // literals are session-TZ-dependent, and an unpinned zone would
+      // make the bench silently measure different row counts than
+      // Verify verifies (r7 review — the sbt path was covered by
+      // build.sbt's -Dspark.sql.session.timeZone, the plain-java path
+      // only by convention)
+      .config("spark.sql.session.timeZone", "UTC")
       // a loaded box can stall a broadcast-side job past the 5-min
       // default and fail the query outright; the bench should measure
       // slow, not die

@@ -106,15 +106,23 @@ object TempDirs {
         s"writeOnce('$key') re-entered while building '$key' — a " +
           "self-nested build would recurse into its own thunk " +
           s"(held: ${held.mkString(" -> ")})")
-    held.foreach { outer =>
-      if (nestingEdges.contains((key, outer)))
-        throw new IllegalStateException(
-          s"writeOnce lock-order inversion: acquiring '$key' while " +
-            s"holding '$outer', but '$outer' nests inside '$key' " +
-            "elsewhere — a two-lock cycle that deadlocks under " +
-            s"concurrency (held: ${held.mkString(" -> ")}). " +
-            "Keep artifact nesting one-directional.")
-      nestingEdges.put((outer, key), true)
+    // check + record atomically: a bare check-then-put would let two
+    // threads taking INVERTED orders for the first time both pass the
+    // check before either records its edge, then deadlock silently —
+    // the exact hang this guard exists to turn into a loud error
+    // (r7 review). One monitor linearizes them: the second thread
+    // sees the first's edge and throws.
+    nestingEdges.synchronized {
+      held.foreach { outer =>
+        if (nestingEdges.contains((key, outer)))
+          throw new IllegalStateException(
+            s"writeOnce lock-order inversion: acquiring '$key' while " +
+              s"holding '$outer', but '$outer' nests inside '$key' " +
+              "elsewhere — a two-lock cycle that deadlocks under " +
+              s"concurrency (held: ${held.mkString(" -> ")}). " +
+              "Keep artifact nesting one-directional.")
+        nestingEdges.put((outer, key), true)
+      }
     }
     val lock = writeLocks.getOrElseUpdate(key, new Object)
     heldKeys.set(held :+ key)

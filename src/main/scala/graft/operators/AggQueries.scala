@@ -18,6 +18,30 @@ import org.apache.spark.sql.types._
   */
 object AggQueries {
 
+  /** Exact sufficient statistics of (quantity, price) per return flag:
+    * n, Σx, Σy, Σxy, Σx², Σy² as order-free DECIMAL sums surfaced as
+    * DOUBLE. Whole-dollar operands keep every sum (incl. Σy² ≈ 6e15 at
+    * sf0.1) under 2^53, so each DECIMAL→DOUBLE cast is exact — at
+    * cents scale Σy² would exceed the double mantissa and the
+    * conversion's last-ulp rounding could differ by engine. (HALF_UP
+    * on .50 is identical in Spark and DuckDB for positives.) Shared by
+    * `agg_corr_exact` and `agg_linreg` so the invariant can never
+    * drift between them.
+    */
+  private def sufficientStats(li: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = col("l_quantity").cast(DecimalType(18, 0))
+    val p = col("l_extendedprice").cast(DecimalType(18, 0))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(q).cast(DoubleType).as("sx"),
+        sum(p).cast(DoubleType).as("sy"),
+        sum(q * p).cast(DoubleType).as("sxy"),
+        sum(q * q).cast(DoubleType).as("sxx"),
+        sum(p * p).cast(DoubleType).as("syy"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Flagship — TPC-H Q1 shape (SURVEY.md §7.1).
     "agg_group_sums" -> ((s, d) => flagship(s, d)),
@@ -85,13 +109,18 @@ object AggQueries {
     // Explicit grouping sets via SQL (the one §2 operator that is
     // SQL-only in the public Dataset API).
     "agg_grouping_sets" -> ((s, d) => {
-      lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      // view name scoped by input dir like every other d-dependent
+      // artifact key: a fixed name would let concurrent invocations at
+      // different scale factors replace each other's view between
+      // registration and analysis (r7 review)
+      val view = "graft_lineitem_gs_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      lineitem(s, d).createOrReplaceTempView(view)
       s.sql(
-        """SELECT grouping_id() AS gid, l_returnflag, l_linestatus,
-          |  count(1) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-          |FROM graft_lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-          |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+        s"""SELECT grouping_id() AS gid, l_returnflag, l_linestatus,
+           |  count(1) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $view
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+           |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
     // Post-aggregation filter (HAVING).
@@ -173,14 +202,21 @@ object AggQueries {
     // only on the value set), but engine-specific — N-operator with
     // tolerance tests against exact counts.
     "agg_hll_union" -> ((s, d) => {
-      val sk = lineitem(s, d)
+      // per-group rows carry the exact countDistinct for the accuracy
+      // comparison; the ALL row unions the per-group SKETCHES (the
+      // mergeability this operator demonstrates) from a sketch-only
+      // aggregate — the r7 review caught the union branch re-running
+      // the expensive exact-distinct Expand pass just to discard it
+      val per = lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
           countDistinct(col("l_partkey")).as("exact"))
-      val per = sk.select(col("l_returnflag"),
-        hll_sketch_estimate(col("sk")).as("est"), col("exact"))
-      val all = sk.agg(hll_union_agg(col("sk")).as("sku"),
-          sum(lit(0L)).as("ignore"))
+        .select(col("l_returnflag"),
+          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+      val all = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_union_agg(col("sk")).as("sku"))
         .select(lit("ALL").as("l_returnflag"),
           hll_sketch_estimate(col("sku")).as("est"), lit(-1L).as("exact"))
       per.unionByName(all).orderBy(col("l_returnflag"))
@@ -203,23 +239,8 @@ object AggQueries {
     // IEEE arithmetic in both engines, so the float outputs hash-match
     // (built-in corr()/covar_pop() accumulate in partition order and
     // can differ in the last ulp between engines/runs).
-    "agg_corr_exact" -> ((s, d) => {
-      // whole-dollar operands: every sufficient statistic (incl. Σy² ≈
-      // 6e15 at sf0.1) stays under 2^53, so the DECIMAL→DOUBLE casts
-      // are exact — at cents scale Σy² would exceed the double mantissa
-      // and the conversion's last-ulp rounding could differ by engine.
-      // (HALF_UP on .50 is identical in Spark and DuckDB for positives.)
-      val q = col("l_quantity").cast(DecimalType(18, 0))
-      val p = col("l_extendedprice").cast(DecimalType(18, 0))
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).cast(DoubleType).as("n"),
-          sum(q).cast(DoubleType).as("sx"),
-          sum(p).cast(DoubleType).as("sy"),
-          sum(q * p).cast(DoubleType).as("sxy"),
-          sum(q * q).cast(DoubleType).as("sxx"),
-          sum(p * p).cast(DoubleType).as("syy"))
+    "agg_corr_exact" -> ((s, d) =>
+      sufficientStats(lineitem(s, d))
         .select(col("l_returnflag"),
           ((col("sxy") / col("n")) - (col("sx") / col("n")) * (col("sy") / col("n")))
             .as("covar_pop"),
@@ -227,8 +248,7 @@ object AggQueries {
             (sqrt((col("n") * col("sxx")) - (col("sx") * col("sx"))) *
               sqrt((col("n") * col("syy")) - (col("sy") * col("sy")))))
             .as("corr"))
-        .orderBy(col("l_returnflag"))
-    }),
+        .orderBy(col("l_returnflag"))),
 
     // Per-group OLS regression (r6): slope/intercept of price on
     // quantity per return flag from the same exact sufficient
@@ -238,17 +258,8 @@ object AggQueries {
     // evaluate identically). Mergeable five-scalar state through the
     // map-side partial agg — the textbook distributed-regression
     // shape at any corpus size.
-    "agg_linreg" -> ((s, d) => {
-      val q = col("l_quantity").cast(DecimalType(18, 0))
-      val p = col("l_extendedprice").cast(DecimalType(18, 0))
-      lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).cast(DoubleType).as("n"),
-          sum(q).cast(DoubleType).as("sx"),
-          sum(p).cast(DoubleType).as("sy"),
-          sum(q * p).cast(DoubleType).as("sxy"),
-          sum(q * q).cast(DoubleType).as("sxx"))
+    "agg_linreg" -> ((s, d) =>
+      sufficientStats(lineitem(s, d))
         .select(col("l_returnflag"),
           col("n").cast("long").as("n_rows"),
           (((col("n") * col("sxy")) - (col("sx") * col("sy"))) /
@@ -257,8 +268,7 @@ object AggQueries {
           ((col("sy") - (((col("n") * col("sxy")) - (col("sx") * col("sy"))) /
             ((col("n") * col("sxx")) - (col("sx") * col("sx")))) * col("sx")) /
             col("n")).as("intercept"))
-        .orderBy(col("l_returnflag"))
-    }),
+        .orderBy(col("l_returnflag"))),
 
     // Equi-width histogram of order value: integer-cents bucketing
     // (bucket = cents div 5,000,000, i.e. $50k-wide bins, top bin

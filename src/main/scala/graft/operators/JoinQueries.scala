@@ -312,10 +312,12 @@ object JoinQueries {
     // write itself is part of the measured cost here.)
     "join_bucketed" -> ((s, d) => {
       val wh = graft.TempDirs.scoped("bucketed", d)
-      // catalog table names derived from the scoped dir: unique per
-      // (JVM, sf), so concurrent sessions sharing a catalog never race
-      // on a fixed name
-      val tag = math.abs(wh.hashCode).toString
+      // catalog table names derived from the scoped dir PATH (not its
+      // 32-bit hashCode, which can collide across paths and is
+      // negative for Int.MinValue — r7 review): unique per (JVM, sf),
+      // so concurrent sessions sharing a catalog never race on a
+      // fixed name
+      val tag = wh.replaceAll("[^A-Za-z0-9]", "_")
       // project to the needed columns before the bucketed write — the
       // write cost is the amortized index-build, keep it lean
       orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))

@@ -107,6 +107,13 @@ object ScanQueries {
     // just row counts. Scale: one task per file batch on both sides;
     // binaryFile is the documented Spark source for < ~100 MB blobs
     // (bigger payloads stay in parquet binary columns, the mm_* path).
+    // STAGING LOCALITY ASSUMPTION: the foreachPartition writes land on
+    // executor-local disk, which equals the driver-visible dir only
+    // under local[*] (every entry point here) or a shared filesystem.
+    // The staging stands in for files that ALREADY EXIST in a real
+    // deployment (a crawl dump on S3/HDFS) — the OPERATOR is the
+    // binaryFile read, which is cluster-correct as-is; only the
+    // test-harness synthesis is local-mode-scoped.
     "scan_binaryfile" -> ((s, d) => {
       val dir = graft.TempDirs.scoped("binfilesrc", d)
       graft.TempDirs.writeOnce("binfilesrc" + d) {

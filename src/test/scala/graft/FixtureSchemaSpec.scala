@@ -144,6 +144,22 @@ class FixtureSchemaSpec extends SparkSpecBase {
         diffs.mkString("\n"))
   }
 
+  test("documents.text is newline-free (scan_text_roundtrip contract)") {
+    // the raw-text-lines round-trip writes one doc per line; a single
+    // \n or \r in a regenerated fixture would split a doc into two
+    // rows (LineRecordReader splits on \n, \r, \r\n) and surface only
+    // as an opaque oracle hash mismatch — pin the invariant here with
+    // a named failure instead
+    import org.apache.spark.sql.functions.col
+    fixtureDirs.foreach { d =>
+      val n = Tables.documents(spark, d)
+        .filter(col("text").contains("\n") || col("text").contains("\r"))
+        .count()
+      assert(n == 0, s"$d: $n documents contain newline characters — " +
+        "scan_text_roundtrip's one-doc-per-line write is no longer lossless")
+    }
+  }
+
   test("an unsupported ts encoding fails loudly, naming the type") {
     import spark.implicits._
     val dir = TempDirs.scoped("fixture_canary", "badunit")

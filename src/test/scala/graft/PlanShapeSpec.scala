@@ -179,8 +179,8 @@ class PlanShapeSpec extends SparkSpecBase {
       // disable broadcast so the bucket-co-located sort-merge path is
       // what the planner must choose
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val tag = math.abs(
-        graft.TempDirs.scoped("bucketed", sfDir).hashCode).toString
+      val tag = graft.TempDirs.scoped("bucketed", sfDir)
+        .replaceAll("[^A-Za-z0-9]", "_")
       val joined = spark.table(s"graft_orders_b_$tag")
         .join(spark.table(s"graft_lineitem_b_$tag"),
           org.apache.spark.sql.functions.col("o_orderkey") ===
