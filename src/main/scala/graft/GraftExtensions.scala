@@ -47,11 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLiteral(name: String, e: Expression): Int = e match {
     case Literal(k: Int, _) => k
-    case Literal(k: Long, _) => k.toInt
+    // isValidInt: a bare toInt would silently WRAP an out-of-range
+    // long (5000000000 -> 705032704) into a garbage-but-positive
+    // parameter no downstream k-guard can catch (r7 review)
+    case Literal(k: Long, _) if k.isValidInt => k.toInt
     case Literal(k: Short, _) => k.toInt
     case Literal(k: Byte, _) => k.toInt
     case other => throw new IllegalArgumentException(
-      s"$name: expected an integer literal, got $other")
+      s"$name: expected an int-range integer literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

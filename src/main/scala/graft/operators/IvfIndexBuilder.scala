@@ -1,10 +1,7 @@
 package graft.operators
 
-import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Offline IVF index refinement: Lloyd's k-means over the embedding
   * corpus. This is the BUILD step that `ann_ivf_topk`'s fixed-centroid
@@ -28,12 +25,10 @@ object IvfIndexBuilder {
     * element-wise mean of its members (re-normalized).
     */
   def lloydRound(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cent_id").asc)
-    val assigned = vecs.crossJoin(broadcast(cents))
-      .withColumn("cos",
-        graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec")))
-      .withColumn("rn", row_number().over(w))
+    // the shared nearest-centroid pass (SimilarityQueries.centRanked)
+    // — the SAME ranked assignment every IVF-family query uses, so a
+    // tie-break tweak cannot desynchronize the build from the lookups
+    val assigned = SimilarityQueries.centRanked(vecs, broadcast(cents))
       .filter(col("rn") === 1)
       .select(col("cent_id"), col("vec_id"), col("emb_n"))
     val means = assigned
@@ -44,8 +39,12 @@ object IvfIndexBuilder {
       .groupBy(col("cent_id"))
       .agg(map_from_arrays(collect_list(col("dim")),
         collect_list(col("m"))).as("dm"))
+      // rebuild in dim order from the map's OWN keys — a hardcoded
+      // sequence(0, 63) baked the fixture's dimension in (and under
+      // ANSI a missing key is a hard error for any other length)
       .select(col("cent_id"),
-        expr("transform(sequence(0, 63), i -> dm[i])").as("cent_raw"))
+        expr("transform(array_sort(map_keys(dm)), i -> dm[i])")
+          .as("cent_raw"))
     means
       .withColumn("nrm", sqrt(aggregate(
         transform(col("cent_raw"), x => x * x),
@@ -54,14 +53,14 @@ object IvfIndexBuilder {
         transform(col("cent_raw"), x => x / col("nrm")).as("cent_vec"))
   }
 
-  /** Normalized corpus + k seed centroids (deterministic id sample). */
+  /** Normalized corpus + k seed centroids (deterministic id sample).
+    * Normalization is SimilarityQueries.embN — the one float fold the
+    * lookups also use, so the built index and the serving-side query
+    * vectors can never drift onto different summation orders (the r7
+    * review found a second hand-written fold here).
+    */
   def prepare(s: SparkSession, d: String, k: Int): (DataFrame, DataFrame) = {
-    val vecs = embeddings(s, d)
-      .withColumn("emb_d", col("embedding").cast(ArrayType(DoubleType)))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("emb_d"), x => x * x), lit(0.0), (acc, v) => acc + v)))
-      .select(col("vec_id"),
-        transform(col("emb_d"), x => x / col("nrm")).as("emb_n"))
+    val vecs = SimilarityQueries.embN(s, d)
     val cents = vecs.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
       .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec"))
     (vecs, cents)
@@ -71,14 +70,13 @@ object IvfIndexBuilder {
     * objective Lloyd's algorithm (non-strictly) improves.
     */
   def objective(vecs: DataFrame, cents: DataFrame): Double = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cent_id").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("cos",
-        graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec")))
-      .withColumn("rn", row_number().over(w))
+    val r = SimilarityQueries.centRanked(vecs, broadcast(cents))
       .filter(col("rn") === 1)
-      .agg(avg(col("cos"))).first().getDouble(0)
+      .agg(avg(col("cos"))).first()
+    // empty corpus / empty centroid set -> avg over zero rows is NULL;
+    // 0.0 keeps the degenerate build's "empty index" contract instead
+    // of an NPE out of getDouble (r7 review)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 }
 

@@ -60,7 +60,7 @@ object SimilarityQueries {
     * table is corpus-sized and could never be a build side) the same
     * plan degrades gracefully to a shuffled equi join on vec_id.
     */
-  private def embN(s: org.apache.spark.sql.SparkSession,
+  private[operators] def embN(s: org.apache.spark.sql.SparkSession,
                    d: String): DataFrame = {
     // codegen'd self-dot for the norm (same left-to-right summation as
     // the interpreted fold it replaces)
@@ -89,6 +89,24 @@ object SimilarityQueries {
     */
   private def dotN(a: Column, b: Column): Column =
     graft.functions.DotProductExpr.dot(a, b)
+
+  /** Every vector's centroids ranked by (cos DESC, cent_id ASC): THE
+    * nearest-centroid assignment pass, shared by ivfTopk,
+    * dedup_semantic, and IvfIndexBuilder's Lloyd/objective steps so a
+    * tie-break tweak can never desynchronize the four call sites the
+    * oracles and IvfIndexBuilderSpec prove bit-identical (r7 review).
+    * `rn = 1` is the assignment; callers add their own slices.
+    * Broadcast hinting of `cents` is the caller's decision.
+    */
+  private[operators] def centRanked(vecs: DataFrame,
+                                    cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    vecs.crossJoin(cents)
+      .withColumn("cos",
+        graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec")))
+      .withColumn("rn", row_number().over(w))
+  }
 
   /** Exact cosine between two embedding columns (same summation order
     * as the DuckDB oracle formulation — bit-identical results).
@@ -161,7 +179,12 @@ object SimilarityQueries {
         .withColumn("toks", split(col("text"), " "))
         // sorted ascending for the merge-walk intersect
         .withColumn("grams", array_sort(array_distinct(expr(
-          "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> xxhash64(concat_ws(' ', toks[i - 1], toks[i])))"))))
+          // try_element_at for the second token: a single-token doc
+          // makes i reach one past the end, and ANSI mode (Spark 4
+          // default) turns toks[i] out-of-bounds into a hard error
+          // while the DuckDB oracle's concat_ws just skips the NULL —
+          // try_element_at restores the skip on the Spark side too
+          "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> xxhash64(concat_ws(' ', toks[i - 1], try_element_at(toks, i + 1))))"))))
         .select(col("doc_id"),
           expr("n_chars div 8").as("len_bkt"), col("grams"),
           size(col("grams")).cast("long").as("n_grams"))
@@ -231,10 +254,18 @@ object SimilarityQueries {
     * the `dedup_cc_clusters` pair graph, so the r6 fix bounds every
     * consumer of the pair stage at once.
     */
+  /** Corpus size per input dir, counted once per JVM: the signature
+    * artifact is writeOnce-stable, so re-counting it on every consumer
+    * invocation (2x per query per Bench run) was a pure waste job.
+    */
+  private val corpusDocs =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private[operators] def ngramCandidatePairs(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val grams = hashedGramTable(s, d)
-    if (grams.count() <= BucketStageMaxDocs) bucketPairs(grams)
+    val nDocs = corpusDocs.getOrElseUpdate(d, grams.count())
+    if (nDocs <= BucketStageMaxDocs) bucketPairs(grams)
     else prefixPairs(grams)
   }
 
@@ -315,11 +346,7 @@ object SimilarityQueries {
     * well-spread shuffle.)
     */
   private def ivfTopk(nrm: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("cent_id").asc)
-    val ranked = nrm.crossJoin(cents)
-      .withColumn("cos", dotN(col("emb_n"), col("cent_vec")))
-      .withColumn("rn", row_number().over(wAssign))
+    val ranked = centRanked(nrm, cents)
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("cent_id"), col("vec_id").as("c_id"),
         col("emb_n").as("c_n"))
@@ -642,11 +669,7 @@ object SimilarityQueries {
       val cents = broadcast(
         nrm.filter(col("vec_id").between(100, 115))
           .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cent_id").asc)
-      val assigned = nrm.crossJoin(cents)
-        .withColumn("cos", dotN(col("emb_n"), col("cent_vec")))
-        .withColumn("rn", row_number().over(wAssign))
+      val assigned = centRanked(nrm, cents)
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cent_id"), col("emb_n"))
       val dups = assigned.as("a").join(assigned.as("b"),
@@ -773,6 +796,15 @@ object SimilarityQueries {
 
   private[operators] def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  /** The one DuckDB normalization CTE body every vector oracle shares
+    * (mirrors embN exactly) — hoisted so an edit cannot reach one
+    * oracle and miss the others (r7 review found it pasted 3x).
+    */
+  private lazy val normSqlCte: String =
+    s"""SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
+       |  FROM embeddings""".stripMargin
 
   /** DuckDB literal for the 64x64 hyperplane matrix. Java's
     * Double.toString emits the shortest decimal that round-trips, and
@@ -946,10 +978,7 @@ object SimilarityQueries {
     // Every cosine is the ordered-fold dot over normalized lists,
     // bit-identical across engines (same proof as sim_search_topk).
     "ann_ivf_topk" -> {
-      val normSql =
-        s"""SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
-           |  FROM embeddings""".stripMargin
+      val normSql = normSqlCte
       s"""WITH nrm AS (
          |  $normSql
          |), cents AS (
@@ -1025,10 +1054,7 @@ object SimilarityQueries {
     // Same bounded-benchmark structure: bench CTE + ordered-fold
     // cosine gate + DISTINCT hit set + flag left join.
     "contamination_embedding" -> {
-      val normSql =
-        s"""SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
-           |  FROM embeddings""".stripMargin
+      val normSql = normSqlCte
       s"""WITH nrm AS (
          |  $normSql
          |), bench AS (
@@ -1049,10 +1075,7 @@ object SimilarityQueries {
     // row_number tie-break) feeding the dedup_embedding_cosine-style
     // >= 0.45 gate, restricted to same-cluster pairs.
     "dedup_semantic" -> {
-      val normSql =
-        s"""SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(x AS DOUBLE) / sqrt(${duckDot("embedding", "embedding")})) AS emb_n
-           |  FROM embeddings""".stripMargin
+      val normSql = normSqlCte
       s"""WITH nrm AS (
          |  $normSql
          |), cents AS (
