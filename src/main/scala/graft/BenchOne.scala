@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // defaults and confs MUST track Bench exactly — the tool exists to
+    // reproduce driver bench numbers (r7 review: a 32-cpu default and
+    // a missing broadcastTimeout made its times incomparable)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     if (args.isEmpty) {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return
@@ -15,12 +18,15 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.broadcastTimeout", "1800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen path once so timings are comparable
-    SparkEntry.entry(spark).count()
+    // (same guarded call as Bench: a missing sf0.001 fixture should
+    // not kill the run before any requested query is timed)
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

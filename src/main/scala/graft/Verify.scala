@@ -43,7 +43,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // under the local-iteration filter, dump only the matching oracle
+    // entries too — otherwise oracle_check compares every skipped
+    // query against stale or missing parquet (r7 review); the driver
+    // sets no filter, so its runs always get the full map
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

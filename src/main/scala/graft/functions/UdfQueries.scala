@@ -36,10 +36,17 @@ object UdfQueries {
     }
 
   val queries: Map[String, Q] = Map(
-    // Scala scalar UDF used in both select and filter.
+    // Scala scalar UDF used in both select and filter. Boxed argument:
+    // a primitive Double makes Spark skip the call on NULL input and
+    // emit NULL (row dropped by the filter), while the oracle's CASE
+    // falls through to ELSE 'HIGH' and keeps the row — latent on the
+    // non-null fixture, a ROWS mismatch the day discounts go nullable
+    // (r7 review). NULL -> 'HIGH' matches the CASE exactly.
     "udf_scalar" -> ((s, d) => {
-      val band = udf((disc: Double) =>
-        if (disc < 0.03) "LOW" else if (disc < 0.07) "MID" else "HIGH")
+      val band = udf((disc: java.lang.Double) =>
+        if (disc == null) "HIGH"
+        else if (disc < 0.03) "LOW"
+        else if (disc < 0.07) "MID" else "HIGH")
       lineitem(s, d)
         .withColumn("band", band(col("l_discount")))
         .filter(col("band") =!= "LOW")

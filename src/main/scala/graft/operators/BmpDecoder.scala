@@ -46,7 +46,11 @@ object BmpDecoder {
     */
   def parse(b: Array[Byte]): Option[BmpMeta] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
-    val fileSize = le32(b, 2)
+    // unsigned read: bfSize is a u32, and a hostile size >= 2^31 read
+    // signed would go NEGATIVE and sail past the truncation check
+    // below (r7 review) — the same unsigned-vs-signed class the
+    // width/stride guards already defend against
+    val fileSize = le32(b, 2) & 0xffffffffL
     val dataOffset = le32(b, 10)
     val dibSize = le32(b, 14)
     // BITMAPINFOHEADER (40) or a later extension of it
@@ -72,7 +76,7 @@ object BmpDecoder {
     // declared file size) overruns the actual payload
     if (dataOffset < 54 || dataOffset.toLong + imageBytes > b.length)
       return None
-    if (fileSize.toLong > b.length) return None
+    if (fileSize > b.length) return None
     Some(BmpMeta(width, height.toInt, bpp, stride.toInt, dataOffset,
       imageBytes.toInt, topDown))
   }

@@ -294,6 +294,10 @@ object PipelineQueries {
         |)
         |SELECT lang, rk, doc_id FROM r WHERE rk <= 40
         |ORDER BY lang, rk""".stripMargin,
+    // NOT EXISTS, not NOT IN: equality inside EXISTS has left-anti
+    // null semantics (a NULL digest is ADMITTED, matching Spark's
+    // left_anti), where NOT IN over a set containing any NULL empties
+    // the whole result — latent on the non-null fixture (r7 review)
     "dedup_incremental" ->
       """WITH d AS (
         |  SELECT doc_id, source, md5(text) AS h FROM documents
@@ -301,7 +305,8 @@ object PipelineQueries {
         |  SELECT DISTINCT h FROM d WHERE source <> 'src0'
         |)
         |SELECT min(doc_id) AS doc_id
-        |FROM d WHERE source = 'src0' AND h NOT IN (SELECT h FROM ex)
+        |FROM d WHERE source = 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = d.h)
         |GROUP BY h ORDER BY doc_id""".stripMargin,
 
     // the Bloom prefilter is an execution strategy, not a semantic: the
@@ -314,7 +319,8 @@ object PipelineQueries {
         |  SELECT DISTINCT h FROM d WHERE source <> 'src0'
         |)
         |SELECT doc_id
-        |FROM d WHERE source = 'src0' AND h NOT IN (SELECT h FROM ex)
+        |FROM d WHERE source = 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM ex WHERE ex.h = d.h)
         |ORDER BY doc_id""".stripMargin
   )
 }
