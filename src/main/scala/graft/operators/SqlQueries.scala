@@ -23,17 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object SqlQueries {
 
-  /** Register the fixture tables this category's SQL references as
-    * session temp views bound to `d` (idempotent per session).
+  /** Last input dir registered per session: re-registering all six
+    * views (six parquet footer/schema reads) on EVERY query invocation
+    * was pure repeated I/O in the timed path (r7 review) — views are
+    * re-bound only when the session's input dir actually changes.
     */
-  private def views(s: SparkSession, d: String): Unit = {
-    customer(s, d).createOrReplaceTempView("customer_v")
-    orders(s, d).createOrReplaceTempView("orders_v")
-    nation(s, d).createOrReplaceTempView("nation_v")
-    part(s, d).createOrReplaceTempView("part_v")
-    lineitem(s, d).createOrReplaceTempView("lineitem_v")
-    events(s, d).createOrReplaceTempView("events_v")
-  }
+  private val lastDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
+  /** Register the fixture tables this category's SQL references as
+    * session temp views bound to `d` (idempotent per (session, dir)).
+    */
+  private def views(s: SparkSession, d: String): Unit =
+    if (!lastDir.get(s).contains(d)) {
+      customer(s, d).createOrReplaceTempView("customer_v")
+      orders(s, d).createOrReplaceTempView("orders_v")
+      nation(s, d).createOrReplaceTempView("nation_v")
+      part(s, d).createOrReplaceTempView("part_v")
+      lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      events(s, d).createOrReplaceTempView("events_v")
+      lastDir.put(s, d)
+    }
 
   val queries: Map[String, Q] = Map(
     // Correlated EXISTS: customers holding at least one big-ticket

@@ -50,9 +50,7 @@ object TextQueries {
       documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("bg"))
+        .select(explode(expr(bigramStructExpr)).as("bg"))
         .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .agg(count(lit(1)).as("c"))
         .write.mode("overwrite").parquet(dir)
@@ -71,6 +69,24 @@ object TextQueries {
     }
     s.read.parquet(dir)
   }
+
+  /** The quality-gate stopword set, shared by `text_quality_score`
+    * and `text_quality_topfrac` (one list — the two gates are
+    * documented as the same score and must stay in lockstep).
+    */
+  private val stopwordsCol =
+    array(Seq("the", "a", "and", "of", "to").map(lit): _*)
+
+  /** Word-bigram struct generator over a `toks` column — the ONE
+    * expression both the `lm_bigrams` artifact build and the
+    * `text_lm_score` scoring pass use: if the two ever tokenized
+    * differently, doc bigrams would silently stop matching the
+    * materialized LM keys and scores would drift (r7 review).
+    * In-bounds by construction (callers filter size(toks) >= 2).
+    */
+  private val bigramStructExpr =
+    "transform(sequence(1, size(toks) - 1), " +
+      "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
 
   val queries: Map[String, Q] = Map(
     // Corpus bigram-LM quality score (r6): mean bits per bigram under
@@ -92,9 +108,7 @@ object TextQueries {
       val docBigrams = documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))")).as("b"))
+        .select(col("doc_id"), explode(expr(bigramStructExpr)).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       docBigrams
         .join(bg, Seq("w1", "w2"))
@@ -114,8 +128,12 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Language-ID: score text against each profile, pick argmax
-    // (ties broken by profile order = score desc, lang asc).
+    // Language-ID: score text against each profile, pick argmax.
+    // Tie-break (r7 review: the comment previously misstated it as
+    // lang ASC): the descending struct sort compares (score, lang)
+    // lexicographically DESC, so equal scores resolve to the
+    // lexicographically LARGEST lang — the oracle's list_reverse_sort
+    // does the identical thing, which is what makes ties engine-exact.
     "text_langid" -> ((s, d) => {
       val toks = split(col("text"), " ")
       val scores = profiles.map { case (lang, words) =>
@@ -136,7 +154,7 @@ object TextQueries {
     // boolean gate — all integer math.
     "text_quality_score" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      val stop = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
+      val stop = stopwordsCol
       documents(s, d)
         .withColumn("tok_cnt", size(toks).cast("long"))
         .withColumn("char_cnt",
@@ -168,7 +186,7 @@ object TextQueries {
     // source-partitioned exchange.
     "text_quality_topfrac" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      val stop = array(Seq("the", "a", "and", "of", "to").map(lit): _*)
+      val stop = stopwordsCol
       val wRank = Window.partitionBy(col("source"))
         .orderBy(col("score").desc, col("doc_id").asc)
       val wSrc = Window.partitionBy(col("source"))
@@ -306,8 +324,12 @@ object TextQueries {
         .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
       val gramTop = toks
         .select(col("doc_id"), explode(expr(
+          // try_element_at for the second token: single-token docs
+          // push i past the end, a hard error under ANSI (Spark 4
+          // default) while the oracle's concat_ws skips the NULL —
+          // same fix as SimilarityQueries.hashedGramTable
           "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
-            "i -> concat_ws(' ', toks[i - 1], toks[i]))")).as("gram"))
+            "i -> concat_ws(' ', toks[i - 1], try_element_at(toks, i + 1)))")).as("gram"))
         .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("max_gram"), sum(col("c")).as("n_gram"))
