@@ -46,8 +46,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM / codegen / parquet-reader paths once so per-query
     // timings measure the queries, not session startup (first-query
-    // numbers were otherwise inflated ~3s by map ordering luck)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // numbers were otherwise inflated ~3s by map ordering luck).
+    // NonFatal only: a fatal JVM error must abort the run here, not
+    // resurface as bogus timings later (r7 ADVICE)
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => () }
     val runsPerQuery = 2
     // a run whose action THREW records its elapsed time NEGATED — the
     // min aggregation must never select a fast failure over a real
@@ -94,11 +97,16 @@ object Bench {
       line(fullQs) + "\n")
     catch { case _: Throwable => () }
     // stdout: drop fastest entries until the line fits the 2000-char
-    // driver tail capture with headroom for sbt's trailing lines
+    // driver tail capture with headroom for sbt's trailing lines.
+    // spark.stop() runs FIRST so no straggler WARN/progress line can
+    // land on stdout after the JSON and push its start off the tail
+    // window (BENCH_r07.json parsed as null exactly this way — r7
+    // VERDICT item 8); the JSON is then the last thing this JVM prints.
     val n = (bySlowest.length to 1 by -1)
-      .find(k => line(toJson(bySlowest.take(k))).length <= 1500)
+      .find(k => line(toJson(bySlowest.take(k))).length <= 1400)
       .getOrElse(1)
-    println(line(toJson(bySlowest.take(n))))
     spark.stop()
+    println(line(toJson(bySlowest.take(n))))
+    System.out.flush()
   }
 }

@@ -25,8 +25,11 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen path once so timings are comparable
     // (same guarded call as Bench: a missing sf0.001 fixture should
-    // not kill the run before any requested query is timed)
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // not kill the run before any requested query is timed). NonFatal
+    // only — swallowing an OutOfMemoryError here would surface as a
+    // confusing failure on the first timed query instead (r7 ADVICE)
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => () }
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -199,31 +199,42 @@ object PipelineQueries {
   /** The `dedup_bloom_prefilter` kernel, parameterized so the spec can
     * force a saturated (high-fpp) filter and prove the output identical
     * to the exact anti-join regardless of Bloom sizing.
+    *
+    * The filter reaches the probe side as a SCALAR SUBQUERY — the same
+    * `BloomFilterMightContain(ScalarSubquery(agg), xxhash64(k))` shape
+    * Spark's own InjectRuntimeFilter plants — so the whole operator is
+    * ONE lazy plan: no driver-side `.first()` materialization before
+    * the action (r7 VERDICT flag; a pipeline scheduler re-running the
+    * build per ingest would otherwise pay a driver round-trip and hold
+    * the filter bytes on the driver). Spark's ReuseSubquery dedups the
+    * two structurally-equal subquery instances, so the aggregate
+    * executes once per action.
     */
   private[graft] def bloomAdmit(
       documents: org.apache.spark.sql.DataFrame,
       estItems: Long,
       numBits: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     val docs = documents.withColumn("h", md5(col("text")))
     val standing = docs.filter(col("source") =!= "src0").select(col("h"))
     val batch = docs.filter(col("source") === "src0")
-    val bf = standing.select(column(
+    val bfPlan = standing.select(column(
         new BloomFilterAggregate(expression(xxhash64(col("h"))),
           expression(lit(estItems)), expression(lit(numBits)))
           .toAggregateExpression()).as("bf"))
-      .first().getAs[Array[Byte]](0)
-    // empty standing corpus -> the aggregate evals to null; the whole
-    // batch is proven-new (might_contain(null, x) would return null and
-    // silently drop every row instead)
-    if (bf == null)
-      return batch.select(col("doc_id")).orderBy(col("doc_id"))
-    val might = column(BloomFilterMightContain(
-      expression(lit(bf)), expression(xxhash64(col("h")))))
-    val provenNew = batch.filter(!might)
-    val confirmedNew = batch.filter(might)
+      .queryExecution.analyzed
+    // fresh ScalarSubquery per use site (each carries its own exprId);
+    // the plans canonicalize equal, so physical planning reuses one
+    // subquery execution for both branches
+    def might = column(BloomFilterMightContain(
+      ScalarSubquery(bfPlan), expression(xxhash64(col("h")))))
+    // empty standing corpus -> the aggregate evals to null and
+    // might_contain(null, x) is null: coalesce routes the whole batch
+    // to the proven-new branch instead of silently dropping every row
+    val provenNew = batch.filter(coalesce(!might, lit(true)))
+    val confirmedNew = batch.filter(coalesce(might, lit(false)))
       .join(standing.distinct(), Seq("h"), "left_anti")
     provenNew.select(col("doc_id"))
       .unionAll(confirmedNew.select(col("doc_id")))

@@ -23,38 +23,56 @@ import org.apache.spark.sql.functions._
   */
 object SqlQueries {
 
-  /** Last input dir registered per session: re-registering all six
-    * views (six parquet footer/schema reads) on EVERY query invocation
-    * was pure repeated I/O in the timed path (r7 review) — views are
-    * re-bound only when the session's input dir actually changes.
+  /** Dir suffixes registered per session. WEAK session keys — a strong
+    * key would pin every session ever benched in memory (r7 ADVICE);
+    * when a session is collected its entry (and its session-scoped
+    * views) vanish together.
     */
-  private val lastDir =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, java.util.HashSet[String]]()
 
   /** Register the fixture tables this category's SQL references as
-    * session temp views bound to `d` (idempotent per (session, dir)).
+    * session temp views bound to `d`, and return the dir suffix the
+    * caller splices into view names. View names are SCOPED BY INPUT DIR
+    * (like every other d-dependent artifact key): with a fixed name,
+    * two invocations on the same session with different input dirs
+    * could interleave registration and leave a mixed view set behind a
+    * stale cache entry — silently wrong results (r7 ADVICE, the same
+    * concurrency class agg_grouping_sets fixed in r7). The
+    * check+register+record runs in one synchronized block, so a
+    * concurrent second caller blocks until the views exist rather than
+    * racing past the cache check.
     */
-  private def views(s: SparkSession, d: String): Unit =
-    if (!lastDir.get(s).contains(d)) {
-      customer(s, d).createOrReplaceTempView("customer_v")
-      orders(s, d).createOrReplaceTempView("orders_v")
-      nation(s, d).createOrReplaceTempView("nation_v")
-      part(s, d).createOrReplaceTempView("part_v")
-      lineitem(s, d).createOrReplaceTempView("lineitem_v")
-      events(s, d).createOrReplaceTempView("events_v")
-      lastDir.put(s, d)
+  private def views(s: SparkSession, d: String): String = {
+    val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+    registered.synchronized {
+      var dirs = registered.get(s)
+      if (dirs == null) {
+        dirs = new java.util.HashSet[String]()
+        registered.put(s, dirs)
+      }
+      if (dirs.add(sfx)) {
+        customer(s, d).createOrReplaceTempView("customer_v_" + sfx)
+        orders(s, d).createOrReplaceTempView("orders_v_" + sfx)
+        nation(s, d).createOrReplaceTempView("nation_v_" + sfx)
+        part(s, d).createOrReplaceTempView("part_v_" + sfx)
+        lineitem(s, d).createOrReplaceTempView("lineitem_v_" + sfx)
+        events(s, d).createOrReplaceTempView("events_v_" + sfx)
+      }
     }
+    sfx
+  }
 
   val queries: Map[String, Q] = Map(
     // Correlated EXISTS: customers holding at least one big-ticket
     // order. Catalyst rewrites to a left SEMI join on c_custkey.
     "sql_exists_subquery" -> ((s, d) => {
-      views(s, d)
-      s.sql("""
+      val v = views(s, d)
+      s.sql(s"""
         SELECT c_custkey, c_name
-        FROM customer_v c
+        FROM customer_v_$v c
         WHERE EXISTS (
-          SELECT 1 FROM orders_v o
+          SELECT 1 FROM orders_v_$v o
           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
         ORDER BY c_custkey""")
     }),
@@ -64,12 +82,12 @@ object SqlQueries {
     // against the pre-aggregated inner side (count per key), with the
     // empty-group-becomes-0 coalesce the rewrite must preserve.
     "sql_scalar_subquery" -> ((s, d) => {
-      views(s, d)
-      s.sql("""
+      val v = views(s, d)
+      s.sql(s"""
         SELECT n_nationkey, n_name,
-          (SELECT count(*) FROM customer_v c
+          (SELECT count(*) FROM customer_v_$v c
            WHERE c.c_nationkey = n.n_nationkey) AS n_cust
-        FROM nation_v n
+        FROM nation_v_$v n
         ORDER BY n_nationkey""")
     }),
 
@@ -81,12 +99,12 @@ object SqlQueries {
     // check it; the DataFrame API has no direct spelling for this
     // operator (left_anti is the NOT EXISTS semantics, not NOT IN).
     "sql_not_in_subquery" -> ((s, d) => {
-      views(s, d)
-      s.sql("""
+      val v = views(s, d)
+      s.sql(s"""
         SELECT p_partkey, p_name
-        FROM part_v
+        FROM part_v_$v
         WHERE p_partkey NOT IN (
-          SELECT l_partkey FROM lineitem_v WHERE l_quantity > 45.0)
+          SELECT l_partkey FROM lineitem_v_$v WHERE l_quantity > 45.0)
         ORDER BY p_partkey""")
     }),
 
@@ -100,12 +118,12 @@ object SqlQueries {
     // (price DESC, o_orderkey) is total, so the top-2 sets are
     // engine-deterministic.
     "sql_lateral_topk" -> ((s, d) => {
-      views(s, d)
-      s.sql("""
+      val v = views(s, d)
+      s.sql(s"""
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        FROM customer_v c,
+        FROM customer_v_$v c,
         LATERAL (
-          SELECT o_orderkey, o_totalprice FROM orders_v o
+          SELECT o_orderkey, o_totalprice FROM orders_v_$v o
           WHERE o.o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         ) t
@@ -132,12 +150,12 @@ object SqlQueries {
     // executes well). The IS NOT NULL anchor guard makes an EMPTY
     // feed produce an empty calendar instead of a NULL row.
     "sql_recursive_cte" -> ((s, d) => {
-      views(s, d)
-      s.sql("""
+      val v = views(s, d)
+      s.sql(s"""
         WITH RECURSIVE bounds AS (
           SELECT min(ts_us div 86400000000) AS d0,
                  max(ts_us div 86400000000) AS d1
-          FROM events_v
+          FROM events_v_$v
         ), starts AS (
           SELECT explode(sequence(d0, d1, 30)) AS blk0, d1
           FROM bounds WHERE d0 IS NOT NULL
@@ -147,7 +165,7 @@ object SqlQueries {
           SELECT c.day + 1, c.blk_end FROM cal c WHERE c.day < c.blk_end
         ), daily AS (
           SELECT ts_us div 86400000000 AS day, count(*) AS n
-          FROM events_v GROUP BY 1
+          FROM events_v_$v GROUP BY 1
         )
         SELECT c.day, coalesce(d.n, CAST(0 AS BIGINT)) AS n
         FROM cal c LEFT JOIN daily d ON c.day = d.day
@@ -162,12 +180,12 @@ object SqlQueries {
     // match as a boolean column the filter then consumes. Still ONE
     // key-partitioned join at any scale, never per-row re-execution.
     "sql_exists_or" -> ((s, d) => {
-      views(s, d)
-      s.sql("""
+      val v = views(s, d)
+      s.sql(s"""
         SELECT c_custkey, c_name
-        FROM customer_v c
+        FROM customer_v_$v c
         WHERE EXISTS (
-          SELECT 1 FROM orders_v o
+          SELECT 1 FROM orders_v_$v o
           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
           OR c.c_acctbal < 0.0
         ORDER BY c_custkey""")
@@ -182,19 +200,21 @@ object SqlQueries {
     // function boundary must be a pure naming layer with zero
     // numeric effect.
     "sql_udf_create" -> ((s, d) => {
-      views(s, d)
+      val v = views(s, d)
+      // the function name needs no dir scope: its body is d-independent,
+      // so concurrent re-registration is idempotent same-content
       s.sql("""
         CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
           p DOUBLE, disc DOUBLE)
         RETURNS DECIMAL(16, 4)
         RETURN CAST(p AS DECIMAL(12, 2)) *
           (CAST(1.00 AS DECIMAL(3, 2)) - CAST(disc AS DECIMAL(4, 2)))""")
-      s.sql("""
+      s.sql(s"""
         SELECT l_returnflag,
           CAST(sum(graft_disc_price(l_extendedprice, l_discount))
             AS DOUBLE) AS sum_disc,
           count(*) AS n_rows
-        FROM lineitem_v
+        FROM lineitem_v_$v
         GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
@@ -206,7 +226,7 @@ object SqlQueries {
     // emits. The oracle inlines both bindings by hand: parameter
     // passing must have zero semantic effect.
     "sql_parameterized" -> ((s, d) => {
-      views(s, d)
+      val v = views(s, d)
       s.sql(
         """SELECT o_orderpriority, count(*) AS n_orders,
           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
@@ -214,7 +234,7 @@ object SqlQueries {
           |FROM IDENTIFIER(:tbl)
           |WHERE o_totalprice > :floor
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-        Map("tbl" -> "orders_v", "floor" -> 150000.0))
+        Map("tbl" -> s"orders_v_$v", "floor" -> 150000.0))
     }),
 
     // SQL pipe syntax (Spark 4): the |>-chained relational form —
@@ -223,9 +243,9 @@ object SqlQueries {
     // classic spelling (the parser desugars stages into the identical
     // logical tree), proven by the oracle being the classic GROUP BY.
     "sql_pipe_syntax" -> ((s, d) => {
-      views(s, d)
-      s.sql("""
-        FROM lineitem_v
+      val v = views(s, d)
+      s.sql(s"""
+        FROM lineitem_v_$v
         |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |> AGGREGATE count(*) AS n_rows,
              CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE)

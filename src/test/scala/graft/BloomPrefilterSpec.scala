@@ -46,6 +46,35 @@ class BloomPrefilterSpec extends SparkSpecBase {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("building the plan runs NO job (filter arrives as scalar subquery)") {
+    // r8: the filter build must stay inside the lazy plan — a driver
+    // .first() here would launch a Spark job during query CONSTRUCTION
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the parquet read itself may run a cold file-listing job — the
+      // claim under test is that bloomAdmit ADDS none, so baseline
+      // after the read
+      val docs = Tables.documents(spark, sfDir)
+      Thread.sleep(400); val baseline = counter.get()
+      val df = PipelineQueries.bloomAdmit(docs, 100000L, 800000L)
+      // force analysis and physical planning (still no action)
+      df.queryExecution.analyzed
+      val plan = df.queryExecution.executedPlan.toString
+      Thread.sleep(400)
+      assert(counter.get() == baseline,
+        s"bloomAdmit launched ${counter.get() - baseline} job(s) before any action")
+      assert(plan.contains("Subquery"),
+        "expected the Bloom aggregate to arrive via scalar subquery")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("the probe side plans a might_contain filter (prefilter is real)") {
     val plan = PipelineQueries.bloomAdmit(Tables.documents(spark, sfDir),
       100000L, 800000L).queryExecution.executedPlan.toString

@@ -160,6 +160,26 @@ class FixtureSchemaSpec extends SparkSpecBase {
     }
   }
 
+  test("documents.text is pure ASCII (mm_phash_dedup oracle contract)") {
+    // mm_phash_dedup's Spark side samples UTF-8 BYTES of text (cast to
+    // binary, byte-indexed) while its DuckDB oracle samples CHARACTERS
+    // (string_split + ascii, codepoint-indexed); the two agree exactly
+    // when every character is ASCII (1 byte == 1 char == codepoint).
+    // A regenerated fixture with any multi-byte character would
+    // desynchronize index arithmetic AND sample values, surfacing only
+    // as an opaque hash mismatch — pin the invariant with a named
+    // failure here instead (r7 ADVICE)
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    fixtureDirs.foreach { d =>
+      val n = Tables.documents(spark, d)
+        .filter(octet_length(col("text")) =!= length(col("text")))
+        .count()
+      assert(n == 0, s"$d: $n documents contain non-ASCII characters — " +
+        "mm_phash_dedup's byte-sampled Spark side and char-sampled " +
+        "oracle would diverge")
+    }
+  }
+
   test("an unsupported ts encoding fails loudly, naming the type") {
     import spark.implicits._
     val dir = TempDirs.scoped("fixture_canary", "badunit")

@@ -17,10 +17,12 @@ class SqlSyntaxSpec extends SparkSpecBase {
 
   test("sql_pipe_syntax optimizes to the classic spelling's plan") {
     val pipe = SparkEntry.queries("sql_pipe_syntax")(spark, sfDir)
-    val classic = spark.sql("""
+    // view names are scoped by input dir (SqlQueries.views, r8)
+    val v = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val classic = spark.sql(s"""
       SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
-      FROM lineitem_v
+      FROM lineitem_v_$v
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""")
