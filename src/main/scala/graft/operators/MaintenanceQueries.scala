@@ -79,44 +79,73 @@ object MaintenanceQueries {
     }),
 
     // Small-files compaction: the layout-maintenance task every
-    // long-lived 100 TB table needs. A degraded layout (64 tiny part
-    // files — what thousands of executors or frequent micro-batch
-    // appends produce) is rewritten into 4 right-sized files; the
-    // output proves BOTH that the content survived byte-for-byte (the
-    // per-type aggregate matches the oracle over the ORIGINAL table)
-    // and that the compaction actually happened (actual part-file
-    // counts of both layouts ride along as columns, checked against
-    // the oracle's literals). At scale the 4 would be
-    // target-bytes-per-file driven (maxRecordsPerFile /
-    // AQE-coalesced write) — same one-shuffle rewrite shape.
+    // long-lived 100 TB table needs, committed through the snapshot
+    // table's manifest log (r8 — see graft.sources.SnapshotTable). A
+    // degraded layout (64 tiny part files — what thousands of
+    // executors or frequent micro-batch appends produce) lands as v1;
+    // the compaction rewrite into 4 right-sized files commits as v2,
+    // so READERS FLIP ATOMICALLY when the v2 manifest links in — a
+    // concurrent scan bound to v1 keeps its consistent file set, which
+    // is the property the old raw-directory overwrite could not give.
+    // The output proves BOTH that the content survived byte-for-byte
+    // (the per-type aggregate matches the oracle over the ORIGINAL
+    // table) and that the compaction happened (each version's
+    // manifest file count rides along, checked against the oracle's
+    // literals). At scale the 4 would be target-bytes-per-file driven
+    // (maxRecordsPerFile / AQE-coalesced write) — same one-shuffle
+    // rewrite shape, same one-manifest commit.
     "compact_small_files" -> ((s, d) => {
-      val srcDir = graft.TempDirs.scoped("smallfiles", d)
-      graft.TempDirs.writeOnce("smallfiles" + d) {
-        events(s, d)
-          .select(col("event_id"), col("ts_us"), col("user_id"),
-            col("event_type"), col("value"))
-          .repartition(64)
-          .write.mode("overwrite").parquet(srcDir)
+      import graft.sources.SnapshotTable
+      val root = graft.TempDirs.scoped("snapcompact", d)
+      graft.TempDirs.writeOnce("snapcompact" + d) {
+        SnapshotTable.commit(root,
+          events(s, d)
+            .select(col("event_id"), col("ts_us"), col("user_id"),
+              col("event_type"), col("value"))
+            .repartition(64))
+        SnapshotTable.commit(root,
+          SnapshotTable.read(s, root, Some(1L)).repartition(4))
       }
-      val outDir = graft.TempDirs.scoped("compacted", d)
-      // writeOnce like every other artifact build here: an unguarded
-      // overwrite re-ran the compaction on every construction and
-      // could race a concurrent suite's overwrite of the same scoped
-      // dir, making nParts observe a half-deleted layout (r7 review)
-      graft.TempDirs.writeOnce("compacted" + d) {
-        s.read.parquet(srcDir)
-          .repartition(4)
-          .write.mode("overwrite").parquet(outDir)
-      }
-      def nParts(dir: String): Int =
-        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-          .count(_.getName.endsWith(".parquet"))
-      s.read.parquet(outDir)
+      val nSrc = SnapshotTable.manifestFiles(root, 1L).length
+      val nOut = SnapshotTable.manifestFiles(root, 2L).length
+      SnapshotTable.read(s, root)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("n_src_files", lit(nParts(srcDir)))
-        .withColumn("n_out_files", lit(nParts(outDir)))
+        .withColumn("n_src_files", lit(nSrc))
+        .withColumn("n_out_files", lit(nOut))
         .orderBy(col("event_type"))
+    }),
+
+    // Time travel (`VERSION AS OF n`) over the snapshot-commit log
+    // (r8): a three-version table built from a deterministic change
+    // log — v1 = initial load (doc_id % 3 = 0), v2 = MERGE upsert of
+    // the % 5 batch (matched rows take the bumped n_chars, unmatched
+    // insert), v3 = delete of the % 9 slice — then read AS OF
+    // VERSION 2 while the latest is v3. The v2 read proves snapshot
+    // isolation: the delete that already committed is invisible to a
+    // reader bound to the older manifest, and the oracle recomputes
+    // exactly version 2's state from the same change log. At 100 TB
+    // the read is one manifest fetch + a parquet scan of the files it
+    // names — history depth costs nothing at read time.
+    "table_time_travel" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val root = graft.TempDirs.scoped("snaptt", d)
+      graft.TempDirs.writeOnce("snaptt" + d) {
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        SnapshotTable.commit(root, docs.filter(col("doc_id") % 3 === 0))
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+        val merged = SnapshotTable.read(s, root, Some(1L))
+          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(batch)
+        SnapshotTable.commit(root, merged)
+        SnapshotTable.commit(root,
+          SnapshotTable.read(s, root, Some(2L)).filter(col("doc_id") % 9 =!= 0))
+      }
+      SnapshotTable.read(s, root, Some(2L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // Order-independent table checksum: per-row canonical string →
@@ -292,6 +321,24 @@ object MaintenanceQueries {
         |SELECT count(*) AS n_rows, bit_xor(h48) AS xor48,
         |  CAST(sum(h48 // 65536) AS BIGINT) AS sum32
         |FROM v""".stripMargin,
+    // version 2's state recomputed from the same deterministic change
+    // log (the v3 delete must NOT appear — that is the time-travel
+    // property under test). NOT EXISTS, not NOT IN, for the same
+    // null-semantics reason as dedup_incremental.
+    "table_time_travel" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), v1 AS (
+        |  SELECT * FROM docs WHERE doc_id % 3 = 0
+        |), batch AS (
+        |  SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT) AS n_chars
+        |  FROM docs WHERE doc_id % 5 = 0
+        |), v2 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT EXISTS (SELECT 1 FROM batch b WHERE b.doc_id = v1.doc_id)
+        |  UNION ALL SELECT * FROM batch
+        |)
+        |SELECT doc_id, source, n_chars FROM v2 ORDER BY doc_id""".stripMargin,
     "scd2_intervals" ->
       """WITH v AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+
+/** The snapshot-commit protocol's contract (SURVEY §2.M, closed r8):
+  * atomic versioned commits via hard-link CAS, snapshot-isolated
+  * reads, last-commit-wins under concurrency, time travel.
+  */
+class SnapshotCommitSpec extends SparkSpecBase {
+
+  private def freshRoot(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_snapspec_$tag")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
+  test("commits are versioned 1..n and each version reads back exactly") {
+    import spark.implicits._
+    val root = freshRoot("seq")
+    val v1 = SnapshotTable.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v2 = SnapshotTable.commit(root, Seq((1L, "a2")).toDF("k", "s"))
+    assert((v1, v2) == (1L, 2L))
+    assert(SnapshotTable.versions(root) == Seq(1L, 2L))
+    // snapshot isolation: v1 unchanged after v2 committed
+    assert(SnapshotTable.read(spark, root, Some(1L)).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // latest binds to max version
+    assert(SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a2")))
+  }
+
+  test("concurrent committers serialize: distinct contiguous versions, last commit wins") {
+    import spark.implicits._
+    val root = freshRoot("conc")
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[(Int, Long)] {
+          def call(): (Int, Long) = {
+            val df = Seq((i.toLong, s"writer$i")).toDF("k", "who")
+            gate.await()
+            (i, SnapshotTable.commit(root, df))
+          }
+        })
+      }
+      gate.countDown()
+      val byWriter = futures.map(_.get()).toMap // writer -> version claimed
+      // every writer got a DISTINCT version; together exactly 1..n —
+      // the CAS never lost or double-assigned a commit
+      assert(byWriter.values.toSeq.sorted == (1L to n.toLong),
+        s"versions claimed: $byWriter")
+      assert(SnapshotTable.versions(root) == (1L to n.toLong))
+      // last-commit-wins: the unqualified read binds to version n and
+      // returns exactly the winning writer's rows
+      val winner = byWriter.find(_._2 == n.toLong).get._1
+      val latest = SnapshotTable.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(latest == Seq((winner.toLong, s"writer$winner")))
+      // no torn manifest: every historical version parses and reads
+      // back its own writer's single row (atomicity of the link CAS)
+      byWriter.foreach { case (w, v) =>
+        val rows = SnapshotTable.read(spark, root, Some(v)).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        assert(rows == Seq((w.toLong, s"writer$w")), s"version $v torn: $rows")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("table_time_travel reads v2 while the log is at v3") {
+    val df = SparkEntry.queries("table_time_travel")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the v3 delete (% 9 = 0 removed) must be INVISIBLE at version 2:
+    // v2 still contains multiples of 9 that were in v1 or the batch
+    assert(rows.exists(_.getLong(0) % 9 == 0),
+      "v2 read lost the %9 rows — the v3 delete leaked into time travel")
+    // and the v2 merge must be VISIBLE: every %15 doc (in v1, updated
+    // by the %5 batch) carries the +1000 bump vs the raw fixture
+    val raw = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 15 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = rows.filter(_.getLong(0) % 15 == 0)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got.forall { case (k, v) => v == raw(k) + 1000L },
+      "the v2 merge's n_chars bump is missing from the time-travel read")
+  }
+
+  test("an empty commit reads back as zero rows with the schema intact") {
+    // Spark writes a schema-only part file for an empty df, so an
+    // empty version is a first-class readable snapshot (a TRUNCATE),
+    // never a fileless manifest — the commit-side require guards the
+    // only fileless case (a zero-partition write)
+    import spark.implicits._
+    val root = freshRoot("empty")
+    val v = SnapshotTable.commit(root, Seq.empty[(Long, String)].toDF("k", "s"))
+    val df = SnapshotTable.read(spark, root, Some(v))
+    assert(df.count() == 0L)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "s"))
+  }
+}
