@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * (`mm_feature_extract` / `mm_frame_sample`, r6) synthesize canonical
   * 24-bpp BMP bytes per doc and decode them back through BmpDecoder's
   * genuine header walk + orientation-aware row reads — no stub
-  * remains anywhere on the multimodal surface.
+  * remains anywhere on the multimodal surface. r8 adds a COMPRESSED
+  * format: `mm_png_meta` encodes via the JDK's own ImageIO PNG writer
+  * and decodes via PngDecoder's real chunk walk + zlib inflate +
+  * five-filter scanline reconstruction.
   *
   * Scale notes (100 TB): binary payloads never enter a shuffle — the
   * metadata path is a narrow projection, and the feature extraction is
@@ -271,6 +274,50 @@ object MultimodalQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // REAL COMPRESSED-format decode (r8, closing the r7 "BMP/WAV only"
+    // boundary): each doc's bytes become an 8-bit grayscale PNG
+    // written by the JDK's own ImageIO encoder (an independent
+    // spec-conformant implementation with adaptive per-row filters),
+    // and graft's PngDecoder walks the chunks, INFLATES the IDAT zlib
+    // stream, and reverses the scanline filters (None/Sub/Up/Average/
+    // Paeth) to recover the pixels. Same pixel arithmetic as the BMP
+    // path (width 16 + doc_id % 17, zero-padded partial last row), so
+    // the synthesis-mirror oracle carries over — px sums are 1x the
+    // payload byte sums here (one gray sample per pixel, not three
+    // channel bytes): a wrong unfilter or a dropped IDAT boundary
+    // hash-mismatches immediately. Batched mapPartitions, fixed batch
+    // 32, binary never shuffles.
+    "mm_png_meta" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.grouped(32).flatMap { batch =>
+            batch.iterator.map { case (id, payload) =>
+              val png = PngDecoder.synthesize((16 + id % 17).toInt, payload)
+              val m = PngDecoder.parse(png).get
+              val px = PngDecoder.pixels(png, m)
+              var sum = 0L
+              var row0 = 0L
+              var i = 0
+              while (i < px.length) {
+                val v = px(i) & 0xff
+                sum += v
+                if (i < m.width) row0 += v
+                i += 1
+              }
+              (id, m.width.toLong, m.height.toLong, m.bitDepth.toLong,
+                m.colorType.toLong, sum, row0)
+            }
+          }
+        }
+        .toDF("doc_id", "width", "height", "bit_depth", "color_type",
+          "px_sum", "row0_sum")
+        .orderBy(col("doc_id"))
+    }),
+
     // Perceptual-hash image dedup (r7): the classic average-hash
     // (aHash) near-dup detector over DECODED pixels — the image arm of
     // the dedup family (text dedups by MinHash/SimHash; images dedup
@@ -404,6 +451,27 @@ object MultimodalQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  lang AS src_lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors the PNG synthesis arithmetic, not the decoder: one gray
+    // sample per ASCII byte at width 16 + doc_id % 17, height by ceil
+    // division, 8-bit grayscale (colorType 0), px sums 1x the byte
+    // sums (zero-padded partial last row adds nothing), row0 = the
+    // first min(w, n) bytes. The Spark side recovered these from the
+    // JDK encoder's filtered+deflated IDAT stream — equality IS the
+    // decode proof.
+    "mm_png_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(text, ''), c -> ascii(c)) AS vals,
+        |    octet_length(encode(text)) AS n,
+        |    CAST(16 + doc_id % 17 AS BIGINT) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id, w AS width, (n + w - 1) // w AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(0 AS BIGINT) AS color_type,
+        |  CAST(list_sum(vals) AS BIGINT) AS px_sum,
+        |  CAST(list_sum(list_slice(vals, 1, least(w, n))) AS BIGINT) AS row0_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Mirrors the aHash over the synthesis arithmetic: sample (ri,ci)
     // is payload byte (ri*h/8)*w + ci*w/8 (0 past the payload — the
     // zero-padded partial last row), bit = 64*sample > sum, msb-first
