@@ -137,6 +137,43 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // The PRODUCTION path of ts_outlier_mad (r8 — the SURVEY row's own
+    // concession made real): exact per-key percentile_disc buffers
+    // whole groups, so at 100 TB the thresholds come from a SAMPLE —
+    // here a deterministic 25% hash sample (md5 first hex digit of
+    // event_id, the sample_hash trick), which keeps the buffered group
+    // fraction-bounded while staying fully oracle-mirrorable (a seeded
+    // RNG sample would be partitioning-dependent; the hash sample is
+    // not). Median and MAD are computed on the sample only; the
+    // resulting per-key threshold table (|keys| rows) BROADCASTS, and
+    // the full stream pays one map-only pass + one map-combinable
+    // count — the big side never sorts, never buffers, never shuffles
+    // values. Sampled thresholds differ from exact ones (that is the
+    // trade); TimeSeriesSpec bounds the drift against the exact
+    // operator with a tolerance test.
+    "ts_outlier_sampled" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+      val samp = ev.filter(
+        substring(md5(col("event_id").cast("string")), 1, 1) < "4")
+      val med = samp.groupBy(col("user_id")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+          .as("med"))
+      val sdev = samp.join(med, "user_id")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val thr = sdev.groupBy(col("user_id"), col("med")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+          .as("mad"))
+      ev.join(broadcast(thr), "user_id")
+        .groupBy(col("user_id"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(abs(col("value") - col("med")) > col("mad") * 3.0, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("user_id"), col("n_events"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy(col("user_id"))
+    }),
+
     // Batch sessionization: split each user's event stream into
     // sessions at >30-min inactivity gaps (lag + flag + running sum),
     // then one aggregate per session. Two window passes + one hash
@@ -348,6 +385,28 @@ object TimeSeriesQueries {
         |FROM dev JOIN mad ON dev.user_id = mad.user_id
         |GROUP BY dev.user_id, dev.med, mad.mad
         |ORDER BY dev.user_id""".stripMargin,
+    // same hash sample, same sample-only thresholds, same full-stream
+    // gate — the sampling predicate is the cross-engine md5 trick
+    "ts_outlier_sampled" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value FROM events
+        |), s AS (
+        |  SELECT * FROM e WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '4'
+        |), med AS (
+        |  SELECT user_id, quantile_disc(value, 0.5) AS med
+        |  FROM s GROUP BY user_id
+        |), thr AS (
+        |  SELECT s.user_id, med.med,
+        |    quantile_disc(abs(s.value - med.med), 0.5) AS mad
+        |  FROM s JOIN med ON s.user_id = med.user_id
+        |  GROUP BY s.user_id, med.med
+        |)
+        |SELECT e.user_id, count(*) AS n_events, thr.med, thr.mad,
+        |  CAST(sum(CASE WHEN abs(e.value - thr.med) > thr.mad * 3.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN thr ON e.user_id = thr.user_id
+        |GROUP BY e.user_id, thr.med, thr.mad
+        |ORDER BY e.user_id""".stripMargin,
     // Same left-to-right fold over the same (ts, event_id) order with
     // the same exact-binary 0.25/0.75 constants — bit-identical
     // doubles (the sim_search_topk ordered-fold proof).

@@ -134,4 +134,34 @@ class RobustOpsSpec extends SparkSpecBase {
     assert(missing.count() === 0)
     out.unpersist()
   }
+
+  test("ts_outlier_sampled: thresholds track the exact MAD within tolerance") {
+    // the production (sample-thresholded) path must agree with the
+    // exact operator up to sampling noise: per-user medians within one
+    // exact MAD for >= 80% of users (a ~16-events/user sample at
+    // sf0.001 is genuinely noisy), and the corpus-level outlier total
+    // within 2x either way — a wrong sample predicate or a broken
+    // threshold join blows far past these bands
+    val exact = SparkEntry.queries("ts_outlier_mad")(spark, sfDir)
+      .select(col("user_id"), col("med").as("med_x"), col("mad").as("mad_x"),
+        col("n_outliers").as("out_x"))
+    val sampled = SparkEntry.queries("ts_outlier_sampled")(spark, sfDir)
+      .select(col("user_id"), col("med").as("med_s"), col("mad").as("mad_s"),
+        col("n_outliers").as("out_s"))
+    val j = exact.join(sampled, "user_id").cache()
+    val n = j.count()
+    assert(n > 0)
+    // sampled output covers (nearly) every user the exact one does
+    assert(n >= exact.count() * 9 / 10)
+    val offMed = j.filter(
+      abs(col("med_s") - col("med_x")) > col("mad_x") * 1.0 + lit(1e-9)).count()
+    assert(offMed * 5 <= n,
+      s"$offMed of $n users have a sampled median off by > 1 MAD")
+    val sums = j.agg(sum(col("out_x")).as("sx"), sum(col("out_s")).as("ss"))
+      .head()
+    val (sx, ss) = (sums.getLong(0), sums.getLong(1))
+    assert(ss <= 2 * sx + 10 && sx <= 2 * ss + 10,
+      s"outlier totals diverged: exact=$sx sampled=$ss")
+    j.unpersist()
+  }
 }
