@@ -171,7 +171,7 @@ object SimilarityQueries {
     * array<long> parquet roundtrip is exact, so results are
     * unchanged.
     */
-  private[operators] def hashedGramTable(
+  private[graft] def hashedGramTable(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val dir = graft.TempDirs.scoped("gram_sigs", d)
     graft.TempDirs.writeOnce("gram_sigs" + d) {
@@ -230,6 +230,50 @@ object SimilarityQueries {
       .select(col("doc_a"), col("doc_b"), col("inter_sz"),
         (col("sz_sum") - col("inter_sz")).as("union_sz"))
       .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
+
+  /** Skew-split (capped-bucket) variant of `bucketPairs` (r8): SURVEY
+    * §8's "hot buckets capped at 100 TB, same playbook" made concrete
+    * and RESULT-PRESERVING. Each length bucket's members are ranked by
+    * doc_id and cut into chunks of `cap`; the self-join then runs
+    * block-wise over chunk pairs (i, j), i <= j — the left side
+    * explodes each doc to every target chunk j >= its own, the right
+    * side to every source chunk i <= its own, and the equi-key becomes
+    * (len_bkt, i, j). Every qualifying pair (a < b by doc_id, hence
+    * chunk(a) <= chunk(b)) matches EXACTLY once at key (bkt, chunk(a),
+    * chunk(b)), so the verified pair set is identical to the uncapped
+    * join (CappedBucketSpec proves set equality on the fixture, and
+    * `dedup_ngram_capped` pairs with the same DuckDB oracle) — while
+    * no single join task ever holds more than cap² candidate pairs: a
+    * hot bucket of size k spreads across (k/cap)² bounded tasks
+    * instead of concentrating k² pairs on one key. Replication cost is
+    * the per-doc chunk fan-out (k/cap rows per side) — linear, the
+    * standard salted-self-join trade.
+    */
+  private[graft] def cappedBucketPairs(grams: DataFrame,
+      cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("len_bkt")).orderBy(col("doc_id"))
+    val chunked = grams.withColumn("ck",
+      ((row_number().over(w) - 1) / cap).cast("int"))
+    val nchunks = chunked.groupBy(col("len_bkt"))
+      .agg(max(col("ck")).as("mx"))
+    val left = chunked.join(broadcast(nchunks), "len_bkt")
+      .withColumn("j", explode(expr("sequence(ck, mx)")))
+    val right = chunked.withColumn("i", explode(expr("sequence(0, ck)")))
+    left.as("a")
+      .join(right.as("b"),
+        col("a.len_bkt") === col("b.len_bkt") &&
+          col("a.ck") === col("b.i") && col("a.j") === col("b.ck") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n_grams"), col("b.n_grams")) * 5 >=
+            greatest(col("a.n_grams"), col("b.n_grams")) * 2)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.SortedIntersectCountExpr
+          .count(col("a.grams"), col("b.grams")).as("inter_sz"),
+        (col("a.n_grams") + col("b.n_grams")).as("sz_sum"))
+      .select(col("doc_a"), col("doc_b"), col("inter_sz"),
+        (col("sz_sum") - col("inter_sz")).as("union_sz"))
+      .filter(col("inter_sz") * 5 >= col("union_sz") * 2) // jaccard >= 0.4
+  }
 
   /** Corpus-size threshold of the cost-based candidate-stage pick in
     * `ngramCandidatePairs`. Measured (r6 sf1 sweep, same binary):
@@ -582,6 +626,15 @@ object SimilarityQueries {
     // at the operator level.
     "dedup_ngram_prefix" -> ((s, d) =>
       ngramPrefixCandidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))),
+
+    // The SAME pair set a THIRD way (r8): the skew-split capped-bucket
+    // join — every bucket block-joined in cap²-bounded chunk-pair
+    // tasks (see cappedBucketPairs). cap = 64 caps any task at 4096
+    // candidate pairs regardless of how hot a bucket gets; identical
+    // oracle SQL, so the split must be provably result-preserving.
+    "dedup_ngram_capped" -> ((s, d) =>
+      cappedBucketPairs(hashedGramTable(s, d), 64)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Embedding near-dup: LSH buckets -> exact cosine >= 0.45 on
     // cohabitants. Id-only output (floats never leave the plan).
@@ -939,6 +992,7 @@ object SimilarityQueries {
         |FROM q ORDER BY vec_id""".stripMargin,
     "dedup_ngram_prefix" -> ngramJaccardSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_ngram_capped" -> ngramJaccardSql,
     // Full SQL mirror of the sign-random-projection structure: same
     // literal hyperplanes, same msb-first band fold, same bucket
     // self-join, same ordered-fold cosine gate (lshSignatureSql).

@@ -63,6 +63,32 @@ class PrefixFilterSpec extends SparkSpecBase {
       pairs("dedup_ngram_jaccard", sfDir))
   }
 
+  test("capped-bucket skew split produces identical pairs on the fixture") {
+    // the r8 hot-bucket playbook demo: block-wise chunk-pair join,
+    // every task bounded at cap² candidates, SAME verified pair set
+    assert(pairs("dedup_ngram_capped", sfDir) ==
+      pairs("dedup_ngram_jaccard", sfDir))
+  }
+
+  test("a tiny cap (forcing multi-chunk splits in every bucket) is still lossless") {
+    // cap = 5 splits every fixture bucket into many chunks, so the
+    // (i, j) block enumeration — including the i = j diagonal and the
+    // doc_id < doc_id tie-break across blocks — is exercised hard;
+    // equality with the uncapped stage proves no pair is lost or
+    // double-counted
+    val grams = graft.operators.SimilarityQueries.hashedGramTable(spark, sfDir)
+    val capped = graft.operators.SimilarityQueries
+      .cappedBucketPairs(grams, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(capped == pairs("dedup_ngram_jaccard", sfDir))
+  }
+
+  test("capped-bucket skew split matches on the Zipfian corpus too") {
+    assert(pairs("dedup_ngram_capped", zipfDir) ==
+      pairs("dedup_ngram_jaccard", zipfDir))
+  }
+
   test("prefix and bucket paths produce identical pairs on a Zipfian corpus") {
     val prefix = pairs("dedup_ngram_prefix", zipfDir)
     val bucket = pairs("dedup_ngram_jaccard", zipfDir)
