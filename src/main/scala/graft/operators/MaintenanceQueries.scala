@@ -148,6 +148,44 @@ object MaintenanceQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Retention / VACUUM over the snapshot-commit log (r8, closing
+    // the boundary's last maintenance exclusion): a three-version
+    // table (deterministic %3/%6/%12 slices at pinned file counts
+    // 8/4/2) vacuumed to the newest two versions — v1's manifest and
+    // its now-unreferenced 8 data files are deleted, v2 stays
+    // time-travel-readable, and file sharing is reference-counted
+    // against the RETAINED manifest set (append-lineage files
+    // survive; SnapshotCommitSpec pins that case). Output is the
+    // post-vacuum table state: latest-version aggregate + the kept
+    // version window + the live file count, all recomputable by the
+    // oracle from the change-log arithmetic. At 100 TB vacuum is one
+    // manifest-set walk + an unreferenced-file sweep — O(files)
+    // metadata, no data read.
+    "table_vacuum" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val root = graft.TempDirs.scoped("snapvac", d)
+      graft.TempDirs.writeOnce("snapvac" + d) {
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        SnapshotTable.commit(root,
+          docs.filter(col("doc_id") % 3 === 0).repartition(8))
+        SnapshotTable.commit(root,
+          docs.filter(col("doc_id") % 6 === 0).repartition(4))
+        SnapshotTable.commit(root,
+          docs.filter(col("doc_id") % 12 === 0).repartition(2))
+        SnapshotTable.vacuum(root, 2)
+        ()
+      }
+      val kept = SnapshotTable.versions(root)
+      val live = kept.flatMap(v => SnapshotTable.manifestFiles(root, v))
+        .distinct.length
+      SnapshotTable.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("versions_kept", lit(kept.length.toLong))
+        .withColumn("oldest_version", lit(kept.head))
+        .withColumn("n_live_files", lit(live.toLong))
+    }),
+
     // Order-independent table checksum: per-row canonical string →
     // md5 → 48-bit integer, aggregated with commutative bit_xor plus a
     // magnitude-guarded sum and a row count. The data-integrity
@@ -298,6 +336,16 @@ object MaintenanceQueries {
         |       ELSE 'keep' END AS op
         |FROM base FULL OUTER JOIN delta ON b_key = u_key
         |ORDER BY c_custkey""".stripMargin,
+    // post-vacuum state recomputed from the change-log arithmetic:
+    // latest = the %12 slice, two versions retained (oldest = 2), live
+    // files = v2's 4 + v3's 2 pinned repartition counts
+    "table_vacuum" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS versions_kept,
+        |  CAST(2 AS BIGINT) AS oldest_version,
+        |  CAST(6 AS BIGINT) AS n_live_files
+        |FROM documents WHERE doc_id % 12 = 0""".stripMargin,
     "cluster_by_key" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -120,4 +120,84 @@ object SnapshotTable {
       throw new IllegalStateException(s"snapshot table $root has no commits"))
     spark.read.parquet(manifestFiles(root, v): _*)
   }
+
+  /** Append commit: the next version references the PARENT manifest's
+    * files plus `df`'s newly-written files — the micro-batch-ingest
+    * commit mode, where a version shares all but its delta with its
+    * parent and the manifest stays O(files) while data is never
+    * rewritten. Same CAS as `commit`; on a retry the re-read parent
+    * may have advanced, so the file union is recomputed against the
+    * CURRENT latest each attempt (append-atop-whatever-won is the
+    * documented last-writer semantics).
+    */
+  def append(root: String, df: DataFrame): Long = {
+    Files.createDirectories(manifestDir(root))
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = Paths.get(root, "data", uuid)
+    df.write.parquet(dataDir.toString)
+    val fresh = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+        .map(name => s"data/$uuid/$name")
+      finally s.close()
+    }
+    while (true) {
+      val parent = latestVersion(root)
+      val base = parent.map(v => manifestFiles(root, v)
+        .map(abs => Paths.get(root).relativize(Paths.get(abs)).toString))
+        .getOrElse(Seq.empty)
+      val files = base ++ fresh
+      val v = parent.getOrElse(0L) + 1
+      val tmp = Files.createTempFile(manifestDir(root), ".commit", ".tmp")
+      Files.writeString(tmp,
+        s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}""")
+      try {
+        Files.createLink(manifestPath(root, v), tmp)
+        Files.deleteIfExists(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Retention (VACUUM): keep the newest `retainLast` manifests,
+    * delete the older manifests and every data file NO retained
+    * manifest references. Returns (manifestsDeleted, filesDeleted).
+    * Manifests are deleted before their files, so no reader can bind
+    * to a manifest whose files are being swept; files shared with a
+    * retained version (append lineage) survive — reference-counted by
+    * the retained manifest set, exactly like a production format's
+    * VACUUM walking its commit log.
+    */
+  def vacuum(root: String, retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, s"must retain at least 1 version, got $retainLast")
+    val vs = versions(root)
+    val drop = vs.dropRight(retainLast)
+    val keep = vs.takeRight(retainLast)
+    val keptFiles = keep.flatMap(v => manifestFiles(root, v)).toSet
+    val victims = drop.flatMap(v => manifestFiles(root, v)).toSet -- keptFiles
+    drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    var filesDeleted = 0
+    victims.foreach { f =>
+      if (Files.deleteIfExists(Paths.get(f))) filesDeleted += 1
+    }
+    // sweep now-empty per-commit data dirs (cosmetic, keeps the table
+    // dir from accumulating husks)
+    val dataRoot = Paths.get(root, "data")
+    if (Files.isDirectory(dataRoot)) {
+      val s = Files.list(dataRoot)
+      try s.iterator().asScala.foreach { dir =>
+        if (Files.isDirectory(dir)) {
+          val ls = Files.list(dir)
+          val empty = try !ls.iterator().hasNext finally ls.close()
+          if (empty) Files.deleteIfExists(dir)
+        }
+      }
+      finally s.close()
+    }
+    (drop.length, filesDeleted)
+  }
 }

@@ -96,6 +96,44 @@ class SnapshotCommitSpec extends SparkSpecBase {
       "the v2 merge's n_chars bump is missing from the time-travel read")
   }
 
+  test("append shares the parent's files and vacuum spares shared files") {
+    import spark.implicits._
+    val root = freshRoot("append")
+    SnapshotTable.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v2 = SnapshotTable.append(root, Seq((3L, "c")).toDF("k", "s"))
+    assert(v2 == 2L)
+    // v2 = parent rows + delta, and it REFERENCES v1's files
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val v1Files = SnapshotTable.manifestFiles(root, 1L).toSet
+    assert(v1Files.subsetOf(SnapshotTable.manifestFiles(root, 2L).toSet))
+    // vacuum to 1 version: v1's manifest goes, but its files are all
+    // referenced by v2 — reference counting must spare every one
+    val (mDel, fDel) = SnapshotTable.vacuum(root, 1)
+    assert((mDel, fDel) == (1, 0))
+    assert(SnapshotTable.versions(root) == Seq(2L))
+    assert(v1Files.forall(f => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f))))
+    assert(SnapshotTable.read(spark, root).count() == 3L)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifestFiles(root, 1L)
+    }
+  }
+
+  test("vacuum deletes rewrite-orphaned files and keeps the table readable") {
+    import spark.implicits._
+    val root = freshRoot("vac")
+    SnapshotTable.commit(root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    SnapshotTable.commit(root, Seq((9L, "z")).toDF("k", "s")) // full rewrite
+    val v1Files = SnapshotTable.manifestFiles(root, 1L)
+    val (mDel, fDel) = SnapshotTable.vacuum(root, 1)
+    assert(mDel == 1 && fDel == v1Files.length && fDel > 0)
+    assert(v1Files.forall(f => !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(f))))
+    assert(SnapshotTable.read(spark, root).collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("an empty commit reads back as zero rows with the schema intact") {
     // Spark writes a schema-only part file for an empty df, so an
     // empty version is a first-class readable snapshot (a TRUNCATE),
