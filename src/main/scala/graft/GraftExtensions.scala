@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension (r8): the native as-of join's planner
+    // strategy, so extension users can plan graft.plans.AsofJoin
+    // without touching experimental.extraStrategies
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       info("graft_dot"),

@@ -155,6 +155,38 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The SAME backward-strict as-of result via the NATIVE custom
+    // operator (r8): graft.plans.AsofJoin — custom LogicalPlan +
+    // Strategy + BinaryExecNode whose declared distribution/ordering
+    // requirements let EnsureRequirements plan the co-partitioning
+    // shuffles and spilling sorts, then an O(|L|+|R|)-per-partition
+    // merge walk with O(1) state computes the join (no window
+    // buffering, no range-frame state). Oracle-paired with the
+    // IDENTICAL SQL as join_asof: a window spelling and a custom
+    // physical operator must hash to the same result — the
+    // dedup_ngram double-entry pattern applied to a whole-operator
+    // Catalyst extension. Runs on a child session with AQE off: the
+    // zipPartitions walk requires both sides' final partitionings to
+    // stay aligned, which AQE's independent stage coalescing does not
+    // guarantee for a foreign exec node (documented operator
+    // constraint; the strategy installs via experimental
+    // .extraStrategies — Spark's public hook for exactly this).
+    "join_asof_native" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val ev = events(s2, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val signups = events(s2, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"))
+      graft.plans.AsofJoinApi.asofJoin(s2, ev, signups,
+          key = "user_id", time = "ts_us", rightTimeCol = "ts_us",
+          asOfName = "last_signup_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("last_signup_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join, forward + nearest directions (r7): the other two
     // merge_asof semantics. prior = most recent signup with ts <= t
     // (RANGE unbounded-preceding..current-row — peers included, same
@@ -460,6 +492,14 @@ object JoinQueries {
         |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_asof" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  (SELECT max(epoch_us(s.ts)) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND epoch_us(s.ts) < epoch_us(e.ts)) AS last_signup_us
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+    // identical SQL as join_asof: the native custom-operator spelling
+    // must produce the same rows as the window spelling
+    "join_asof_native" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  (SELECT max(epoch_us(s.ts)) FROM events s
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
