@@ -68,6 +68,55 @@ object PipelineQueries {
         .select(col("lang"), col("doc_id"), col("n_toks"), col("bin"))
         .orderBy(col("lang"), col("doc_id"))),
 
+    // Balanced bin packing (r8): spread each language shard's
+    // documents across 16 bins so bin TOKEN loads equalize — the
+    // load-balancing complement of pack_token_budget (which packs
+    // sequentially and leaves bin sizes uneven). Serpentine
+    // (boustrophedon) assignment over the per-language
+    // token-count-descending rank: ranks 1..16 map to bins 0..15,
+    // ranks 17..32 reflect back 15..0, so every bin receives one doc
+    // per "snake pass" alternating large/small — the classic
+    // deterministic approximation of best-fit-decreasing that needs
+    // NO sequential state, just one PARTITIONED rank window (an
+    // unpartitioned global rank would funnel the corpus through one
+    // partition — the shape PlanHygieneSpec bans; the language key is
+    // the natural shard axis, and a keyless corpus salts one in).
+    // Fully mirrorable, where true BFD is inherently serial.
+    "pack_balanced_bins" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("rk",
+          row_number().over(Window.partitionBy(col("lang"))
+            .orderBy(col("n_toks").desc, col("doc_id"))).cast("long"))
+        .withColumn("k", (col("rk") - 1) % 32)
+        .withColumn("bin",
+          when(col("k") < 16, col("k")).otherwise(lit(31L) - col("k")))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+        .orderBy(col("lang"), col("bin"))),
+
+    // Deterministic train/val/test split (r8): the 80/10/10 corpus
+    // split every training run needs, keyed on the content hash so
+    // membership is stable across runs, engines, partitionings, and
+    // re-ingests (a doc never migrates between splits when the corpus
+    // around it changes — the property row_number splits lack). md5
+    // first two hex digits give 256 uniform levels: < 'cd' (204/256
+    // ≈ 80%) = train, < 'e7' (231/256) = val, rest = test. Output is
+    // the per-split audit row (count + token mass + an
+    // order-independent id checksum) — the manifest a pipeline
+    // records next to the split.
+    "sample_split" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("h2", substring(md5(col("text")), 1, 2))
+        .withColumn("split",
+          when(col("h2") < "cd", "train")
+            .when(col("h2") < "e7", "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_toks"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("split"))),
+
     // Quality-tiered repetition schedule (r7): the UPsampling
     // counterpart of mix_weighted/mix_temperature (which sample DOWN)
     // — higher-quality documents repeat across training epochs (the
@@ -278,6 +327,34 @@ object PipelineQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE substr(md5(text), 1, 1) < '4'
         |ORDER BY doc_id""".stripMargin,
+    // same per-language serpentine over the same total rank order
+    "pack_balanced_bins" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, n_toks,
+        |    (row_number() OVER (PARTITION BY lang
+        |       ORDER BY n_toks DESC, doc_id) - 1) % 32 AS k
+        |  FROM t
+        |)
+        |SELECT lang, CAST(CASE WHEN k < 16 THEN k ELSE 31 - k END AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_toks
+        |FROM r GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    // same two-hex-digit thresholds, same audit aggregates
+    "sample_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(text), 1, 2) < 'e7' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+        |  bit_xor(doc_id) AS id_xor
+        |FROM t GROUP BY split ORDER BY split""".stripMargin,
     "shuffle_global" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':epoch42') AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
