@@ -443,6 +443,37 @@ object AggQueries {
         .toDF("n_rows", "n_flag", "min_okey", "max_okey", "sum_qty")
     }),
 
+    // Distribution-drift monitor (r8): the per-ingest check a
+    // production pipeline runs before admitting a batch — compare the
+    // fresh batch's (source = 'src0') length distribution against the
+    // standing corpus over 16 fixed buckets and report the L1
+    // distance in basis points. Integer-only by construction (bucket
+    // counts, share = n*10000 div total, |Δ| sums), so the statistic
+    // is exact cross-engine where a PSI's ln() would be
+    // libm-divergent. Scale shape: one map-side-combined groupBy on
+    // (grp, bkt) — 32 cells total — a broadcast of two totals, and a
+    // 16-row join; the corpus pays one narrow scan regardless of
+    // size.
+    "profile_drift" -> ((s, d) => {
+      val cells = documents(s, d)
+        .withColumn("grp",
+          when(col("source") === "src0", "batch").otherwise("corpus"))
+        .withColumn("bkt", least(expr("n_chars div 64"), lit(15L)))
+        .groupBy(col("grp"), col("bkt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.groupBy(col("grp")).agg(sum(col("n")).as("tot"))
+      val shares = cells.join(broadcast(tot), "grp")
+        .withColumn("bp", expr("n * 10000 div tot"))
+      val b = shares.filter(col("grp") === "batch")
+        .select(col("bkt"), col("bp").as("bp_b"))
+      val c = shares.filter(col("grp") === "corpus")
+        .select(col("bkt"), col("bp").as("bp_c"))
+      b.join(c, Seq("bkt"), "full_outer")
+        .select(abs(coalesce(col("bp_b"), lit(0L)) -
+          coalesce(col("bp_c"), lit(0L))).as("d"))
+        .agg(sum(col("d")).as("l1_bp"), count(lit(1)).as("n_buckets"))
+    }),
+
     // Approximate quantiles via percentile_approx (GK summaries):
     // mergeable map-side sketches, rank error bounded by n/accuracy —
     // the distributed-quantile shape (exact percentiles need a full
@@ -657,6 +688,23 @@ object AggQueries {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |  count(*) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // same 16-bucket integer share algebra; missing buckets coalesce
+    // to 0 on either side via the full outer join
+    "profile_drift" ->
+      """WITH cells AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 'batch' ELSE 'corpus' END AS grp,
+        |    least(n_chars // 64, 15) AS bkt, count(*) AS n
+        |  FROM documents GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT grp, sum(n) AS tot FROM cells GROUP BY grp
+        |), shares AS (
+        |  SELECT c.grp, c.bkt, c.n * 10000 // t.tot AS bp
+        |  FROM cells c JOIN tot t ON c.grp = t.grp
+        |), b AS (SELECT bkt, bp AS bp_b FROM shares WHERE grp = 'batch'),
+        |c AS (SELECT bkt, bp AS bp_c FROM shares WHERE grp = 'corpus')
+        |SELECT CAST(sum(abs(coalesce(bp_b, 0) - coalesce(bp_c, 0))) AS BIGINT) AS l1_bp,
+        |  count(*) AS n_buckets
+        |FROM b FULL OUTER JOIN c USING (bkt)""".stripMargin,
     // plain aggregate mirror — the observation must equal what a
     // dedicated scan computes
     "profile_observe" ->

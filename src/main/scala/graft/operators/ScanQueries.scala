@@ -50,6 +50,50 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // PERMISSIVE CSV ingest with corrupt-record accounting (r8): the
+    // dirty-feed reality of crawl-scale ingestion — a deterministic
+    // feed where every doc_id % 10 == 0 line is malformed (pipe
+    // delimiter + non-numeric field), read under PERMISSIVE mode with
+    // an explicit corrupt-record column, so bad rows LAND AS ROWS
+    // (null fields + the raw line preserved for quarantine) instead
+    // of killing the job (FAILFAST) or vanishing silently (DROPMALFORMED
+    // loses the audit trail). Output: admitted/quarantined counts +
+    // the admitted payload sum — the ingest-gate manifest. The oracle
+    // recomputes all three from the same % arithmetic. Scale shape:
+    // one narrow text scan, per-line parse, no shuffle but the final
+    // 1-row aggregate.
+    "scan_csv_permissive" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("csvdirty", d)
+      graft.TempDirs.writeOnce("csvdirty" + d) {
+        val ss = s
+        import ss.implicits._
+        documents(s, d).select(col("doc_id"), col("n_chars"))
+          .withColumn("line",
+            when(col("doc_id") % 10 === 0,
+              concat(lit("BAD|"), col("doc_id"), lit("|not-a-number")))
+              .otherwise(concat(col("doc_id"), lit(","), col("n_chars"))))
+          .select(col("line")).as[String]
+          .write.mode("overwrite").text(dir)
+      }
+      s.read
+        .schema("doc_id LONG, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir)
+        .agg(
+          sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("_corrupt").isNull, col("n_chars"))).as("sum_chars"),
+          // the admitted-id checksum ALSO forces doc_id into the
+          // parsed column set: CSV column pruning otherwise skips the
+          // unreferenced first field, its failing cast never runs,
+          // and the malformed lines sail through unflagged (found
+          // live in r8 — the subtle way PERMISSIVE accounting can
+          // silently undercount quarantine)
+          expr("bit_xor(CASE WHEN _corrupt IS NULL THEN doc_id END)")
+            .as("id_xor"))
+    }),
+
     // JSON-lines round-trip.
     "scan_json_roundtrip" -> ((s, d) => {
       val dir = graft.TempDirs.scoped("json", d)
@@ -247,6 +291,15 @@ object ScanQueries {
     "scan_json_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // the same % arithmetic that built the dirty feed: %10 lines are
+    // malformed (quarantined), the rest admit with their n_chars
+    "scan_csv_permissive" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        |  CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS BIGINT) AS sum_chars,
+        |  bit_xor(CASE WHEN doc_id % 10 <> 0 THEN doc_id END) AS id_xor
+        |FROM documents""".stripMargin,
     "scan_parquet_multifile" ->
       """SELECT l_linestatus, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
