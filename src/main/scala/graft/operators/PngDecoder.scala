@@ -69,11 +69,16 @@ object PngDecoder {
     var done = false
     while (!done && o + 8 <= b.length) {
       val len = be32(b, o)
-      val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      if (typ == "IDAT" && o + 8 + len <= b.length)
-        out.write(b, o + 8, len)
-      if (typ == "IEND") done = true
-      o += 8 + len + 4 // length + type + payload + crc
+      // a hostile negative/oversized length would walk the cursor
+      // backward (infinite loop) or past the payload — stop the walk;
+      // the inflate-side length check then classifies the truncation
+      if (len < 0 || o + 8 + len > b.length) done = true
+      else {
+        val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (typ == "IDAT") out.write(b, o + 8, len)
+        if (typ == "IEND") done = true
+        o += 8 + len + 4 // length + type + payload + crc
+      }
     }
     out.toByteArray
   }

@@ -251,6 +251,7 @@ object SimilarityQueries {
     */
   private[graft] def cappedBucketPairs(grams: DataFrame,
       cap: Int): DataFrame = {
+    require(cap >= 1, s"chunk cap must be >= 1, got $cap")
     val w = Window.partitionBy(col("len_bkt")).orderBy(col("doc_id"))
     val chunked = grams.withColumn("ck",
       ((row_number().over(w) - 1) / cap).cast("int"))

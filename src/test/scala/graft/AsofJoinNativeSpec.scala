@@ -36,6 +36,27 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     assert(plan.contains("Sort ["), plan)
   }
 
+  test("downstream same-key aggregation reuses the join's partitioning") {
+    // the exec advertises left.outputPartitioning, so a groupBy on the
+    // same key must plan with exactly the join's two exchanges — a
+    // third Exchange means the property was dropped
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val ev = Tables.events(s2, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val sg = Tables.events(s2, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"))
+    val agg = graft.plans.AsofJoinApi.asofJoin(s2, ev, sg,
+        "user_id", "ts_us", "ts_us", "asof_us")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(nExchanges == 2,
+      s"expected 2 exchanges (join inputs only), got $nExchanges:\n$plan")
+  }
+
   test("result survives adversarial input repartitioning") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")

@@ -111,6 +111,20 @@ class PngDecoderSpec extends AnyFunSuite {
     assert(PngDecoder.pixels(png, m).toSeq == pixels.toSeq)
   }
 
+  test("a hostile negative chunk length stops the walk instead of looping") {
+    val good = PngDecoder.synthesize(8, Array.tabulate(20)(_.toByte))
+    val evil = good.clone()
+    // first chunk after the signature is IHDR; poison the NEXT
+    // chunk's length word (offset 8 + 8 + 13 + 4) to 0xFFFFFFFF
+    val o = 8 + 8 + 13 + 4
+    evil(o) = 0xff.toByte; evil(o + 1) = 0xff.toByte
+    evil(o + 2) = 0xff.toByte; evil(o + 3) = 0xff.toByte
+    val m = PngDecoder.parse(evil).get // IHDR itself is intact
+    // the walk must terminate; the truncated IDAT stream then
+    // classifies as an error, never an infinite loop
+    intercept[Exception](PngDecoder.pixels(evil, m))
+  }
+
   test("foreign and truncated payloads classify as None") {
     assert(PngDecoder.parse(Array.empty[Byte]).isEmpty)
     assert(PngDecoder.parse("not a png at all, just text".getBytes).isEmpty)
