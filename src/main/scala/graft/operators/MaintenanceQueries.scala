@@ -186,6 +186,33 @@ object MaintenanceQueries {
         .withColumn("n_live_files", lit(live.toLong))
     }),
 
+    // Additive schema evolution through the snapshot log (r8,
+    // narrowing the boundary's "ACID schema evolution" exclusion): v1
+    // commits the narrow (doc_id, n_chars) slice, v2 APPENDS a slice
+    // carrying a NEW quality column — the schema change rides the
+    // same manifest commit as any data change, so readers flip
+    // atomically to the widened schema and a time-travel read of v1
+    // still sees the old shape (SnapshotCommitSpec pins that). The
+    // merged read surfaces pre-evolution rows' missing column as
+    // nulls, exactly parquet mergeSchema semantics bounded to ONE
+    // manifest's file set. At 100 TB: schema merge reads footers, not
+    // data; the evolution costs one append commit.
+    "table_schema_merge" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val root = graft.TempDirs.scoped("snapse", d)
+      graft.TempDirs.writeOnce("snapse" + d) {
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        SnapshotTable.commit(root, docs.filter(col("doc_id") % 4 === 1))
+        SnapshotTable.append(root,
+          docs.filter(col("doc_id") % 4 === 2)
+            .withColumn("quality", expr("n_chars div 10")))
+        ()
+      }
+      SnapshotTable.readMerged(s, root)
+        .select(col("doc_id"), col("n_chars"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Order-independent table checksum: per-row canonical string →
     // md5 → 48-bit integer, aggregated with commutative bit_xor plus a
     // magnitude-guarded sum and a row count. The data-integrity
@@ -336,6 +363,15 @@ object MaintenanceQueries {
         |       ELSE 'keep' END AS op
         |FROM base FULL OUTER JOIN delta ON b_key = u_key
         |ORDER BY c_custkey""".stripMargin,
+    // the widened table recomputed from the change log: v1's rows
+    // carry NULL for the post-evolution column, v2's carry the value
+    "table_schema_merge" ->
+      """SELECT doc_id, n_chars, CAST(NULL AS BIGINT) AS quality
+        |FROM documents WHERE doc_id % 4 = 1
+        |UNION ALL
+        |SELECT doc_id, n_chars, n_chars // 10 AS quality
+        |FROM documents WHERE doc_id % 4 = 2
+        |ORDER BY doc_id""".stripMargin,
     // post-vacuum state recomputed from the change-log arithmetic:
     // latest = the %12 slice, two versions retained (oldest = 2), live
     // files = v2's 4 + v3's 2 pinned repartition counts

@@ -121,6 +121,22 @@ object SnapshotTable {
     spark.read.parquet(manifestFiles(root, v): _*)
   }
 
+  /** Read one version with parquet schema merging across its file set
+    * — the ADDITIVE schema-evolution read: an append commit may carry
+    * files with new columns, and the merged read surfaces old files'
+    * missing columns as nulls. Time-travel reads of pre-evolution
+    * versions keep the old schema untouched (each manifest is a
+    * consistent file set; the schema change rides the commit protocol
+    * like any other change).
+    */
+  def readMerged(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val v = versionAsOf.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalStateException(s"snapshot table $root has no commits"))
+    spark.read.option("mergeSchema", "true")
+      .parquet(manifestFiles(root, v): _*)
+  }
+
   /** Append commit: the next version references the PARENT manifest's
     * files plus `df`'s newly-written files — the micro-batch-ingest
     * commit mode, where a version shares all but its delta with its

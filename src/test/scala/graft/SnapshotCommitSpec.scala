@@ -134,6 +134,21 @@ class SnapshotCommitSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("schema evolution: merged read widens, time travel keeps the old shape") {
+    import spark.implicits._
+    val root = freshRoot("evo")
+    SnapshotTable.commit(root, Seq((1L, 10L)).toDF("k", "a"))
+    SnapshotTable.append(root, Seq((2L, 20L, 99L)).toDF("k", "a", "b"))
+    val merged = SnapshotTable.readMerged(spark, root).orderBy("k")
+    assert(merged.schema.fieldNames.toSeq == Seq("k", "a", "b"))
+    val rows = merged.collect().map(r =>
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 10L, null), (2L, 20L, 99L)))
+    // the pre-evolution version is untouched by the widening
+    assert(SnapshotTable.read(spark, root, Some(1L))
+      .schema.fieldNames.toSeq == Seq("k", "a"))
+  }
+
   test("an empty commit reads back as zero rows with the schema intact") {
     // Spark writes a schema-only part file for an empty df, so an
     // empty version is a first-class readable snapshot (a TRUNCATE),
