@@ -104,6 +104,52 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Holt's linear-trend (double exponential) smoothing (r8): the
+    // level+trend forecasting primitive one rung above ts_ewma —
+    // level' = α·x + (1−α)·(level+trend), trend' = β·(level'−level) +
+    // (1−β)·trend, α = 0.5, β = 0.25 (exact binary doubles), seeded
+    // level₀ = x₀, trend₀ = 0. Same secondary-sort shape as ts_ewma:
+    // one hash repartition on user_id, external sort within
+    // partitions, streaming two-accumulator fold with O(1) state —
+    // and the same bit-exactness argument: the fold is strictly
+    // left-to-right with a fixed multiply-add order, so the emitted
+    // doubles match DuckDB's list_reduce over struct accumulators
+    // exactly (the oracle's trend line recomputes level' inline —
+    // identical IEEE ops, identical value).
+    "ts_holt_linear" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("value").cast("double").as("v"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long, Double)]
+        .mapPartitions { rows =>
+          val in = rows.buffered
+          new Iterator[(Long, Long, Double, Double)] {
+            override def hasNext: Boolean = in.hasNext
+            override def next(): (Long, Long, Double, Double) = {
+              val key = in.head._1
+              val first = in.next()
+              var l = first._4
+              var t = 0.0
+              var n = 1L
+              while (in.hasNext && in.head._1 == key) {
+                val x = in.next()._4
+                val l2 = 0.5 * x + 0.5 * (l + t)
+                t = 0.25 * (l2 - l) + 0.75 * t
+                l = l2
+                n += 1
+              }
+              (key, n, l, t)
+            }
+          }
+        }
+        .toDF("user_id", "n_events", "level", "trend")
+        .orderBy(col("user_id"))
+    }),
+
     // Robust per-key outlier detection (r6): median / MAD (median
     // absolute deviation), the standard telemetry-cleaning gate —
     // events beyond 3 MADs from the median flag as outliers (robust
@@ -407,6 +453,33 @@ object TimeSeriesQueries {
         |FROM e JOIN thr ON e.user_id = thr.user_id
         |GROUP BY e.user_id, thr.med, thr.mad
         |ORDER BY e.user_id""".stripMargin,
+    // two-element LIST accumulator fold ([level, trend]; the first
+    // element [x, 0] IS the seed): each step applies the identical
+    // multiply-add order as the Spark fold, and trend' inlines
+    // level''s expression — same IEEE ops, same value. A STRUCT
+    // accumulator is deliberately NOT used: DuckDB 1.0 evaluates
+    // struct fields sequentially against an in-place-mutated acc
+    // (field 't' sees the new 'l' — probed live in r8), where list
+    // children evaluate simultaneously.
+    "ts_holt_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events
+        |), g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    list_reduce(
+        |      list_transform(list(CAST(value AS DOUBLE) ORDER BY tus, event_id),
+        |        x -> [x, CAST(0 AS DOUBLE)]),
+        |      (acc, e) -> [
+        |        CAST(0.5 AS DOUBLE) * e[1]
+        |          + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+        |        CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * e[1]
+        |          + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2])) - acc[1])
+        |          + CAST(0.75 AS DOUBLE) * acc[2]
+        |      ]) AS ht
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, ht[1] AS level, ht[2] AS trend
+        |FROM g ORDER BY user_id""".stripMargin,
     // Same left-to-right fold over the same (ts, event_id) order with
     // the same exact-binary 0.25/0.75 constants — bit-identical
     // doubles (the sim_search_topk ordered-fold proof).
