@@ -330,6 +330,26 @@ object ScalarQueries {
           expr("try_cast(n_chars AS SMALLINT)").as("small_n"))
         .orderBy(col("doc_id"))),
 
+    // try_* arithmetic (r8): ANSI mode (Spark 4 default) makes
+    // overflow and division-by-zero hard ERRORS; the try_ family is
+    // the per-row safety valve a dirty-data pipeline uses instead of
+    // switching ANSI off globally — bad rows yield NULL, good rows
+    // keep exact arithmetic. Columns cover div-by-zero (every doc_id
+    // % 7 == 0 row), bigint multiply overflow (deterministic huge
+    // factor), and the all-succeed control. DuckDB has no try_divide;
+    // the oracle mirrors with explicit CASE guards — semantics, not
+    // syntax, are under test.
+    "fn_try_arith" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("try_divide(n_chars, doc_id % 7)").as("div7"),
+          // factor chosen so the int64 overflow threshold (307) falls
+          // INSIDE the fixture's n_chars range — both outcomes occur
+          expr("try_multiply(CAST(n_chars AS BIGINT), " +
+            "CAST(30000000000000000 AS BIGINT))").as("mul_overflow"),
+          expr("try_add(n_chars, doc_id)").as("add_ok"))
+        .orderBy(col("doc_id"))),
+
     // stack(): generator that pivots N column groups into rows (the
     // inline-table cousin of unpivot).
     "fn_stack" -> ((s, d) =>
@@ -341,6 +361,18 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // CASE-guard mirrors of the try_ semantics: div-by-zero and
+    // past-threshold multiplies go NULL, everything else is the same
+    // exact arithmetic (double division of integers is IEEE-exact)
+    "fn_try_arith" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(n_chars AS DOUBLE) / (doc_id % 7) END AS div7,
+        |  CASE WHEN n_chars > 9223372036854775807 // 30000000000000000
+        |       THEN NULL
+        |       ELSE n_chars * 30000000000000000 END AS mul_overflow,
+        |  CAST(n_chars + doc_id AS BIGINT) AS add_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_try_cast" ->
       """SELECT doc_id,
         |  TRY_CAST(substr(source, 4) AS INTEGER) AS src_num,

@@ -246,6 +246,28 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // The Spark-4 session_window API spelling of sessionization (r8):
+    // groupBy(session_window(ts, gap)) — the engine MERGES overlapping
+    // [ts, ts+gap) windows into sessions inside one aggregate, no
+    // explicit lag/cumsum plumbing. Boundary semantics differ subtly
+    // from ts_sessionize: session_window starts a NEW session at
+    // diff >= gap (window overlap is strict), where the lag spelling
+    // splits at diff > gap — the oracle mirrors session_window's >=,
+    // so the operator is verified on ITS OWN contract, not assumed
+    // identical. Outputs stay integer (first/last event micros) so the
+    // hash compare is exact; the grouping itself is what exercises the
+    // API. One shuffle on user_id, per-session state bounded.
+    "ts_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts_ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("first_us"),
+          max(col("ts_us")).as("last_us"))
+        .select(col("user_id"), col("n_events"), col("first_us"),
+          col("last_us"))
+        .orderBy(col("user_id"), col("first_us"))),
+
     // Multi-grain time rollup: hour/day/month aggregates of the event
     // feed in ONE pass — `rollup` over the derived grain hierarchy
     // emits every grain (plus the grand total) from a single shuffle,
@@ -453,6 +475,28 @@ object TimeSeriesQueries {
         |FROM e JOIN thr ON e.user_id = thr.user_id
         |GROUP BY e.user_id, thr.med, thr.mad
         |ORDER BY e.user_id""".stripMargin,
+    // session_window's OWN boundary contract (new session at
+    // diff >= gap — strict window overlap), spelled as lag + cumsum
+    "ts_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+        |), x AS (
+        |  SELECT user_id, tus, event_id,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |), s AS (
+        |  SELECT user_id, tus,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  min(tus) AS first_us, max(tus) AS last_us
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, first_us""".stripMargin,
     // two-element LIST accumulator fold ([level, trend]; the first
     // element [x, 0] IS the seed): each step applies the identical
     // multiply-add order as the Spark fold, and trend' inlines
