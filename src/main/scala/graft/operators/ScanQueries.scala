@@ -50,6 +50,42 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // Parquet BLOOM-FILTER row-group pruning (r8): the needle-lookup
+    // pruning path that min/max statistics cannot give. The layout is
+    // written with the natural key clustering DESTROYED (rows ordered
+    // by key hash) across 8 row groups, so every group's min/max
+    // spans the whole key domain and stats-based pruning keeps
+    // nothing out; the per-column bloom filter written into each
+    // row group lets the parquet reader skip groups that provably
+    // lack the probed key. Result is layout-independent (oracle reads
+    // the raw table); the pruning itself — scanned rows collapsing
+    // from the full table to ~1 row group — is asserted via scan
+    // metrics in PlanShapeSpec. At 100 TB this is the point-lookup
+    // story for unclustered keys: blooms cost bits per value at write
+    // time and turn full scans into single-group reads without
+    // maintaining any sort order.
+    "scan_parquet_bloom" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("pqbloom", d)
+      graft.TempDirs.writeOnce("pqbloom" + d) {
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .orderBy(md5(col("l_orderkey").cast("string")))
+          .coalesce(1)
+          .write
+          .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+          // small row groups => many prunable units in one file, even
+          // at the smallest fixture (~100 KB of columns at sf0.001)
+          .option("parquet.block.size", (16 * 1024).toString)
+          .option("parquet.page.size", (4 * 1024).toString)
+          .mode("overwrite").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .filter(col("l_orderkey") === 1L)
+        .agg(count(lit(1)).as("n_rows"),
+          moneySumD(col("l_quantity")).as("sum_qty"))
+    }),
+
     // PERMISSIVE CSV ingest with corrupt-record accounting (r8): the
     // dirty-feed reality of crawl-scale ingestion — a deterministic
     // feed where every doc_id % 10 == 0 line is malformed (pipe
@@ -291,6 +327,12 @@ object ScanQueries {
     "scan_json_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // layout-independent: the bloom pruning changes what is READ,
+    // never what is true
+    "scan_parquet_bloom" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin,
     // the same % arithmetic that built the dirty feed: %10 lines are
     // malformed (quarantined), the rest admit with their n_chars
     "scan_csv_permissive" ->

@@ -286,6 +286,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"price filter read $byPrice of $total")
   }
 
+  test("scan_parquet_bloom prunes row groups that min/max cannot") {
+    import org.apache.spark.sql.functions.col
+    // build the hash-ordered bloom layout (writeOnce)
+    SparkEntry.queries("scan_parquet_bloom")(spark, sfDir).collect()
+    val dir = graft.TempDirs.scoped("pqbloom", sfDir)
+    val total = spark.read.parquet(dir).count()
+    def scanned(): Long = {
+      val df = spark.read.parquet(dir).filter(col("l_orderkey") === 1L)
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    // the layout is hash-ordered, so every row group's min/max spans
+    // the whole key domain — any pruning below the full table proves
+    // the BLOOM filters engaged; require at least half skipped
+    val rows = scanned()
+    assert(rows > 0 && rows < total / 2,
+      s"bloom point-lookup read $rows of $total rows — filters not engaging")
+  }
+
   test("join_dpp prunes fact partitions from the runtime dim filter") {
     import org.apache.spark.sql.functions.col
     val df = SparkEntry.queries("join_dpp")(spark, sfDir)
