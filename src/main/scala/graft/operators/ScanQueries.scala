@@ -67,17 +67,29 @@ object ScanQueries {
     "scan_parquet_bloom" -> ((s, d) => {
       val dir = graft.TempDirs.scoped("pqbloom", d)
       graft.TempDirs.writeOnce("pqbloom" + d) {
+        // SCALE-INVARIANT row-group count (~64 groups at any fixture
+        // size): a fixed tiny block size made the sf1 build write
+        // thousands of groups — footer bloat on both sides (r8,
+        // measured 16.5 s cold). ~20 bytes/row of column data; the
+        // metadata count is one cheap action inside the build.
+        val nRows = lineitem(s, d).count()
+        val block = math.max(16L * 1024L, nRows * 20L / 64L)
+        // scatter by key hash across 4 files, each hash-sorted within
+        // — same destroyed clustering, but the sort+write parallelize
+        // (the single-file global md5 sort was the 17 s of the sf1
+        // build; xxhash64 on the long key beats md5 on its string)
         lineitem(s, d)
           .select(col("l_orderkey"), col("l_quantity"))
-          .orderBy(md5(col("l_orderkey").cast("string")))
-          .coalesce(1)
+          .withColumn("h", xxhash64(col("l_orderkey")))
+          .repartition(4, pmod(col("h"), lit(4)))
+          .sortWithinPartitions(col("h"))
+          .drop("h")
           .write
           .option("parquet.bloom.filter.enabled#l_orderkey", "true")
           .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
-          // small row groups => many prunable units in one file, even
-          // at the smallest fixture (~100 KB of columns at sf0.001)
-          .option("parquet.block.size", (16 * 1024).toString)
-          .option("parquet.page.size", (4 * 1024).toString)
+          .option("parquet.block.size", block.toString)
+          .option("parquet.page.size",
+            math.max(4L * 1024L, block / 4L).toString)
           .mode("overwrite").parquet(dir)
       }
       s.read.parquet(dir)
