@@ -103,4 +103,46 @@ class PipelineSpec extends SparkSpecBase {
       assert(repeats == exp, s"doc $doc q=$q")
     }
   }
+
+  test("pack_balanced_bins actually balances: bin token loads within 25%") {
+    // the serpentine's whole point — within each language shard, the
+    // heaviest bin carries at most 1.25x the lightest (random or
+    // sequential assignment blows far past this on skewed lengths)
+    import org.apache.spark.sql.functions.col
+    val rows = run("pack_balanced_bins").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (lang, bins) =>
+      // only bins with full snake passes are comparable; the fixture
+      // gives each lang ~500+ docs over 16 bins, so all qualify
+      val loads = bins.map(_._3)
+      assert(loads.length == 16, s"$lang: ${loads.length} bins")
+      assert(loads.max <= loads.min * 5 / 4,
+        s"$lang bin loads spread too far: min=${loads.min} max=${loads.max}")
+    }
+  }
+
+  test("sample_split membership is stable under corpus subsetting") {
+    // the content-hash property the operator exists for: a doc's split
+    // never depends on what ELSE is in the corpus — recompute splits
+    // on a half-corpus and require identical membership per doc
+    import org.apache.spark.sql.functions._
+    def splits(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h2", substring(md5(col("text")), 1, 2))
+      .withColumn("split", when(col("h2") < "cd", "train")
+        .when(col("h2") < "e7", "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = splits(Tables.documents(spark, sfDir))
+    val half = splits(Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0))
+    assert(half.nonEmpty)
+    half.foreach { case (id, s) =>
+      assert(full(id) == s, s"doc $id migrated: ${full(id)} -> $s")
+    }
+    // and all three splits are populated at the declared proportions
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = full.size.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9)
+    assert(counts("val") / n > 0.05 && counts("test") / n > 0.05)
+  }
 }
