@@ -187,6 +187,28 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The FORWARD direction through the same native exec (r8): the
+    // earliest signup with ts >= t — one flag on the merge walk
+    // (consume strictly-before rows, the buffered head answers when it
+    // belongs to the key), same declared requirements, same O(1)
+    // state. Oracle = the correlated-min mirror of join_asof_nearest's
+    // next_us component.
+    "join_asof_native_fwd" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val ev = events(s2, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val signups = events(s2, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"))
+      graft.plans.AsofJoinApi.asofJoin(s2, ev, signups,
+          key = "user_id", time = "ts_us", rightTimeCol = "ts_us",
+          asOfName = "next_signup_us", forward = true)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("next_signup_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join, forward + nearest directions (r7): the other two
     // merge_asof semantics. prior = most recent signup with ts <= t
     // (RANGE unbounded-preceding..current-row — peers included, same
@@ -496,6 +518,13 @@ object JoinQueries {
         |  (SELECT max(epoch_us(s.ts)) FROM events s
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |     AND epoch_us(s.ts) < epoch_us(e.ts)) AS last_signup_us
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+    // correlated-min mirror of the forward direction (ts >= t)
+    "join_asof_native_fwd" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  (SELECT min(epoch_us(s.ts)) FROM events s
+        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+        |     AND epoch_us(s.ts) >= epoch_us(e.ts)) AS next_signup_us
         |FROM events e ORDER BY e.event_id""".stripMargin,
     // identical SQL as join_asof: the native custom-operator spelling
     // must produce the same rows as the window spelling

@@ -89,6 +89,38 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     assert(got.length == 2 && got.forall(_.isNullAt(3)))
   }
 
+  test("forward direction matches the window spelling's next_us") {
+    // join_asof_nearest's next_us column IS the forward contract
+    // (earliest right with ts >= t) — the native forward walk must
+    // agree row for row
+    val win = SparkEntry.queries("join_asof_nearest")(spark, sfDir)
+      .select(col("event_id"), col("next_us")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val native = SparkEntry.queries("join_asof_native_fwd")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    assert(native.nonEmpty && native == win)
+  }
+
+  test("forward semantics: equal-time matches, strictly-earlier does not") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val left = Seq((1L, 5L, 100L), (2L, 5L, 101L), (3L, 5L, 300L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((5L, 100L), (5L, 250L)).toDF("user_id", "ts_us")
+    val got = graft.plans.AsofJoinApi.asofJoin(s2, left, right,
+        "user_id", "ts_us", "ts_us", "next_us", forward = true)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    // t=100 matches the equal-time 100; t=101 skips it (already past)
+    // and takes 250; t=300 has nothing ahead
+    assert(got == Seq((1L, 100L), (2L, 250L), (3L, null)))
+  }
+
   test("strict-before semantics: an equal-time right row does not match") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
