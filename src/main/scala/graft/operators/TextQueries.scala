@@ -88,6 +88,36 @@ object TextQueries {
     "transform(sequence(1, size(toks) - 1), " +
       "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
 
+  /** Per-doc bigram-LM scores (doc_id, n_bigrams, bits_mbits) —
+    * shared by `text_lm_score` and the CCNet bucketing (r8 factored
+    * out of the former verbatim).
+    */
+  private def lmScores(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val bg = lmBigrams(s, d)
+    val cu = bg.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
+    val docBigrams = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bigramStructExpr)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    docBigrams
+      .join(bg, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(lmVocab(s, d))
+      .withColumn("bits",
+        -log2((col("c") + 1).cast("double") /
+          (col("cu") + col("vocab")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("w1"), col("w2"), col("bits")))).as("bs"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("cast(round(aggregate(bs, cast(0.0 as double), " +
+          "(acc, e) -> acc + e.bits) / n_bigrams * 1000) as bigint)")
+          .as("bits_mbits"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Corpus bigram-LM quality score (r6): mean bits per bigram under
     // an add-one-smoothed word-bigram model of the corpus itself —
@@ -102,30 +132,33 @@ object TextQueries {
     // per-bigram doubles fold in (w1, w2)-sorted order (the
     // mm_byte_stats ordered-fold proof) and surface only as rounded
     // integer millibits.
-    "text_lm_score" -> ((s, d) => {
-      val bg = lmBigrams(s, d)
-      val cu = bg.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
-      val docBigrams = documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(expr(bigramStructExpr)).as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      docBigrams
-        .join(bg, Seq("w1", "w2"))
-        .join(cu, Seq("w1"))
-        .crossJoin(lmVocab(s, d))
-        .withColumn("bits",
-          -log2((col("c") + 1).cast("double") /
-            (col("cu") + col("vocab")).cast("double")))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(
-          struct(col("w1"), col("w2"), col("bits")))).as("bs"),
-          count(lit(1)).as("n_bigrams"))
-        .select(col("doc_id"), col("n_bigrams"),
-          expr("cast(round(aggregate(bs, cast(0.0 as double), " +
-            "(acc, e) -> acc + e.bits) / n_bigrams * 1000) as bigint)")
-            .as("bits_mbits"))
-        .orderBy(col("doc_id"))
+    "text_lm_score" -> ((s, d) => lmScores(s, d).orderBy(col("doc_id"))),
+
+    // CCNet-style perplexity bucketing (r8): per-language TERCILES of
+    // the bigram-LM score route each doc to head/middle/tail — the
+    // published CCNet recipe's quality trisection (head = most fluent
+    // third). Terciles come from ntile(3) over the (score, doc_id)
+    // total order, NOT percentile_disc: ntile's equal-split algorithm
+    // is SQL-standard-identical in both engines, where disc-quantile
+    // index conventions can differ by one element and break the hash.
+    // Output is the per-(lang, bucket) audit row. Scale shape: the LM
+    // score pipeline (gram tables are build-once artifacts) + one
+    // lang-partitioned rank window + a 15-row aggregate.
+    "text_ccnet_buckets" -> ((s, d) => {
+      val sc = lmScores(s, d).select(col("doc_id"), col("bits_mbits"))
+        .join(documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("bits_mbits"), col("doc_id"))
+      sc.withColumn("tile", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("tile") === 1, "head")
+            .when(col("tile") === 2, "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("bits_mbits")).as("min_mbits"),
+          max(col("bits_mbits")).as("max_mbits"))
+        .orderBy(col("lang"), col("bucket"))
     }),
 
     // Language-ID: score text against each profile, pick argmax.
@@ -617,7 +650,58 @@ object TextQueries {
     })
   )
 
+  /** The per-doc LM-score derivation, shared by the `text_lm_score`
+    * oracle and the CCNet bucket oracle (no ORDER BY — callers wrap).
+    */
+  private val lmScoreSqlCore =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), b AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      |), cb AS (
+      |  SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2
+      |), cu AS (
+      |  SELECT w1, sum(c) AS cu FROM cb GROUP BY 1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS vocab
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |), x AS (
+      |  SELECT b.doc_id, b.w1, b.w2,
+      |    -log2(CAST(cb.c + 1 AS DOUBLE) /
+      |          CAST(cu.cu + v.vocab AS DOUBLE)) AS bits
+      |  FROM b
+      |  JOIN cb USING (w1, w2)
+      |  JOIN cu USING (w1)
+      |  CROSS JOIN v
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(round(list_reduce(
+      |    list_prepend(CAST(0 AS DOUBLE), list(bits ORDER BY w1, w2)),
+      |    (acc, e) -> acc + e) / count(*) * 1000) AS BIGINT) AS bits_mbits
+      |FROM x GROUP BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // identical ntile(3) trisection over the shared LM-score core
+    "text_ccnet_buckets" ->
+      s"""WITH scores AS (
+        |$lmScoreSqlCore
+        |), j AS (
+        |  SELECT s.doc_id, d.lang, s.bits_mbits
+        |  FROM scores s JOIN documents d USING (doc_id)
+        |), tiles AS (
+        |  SELECT lang, bits_mbits,
+        |    ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY bits_mbits, doc_id) AS tile
+        |  FROM j
+        |)
+        |SELECT lang,
+        |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  min(bits_mbits) AS min_mbits, max(bits_mbits) AS max_mbits
+        |FROM tiles GROUP BY lang, tile ORDER BY lang, bucket""".stripMargin,
     // Same literal constants (2.2, 1.2, 0.25, 0.75), same one-ln
     // formula, same per-term micro-unit rounding before the integer
     // per-doc sum.
@@ -706,34 +790,7 @@ object TextQueries {
     // double fold (duplicate bigrams contribute equal addends, so
     // order among them cannot change the sum) — bit-identical before
     // the millibit rounding.
-    "text_lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2
-        |), b AS (
-        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-        |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS u(i)
-        |), cb AS (
-        |  SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2
-        |), cu AS (
-        |  SELECT w1, sum(c) AS cu FROM cb GROUP BY 1
-        |), v AS (
-        |  SELECT count(DISTINCT w) AS vocab
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |), x AS (
-        |  SELECT b.doc_id, b.w1, b.w2,
-        |    -log2(CAST(cb.c + 1 AS DOUBLE) /
-        |          CAST(cu.cu + v.vocab AS DOUBLE)) AS bits
-        |  FROM b
-        |  JOIN cb USING (w1, w2)
-        |  JOIN cu USING (w1)
-        |  CROSS JOIN v
-        |)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(round(list_reduce(
-        |    list_prepend(CAST(0 AS DOUBLE), list(bits ORDER BY w1, w2)),
-        |    (acc, e) -> acc + e) / count(*) * 1000) AS BIGINT) AS bits_mbits
-        |FROM x GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_lm_score" -> (lmScoreSqlCore + "\nORDER BY doc_id"),
     "text_tfidf_topterms" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
