@@ -246,6 +246,29 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Running DISTINCT count per key (r8): how many distinct event
+    // types each user has seen up to each event — the windowed
+    // count(DISTINCT) SQL forbids, spelled as the standard
+    // first-occurrence-flag + running-sum decomposition: flag the
+    // first (user, type) occurrence via a finer-keyed row_number,
+    // then one user-keyed running sum. Both windows partition on
+    // user-rooted keys (no global funnel); per-task state is O(1) —
+    // the engagement-breadth metric of product telemetry.
+    "ts_cum_distinct" -> ((s, d) => {
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("is_first",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("is_first")).over(wRun))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("n_types_seen"))
+        .orderBy(col("event_id"))
+    }),
+
     // The Spark-4 session_window API spelling of sessionization (r8):
     // groupBy(session_window(ts, gap)) — the engine MERGES overlapping
     // [ts, ts+gap) windows into sessions inside one aggregate, no
@@ -475,6 +498,23 @@ object TimeSeriesQueries {
         |FROM e JOIN thr ON e.user_id = thr.user_id
         |GROUP BY e.user_id, thr.med, thr.mad
         |ORDER BY e.user_id""".stripMargin,
+    // identical first-flag + running-sum decomposition
+    "ts_cum_distinct" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events
+        |), f AS (
+        |  SELECT event_id, user_id, tus,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tus, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, tus AS ts_us,
+        |  CAST(sum(is_first) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_types_seen
+        |FROM f ORDER BY event_id""".stripMargin,
     // session_window's OWN boundary contract (new session at
     // diff >= gap — strict window overlap), spelled as lag + cumsum
     "ts_session_window" ->
