@@ -50,6 +50,46 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // Recursive lake-directory ingestion with glob filtering (r8):
+    // the messy-directory reality — data files nested at arbitrary
+    // depths with NON-data droppings (logs, manifests, temp files)
+    // interleaved. recursiveFileLookup walks every level (no
+    // partition-directory naming needed) and pathGlobFilter keeps
+    // only *.parquet — without it the decoy .txt poisons schema
+    // inference and the read fails. Output proves content (aggregate
+    // vs the oracle over the original table) AND selection (distinct
+    // input_file_name count = exactly the 3 planted parquet files,
+    // decoys excluded). One listing + one narrow scan at any depth.
+    "scan_path_filtered" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("lakedirs", d)
+      graft.TempDirs.writeOnce("lakedirs" + d) {
+        val ev = events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"))
+        Seq(0L, 1L, 2L).foreach { b =>
+          ev.filter(col("event_id") % 3 === b).repartition(1)
+            .write.mode("overwrite").parquet(s"$dir/depth1/bucket$b")
+        }
+        // the droppings a real lake accumulates
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/depth1/README.txt"),
+          "not data\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/depth1/bucket0/_ingest.log"),
+          "2024-01-01 ingested\n")
+      }
+      s.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir)
+        // project the file name first: input_file_name() is
+        // non-deterministic to the analyzer and may not sit inside an
+        // aggregate argument directly
+        .withColumn("f", input_file_name())
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("f")).as("n_files"),
+          moneySumD(col("value")).as("sum_value"))
+    }),
+
     // Parquet BLOOM-FILTER row-group pruning (r8): the needle-lookup
     // pruning path that min/max statistics cannot give. The layout is
     // written with the natural key clustering DESTROYED (rows ordered
@@ -339,6 +379,12 @@ object ScanQueries {
     "scan_json_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // content from the original table; the 3-file selection count is
+    // the planted-layout literal (decoys excluded by the glob)
+    "scan_path_filtered" ->
+      """SELECT count(*) AS n_rows, CAST(3 AS BIGINT) AS n_files,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
     // layout-independent: the bloom pruning changes what is READ,
     // never what is true
     "scan_parquet_bloom" ->
