@@ -129,6 +129,27 @@ object JoinQueries {
         .orderBy(col("band"))
     }),
 
+    // Null-safe equi join (r8): `<=>` (EqualNullSafe) — NULL keys
+    // MATCH each other instead of silently dropping, the semantics a
+    // dimension join needs when the "unknown" bucket is a real
+    // category. Keys are deterministically nulled (nationkey 3 →
+    // NULL on both sides), so the null partition carries real rows:
+    // a plain equi join loses every nation-3 customer, the null-safe
+    // one routes them to the nulled dimension row. Still ONE
+    // hash-partitioned join — EqualNullSafe is a sargable equi key
+    // (nulls hash to one partition; a skewed null bucket at scale
+    // gets the salting playbook like any hot key).
+    "join_null_safe" -> ((s, d) => {
+      val cust = customer(s, d)
+        .select(col("c_custkey"), expr("nullif(c_nationkey, 3)").as("nk"))
+      val nat = nation(s, d)
+        .select(expr("nullif(n_nationkey, 3)").as("nk2"), col("n_name"))
+      cust.join(nat, col("nk") <=> col("nk2"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_name"))
+    }),
+
     // Theta join: equi key + range condition on dates, aggregated.
     "join_theta_range" -> ((s, d) =>
       lineitem(s, d)
@@ -519,6 +540,13 @@ object JoinQueries {
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |     AND epoch_us(s.ts) < epoch_us(e.ts)) AS last_signup_us
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    // IS NOT DISTINCT FROM — SQL's spelling of the null-safe equality
+    "join_null_safe" ->
+      """SELECT n.n_name, count(*) AS n_cust
+        |FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer) c
+        |JOIN (SELECT nullif(n_nationkey, 3) AS nk2, n_name FROM nation) n
+        |  ON c.nk IS NOT DISTINCT FROM n.nk2
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     // correlated-min mirror of the forward direction (ts >= t)
     "join_asof_native_fwd" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,

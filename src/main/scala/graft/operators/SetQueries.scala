@@ -49,6 +49,28 @@ object SetQueries {
       all.except(urgent).orderBy(col("c_custkey"))
     }),
 
+    // BAG-semantics set ops (r8): INTERSECT ALL / EXCEPT ALL preserve
+    // MULTIPLICITY — min(m, n) copies survive an intersect, max(0,
+    // m − n) an except — where the distinct forms above collapse to
+    // one. The two overlapping order subsets carry real duplicates on
+    // the (priority) projection, so bag and set answers genuinely
+    // differ. Same single full-row shuffle as the distinct forms
+    // (Spark plans both through one aggregate counting per-side
+    // multiplicities).
+    "set_intersect_all" -> ((s, d) =>
+      urgentish(s, d).select(col("o_orderpriority"))
+        .intersectAll(pricey(s, d).select(col("o_orderpriority")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("o_orderpriority"))),
+
+    "set_except_all" -> ((s, d) =>
+      urgentish(s, d).select(col("o_orderpriority"))
+        .exceptAll(pricey(s, d).select(col("o_orderpriority")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("o_orderpriority"))),
+
     // Deterministic-survivor dedup (SURVEY.md §5.3.5): groupBy + min
     // instead of dropDuplicates.
     "dedup_distinct" -> ((s, d) =>
@@ -80,6 +102,24 @@ object SetQueries {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
+    "set_intersect_all" ->
+      """WITH i AS (
+        |  SELECT o_orderpriority FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_totalprice > 50000.0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_copies
+        |FROM i GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "set_except_all" ->
+      """WITH x AS (
+        |  SELECT o_orderpriority FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_totalprice > 50000.0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_copies
+        |FROM x GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "dedup_distinct" ->
       """SELECT user_id, event_type, min(event_id) AS first_event,
         |  min(epoch_us(ts)) AS first_ts_us
