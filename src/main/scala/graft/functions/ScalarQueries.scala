@@ -145,6 +145,26 @@ object ScalarQueries {
           array_join(slice(sort_array(col("toks")), 1, 5), ",").as("first5"))
         .orderBy(col("doc_id"))),
 
+    // Array higher-order functions (r8): exists / forall / filter /
+    // zip_with — the lambda surface fn_array_ops' plain builtins do
+    // not touch. All codegen-adjacent built-ins (no UDF); the
+    // zip_with demo multiplies per-token lengths against a ones
+    // vector and folds, exercising the three-arg lambda form. DuckDB
+    // has no exists/forall: the oracle spells them as
+    // filter-count comparisons — semantics, not syntax, under test.
+    "fn_array_higher_order" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("exists(toks, t -> length(t) > 8)").as("has_long"),
+          expr("forall(toks, t -> length(t) > 1)").as("all_multi"),
+          expr("size(filter(toks, t -> length(t) = 4))").cast("long")
+            .as("n_four"),
+          expr("aggregate(zip_with(transform(toks, t -> length(t)), " +
+            "transform(toks, t -> 1), (a, b) -> a * b), 0, " +
+            "(acc, x) -> acc + x)").cast("long").as("len_sum"))
+        .orderBy(col("doc_id"))),
+
     // Word count via explode (Generator surface).
     "fn_explode_wordcount" -> ((s, d) =>
       documents(s, d)
@@ -361,6 +381,21 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // exists/forall spelled as filter-count comparisons; zip_with via
+    // list_zip's struct pairs
+    "fn_array_higher_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long,
+        |  len(list_filter(toks, x -> NOT length(x) > 1)) = 0 AS all_multi,
+        |  CAST(len(list_filter(toks, x -> length(x) = 4)) AS BIGINT) AS n_four,
+        |  CAST(list_sum(list_transform(
+        |    list_zip(list_transform(toks, x -> length(x)),
+        |             list_transform(toks, x -> 1)),
+        |    p -> p[1] * p[2])) AS BIGINT) AS len_sum
+        |FROM t ORDER BY doc_id""".stripMargin,
     // CASE-guard mirrors of the try_ semantics: div-by-zero and
     // past-threshold multiplies go NULL, everything else is the same
     // exact arithmetic (double division of integers is IEEE-exact)
