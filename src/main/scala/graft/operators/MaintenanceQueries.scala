@@ -148,6 +148,33 @@ object MaintenanceQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RESTORE / rollback through the snapshot log (r8): a bad deploy
+    // (v3 deletes too much) is rolled back by committing v2's file
+    // set as v4 — history is PRESERVED (v3 stays time-travel-readable
+    // for the incident review, unlike an overwrite) and no data
+    // moves: the restore manifest references v2's files verbatim, one
+    // metadata CAS at any table size. The unqualified read then binds
+    // to v4 = v2's state while the log shows all four versions.
+    "table_restore" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val root = graft.TempDirs.scoped("snaprst", d)
+      graft.TempDirs.writeOnce("snaprst" + d) {
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        SnapshotTable.commit(root, docs.filter(col("doc_id") % 3 === 0))
+        SnapshotTable.commit(root, docs.filter(col("doc_id") % 6 === 0))
+        SnapshotTable.commit(root, docs.filter(col("doc_id") % 24 === 0))
+        SnapshotTable.restore(root, 2L)
+        ()
+      }
+      val latest = SnapshotTable.latestVersion(root).get
+      SnapshotTable.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("latest_version", lit(latest))
+        .withColumn("n_versions",
+          lit(SnapshotTable.versions(root).length.toLong))
+    }),
+
     // Retention / VACUUM over the snapshot-commit log (r8, closing
     // the boundary's last maintenance exclusion): a three-version
     // table (deterministic %3/%6/%12 slices at pinned file counts
@@ -372,6 +399,13 @@ object MaintenanceQueries {
         |SELECT doc_id, n_chars, n_chars // 10 AS quality
         |FROM documents WHERE doc_id % 4 = 2
         |ORDER BY doc_id""".stripMargin,
+    // the restored state = v2's slice (%6), four versions on the log
+    "table_restore" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(4 AS BIGINT) AS latest_version,
+        |  CAST(4 AS BIGINT) AS n_versions
+        |FROM documents WHERE doc_id % 6 = 0""".stripMargin,
     // post-vacuum state recomputed from the change-log arithmetic:
     // latest = the %12 slice, two versions retained (oldest = 2), live
     // files = v2's 4 + v3's 2 pinned repartition counts

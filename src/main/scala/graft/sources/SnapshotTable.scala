@@ -179,6 +179,33 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** RESTORE: make version `v`'s file set the newest version — a
+    * rollback that PRESERVES history (the bad versions stay
+    * time-travel-readable until vacuumed) and moves no data: the new
+    * manifest references the old version's files verbatim, so the
+    * operation is one metadata CAS regardless of table size.
+    */
+  def restore(root: String, v: Long): Long = {
+    val files = manifestFiles(root, v)
+      .map(abs => Paths.get(root).relativize(Paths.get(abs)).toString)
+    var next = latestVersion(root).getOrElse(0L) + 1
+    while (true) {
+      val tmp = Files.createTempFile(manifestDir(root), ".commit", ".tmp")
+      Files.writeString(tmp,
+        s"""{"version":$next,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}""")
+      try {
+        Files.createLink(manifestPath(root, next), tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          next = math.max(next + 1, latestVersion(root).getOrElse(0L) + 1)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Retention (VACUUM): keep the newest `retainLast` manifests,
     * delete the older manifests and every data file NO retained
     * manifest references. Returns (manifestsDeleted, filesDeleted).

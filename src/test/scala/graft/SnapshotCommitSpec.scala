@@ -134,6 +134,23 @@ class SnapshotCommitSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("restore rolls back as a new commit, preserving history, moving no data") {
+    import spark.implicits._
+    val root = freshRoot("restore")
+    SnapshotTable.commit(root, Seq((1L, "good"), (2L, "good")).toDF("k", "s"))
+    SnapshotTable.commit(root, Seq((9L, "bad")).toDF("k", "s"))
+    val v3 = SnapshotTable.restore(root, 1L)
+    assert(v3 == 3L)
+    // latest = v1's state, via v1's FILES (no data copied)
+    assert(SnapshotTable.manifestFiles(root, 3L) ==
+      SnapshotTable.manifestFiles(root, 1L))
+    assert(SnapshotTable.read(spark, root).orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("good", "good"))
+    // the bad version stays readable for the incident review
+    assert(SnapshotTable.read(spark, root, Some(2L)).collect()
+      .map(_.getString(1)).toSeq == Seq("bad"))
+  }
+
   test("schema evolution: merged read widens, time travel keeps the old shape") {
     import spark.implicits._
     val root = freshRoot("evo")
