@@ -244,6 +244,53 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Audio FEATURE extraction over decoded samples (r8): the energy
+    // and zero-crossing statistics an audio-curation gate computes
+    // AFTER the codec — silence/noise screening (near-zero energy or
+    // pathological crossing rates flag junk audio). Samples come
+    // through the REAL pipeline: synthesize canonical PCM, walk the
+    // RIFF chunks, decode the data chunk's little-endian int16s
+    // (`WavDecoder.samples16`), then integer-exact features: Σ|s|,
+    // Σs² (bounded: 2^30 per sample × doc length ≪ 2^63), and the
+    // sign-change count. The oracle mirrors the synthesis arithmetic
+    // (s = (byte − 128) · 256), so any decode misstep — endianness,
+    // chunk offset, width — breaks the hash. Batched mapPartitions,
+    // binary never shuffles.
+    "mm_audio_features" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.grouped(32).flatMap { batch =>
+            batch.iterator.map { case (id, payload) =>
+              val sr = (8000L * (1 + id % 3)).toInt
+              val ch = (1 + id % 2).toInt
+              val pcm =
+                payload.map(b => (((b & 0xff) - 128) << 8).toShort)
+              val wav = WavDecoder.synthesize(sr, ch, pcm)
+              val decoded = WavDecoder.samples16(wav)
+              var sumAbs = 0L
+              var sumSq = 0L
+              var zc = 0L
+              var i = 0
+              while (i < decoded.length) {
+                val v = decoded(i).toLong
+                sumAbs += math.abs(v)
+                sumSq += v * v
+                if (i > 0 && (decoded(i) >= 0) != (decoded(i - 1) >= 0))
+                  zc += 1
+                i += 1
+              }
+              (id, decoded.length.toLong, sumAbs, sumSq, zc)
+            }
+          }
+        }
+        .toDF("doc_id", "n_samples", "sum_abs", "sum_sq", "zero_cross")
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling path (r6: frames now come from a real parsed
     // container layout, not a fixed byte stride): each doc's canonical
     // BMP is parsed, and every logical pixel row — boundaries derived
@@ -429,6 +476,26 @@ object MultimodalQueries {
         |  CAST((octet_length(encode(text)) // (1 + doc_id % 2)) * 1000000
         |    // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_us
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors the synthesis arithmetic: s = (byte − 128) · 256, so
+    // |s| and s² factor out 256/65536, and the sign of s is
+    // (byte >= 128) — any decode misstep breaks these exactly
+    "mm_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(text, ''), c -> ascii(c)) AS vals,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(256 * list_sum(list_transform(vals, v -> abs(v - 128)))
+        |    AS BIGINT) AS sum_abs,
+        |  CAST(65536 * list_sum(list_transform(vals, v -> (v - 128) * (v - 128)))
+        |    AS BIGINT) AS sum_sq,
+        |  CAST(len(list_filter(generate_series(2, n),
+        |    i -> (vals[i - 1] >= 128) <> (vals[i] >= 128))) AS BIGINT)
+        |    AS zero_cross
+        |FROM d ORDER BY doc_id""".stripMargin,
     "mm_byte_stats" ->
       """WITH b AS (
         |  SELECT doc_id, string_split_regex(text, '') AS chs FROM documents

@@ -71,6 +71,35 @@ object WavDecoder {
     }
   }
 
+  /** The decoded 16-bit PCM samples of the FIRST data chunk, in
+    * stored (interleaved) order — the real sample-extraction walk the
+    * feature stage (`mm_audio_features`) consumes. Callers should
+    * `parse` first; this re-walks the chunks so it stays correct for
+    * any well-formed container independent of fmt-chunk position.
+    */
+  def samples16(b: Array[Byte]): Array[Short] = {
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val declared = le32(b, off + 4)
+      val body = off + 8
+      val avail = math.min(declared, (b.length - body).toLong).toInt
+      if (id == "data") {
+        val n = avail / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((b(body + 2 * i) & 0xff) |
+            ((b(body + 2 * i + 1) & 0xff) << 8)).toShort
+          i += 1
+        }
+        return out
+      }
+      off = body + avail + (avail & 1)
+    }
+    Array.empty
+  }
+
   /** Canonical-layout 16-bit PCM writer: 44-byte header ("RIFF" size
     * "WAVE" + 16-byte `fmt ` + `data`), samples little-endian in input
     * order. Channel layout is interleaved frames by convention; the
