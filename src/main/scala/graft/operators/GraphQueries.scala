@@ -170,6 +170,21 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Degree distribution of the undirected similarity graph (r8):
+    // the first sanity plot of ANY graph pipeline — a top-k
+    // construction must produce a right-bounded degree histogram
+    // (out-degree ≤ K by construction; undirected degree can exceed K
+    // only via in-edges), and a degenerate construction shows up here
+    // before any downstream algorithm runs. One count aggregate over
+    // the edge artifact, then a histogram of the counts — two tiny
+    // shuffles over O(N·k) rows.
+    "graph_degree_hist" -> ((s, d) => {
+      val und = undirected(edgesTopK(s, d))
+      und.groupBy(col("x")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    }),
+
     // Bounded-depth BFS: minimum hop distance from supplier 0 over
     // the undirected top-K graph, depth ≤ 4 (fixed rounds keep the
     // plan static; unreachable-within-4 nodes are excluded, which is
@@ -302,6 +317,14 @@ object GraphQueries {
         |  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
         |  UNION ALL SELECT c AS n FROM tri) t
         |GROUP BY n ORDER BY n_triangles DESC, supplier LIMIT 20""".stripMargin),
+
+    "graph_degree_hist" -> (edgeCte +
+      """,
+        |und AS (SELECT DISTINCT x, y FROM (
+        |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
+        |deg AS (SELECT x, count(*) AS degree FROM und GROUP BY x)
+        |SELECT degree, count(*) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
 
     "graph_bfs_hops" -> (edgeCte +
       """,
