@@ -49,6 +49,25 @@ class WavDecoderSpec extends SparkSpecBase {
       .contains(WavMeta(1, 1, 8000L, 16, 1L)))
   }
 
+  test("samples16 decodes stored int16s exactly, across junk chunks") {
+    // round-trip incl. negative values and the LE byte order
+    val pcm = Array[Short](0, 1, -1, 32767, -32768, 256, -257)
+    val wav = WavDecoder.synthesize(8000, 1, pcm)
+    assert(WavDecoder.samples16(wav).toSeq == pcm.toSeq)
+    // and with a junk chunk planted before fmt/data (real containers
+    // carry LIST/INFO chunks there) the data-chunk walk still lands
+    val tail = wav.drop(12)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+    val bb = java.nio.ByteBuffer.allocate(12 + junk.length + tail.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + junk.length + tail.length)
+      .put("WAVE".getBytes("US-ASCII")).put(junk).put(tail)
+    assert(WavDecoder.samples16(bb.array()).toSeq == pcm.toSeq)
+    // truncated mid-data: only the complete int16s decode
+    assert(WavDecoder.samples16(wav.dropRight(3)).toSeq ==
+      pcm.dropRight(2).toSeq)
+  }
+
   test("non-WAVE and truncated payloads classify as None, never throw") {
     assert(WavDecoder.parse("plain text payload".getBytes).isEmpty)
     assert(WavDecoder.parse(Array.empty[Byte]).isEmpty)
