@@ -50,6 +50,41 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // WHOLE-FILE text ingestion (r8): `wholetext` reads one row per
+    // FILE instead of one per line — the mode document corpora use
+    // when files are the unit (a book, a transcript) and line
+    // splitting would destroy them. Three deterministic single-file
+    // buckets (%3 doc slices, one text row per doc) read back whole;
+    // per-file shape (line count, total chars incl. the writer's
+    // trailing newlines) recomputed by the oracle from the same
+    // slice arithmetic. File names are writer-random, so the output
+    // keys on content-derived columns only. Scale note: wholetext
+    // makes a file the parallelism unit — fine for corpora of many
+    // bounded files, the wrong tool for one huge file (documented
+    // trade of the mode itself).
+    "scan_text_wholetext" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("wholetext", d)
+      graft.TempDirs.writeOnce("wholetext" + d) {
+        val ss = s
+        import ss.implicits._
+        Seq(0L, 1L, 2L).foreach { b =>
+          documents(s, d).filter(col("doc_id") % 3 === b)
+            .orderBy(col("doc_id"))
+            .select(col("text")).as[String]
+            .coalesce(1)
+            .write.mode("overwrite").text(s"$dir/bucket$b")
+        }
+      }
+      s.read.option("wholetext", "true")
+        .text(s"$dir/bucket0", s"$dir/bucket1", s"$dir/bucket2")
+        .select(
+          (length(col("value")) -
+            length(regexp_replace(col("value"), "\n", ""))).cast("long")
+            .as("n_lines"),
+          length(col("value")).cast("long").as("n_chars"))
+        .orderBy(col("n_lines"), col("n_chars"))
+    }),
+
     // Recursive lake-directory ingestion with glob filtering (r8):
     // the messy-directory reality — data files nested at arbitrary
     // depths with NON-data droppings (logs, manifests, temp files)
@@ -379,6 +414,13 @@ object ScanQueries {
     "scan_json_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // per-bucket shape from the same %3 arithmetic: lines = docs,
+    // chars = text total + one writer newline per line
+    "scan_text_wholetext" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(n_chars) + count(*) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY doc_id % 3
+        |ORDER BY n_lines, n_chars""".stripMargin,
     // content from the original table; the 3-file selection count is
     // the planted-layout literal (decoys excluded by the glob)
     "scan_path_filtered" ->
