@@ -106,8 +106,11 @@ object PngDecoder {
     var off = 0
     while (!inf.finished() && off < raw.length) {
       val n = inf.inflate(raw, off, raw.length - off)
-      if (n == 0 && inf.needsInput())
-        throw new IllegalStateException("truncated IDAT stream")
+      // needsDictionary: a preset-dictionary stream (never produced
+      // by PNG encoders, possible in hostile bytes) would otherwise
+      // return 0 forever — classify loudly instead of looping
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new IllegalStateException("truncated or foreign IDAT stream")
       off += n
     }
     inf.end()
