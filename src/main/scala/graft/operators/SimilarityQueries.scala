@@ -464,6 +464,27 @@ object SimilarityQueries {
     // are shared literals (Double.toString round-trips), every float
     // fold is ordered, min/equality on doubles is exact, and the
     // emitted distance rounds to micro-units.
+    // Embedding-table diagnostics (r8): per-label vector counts and
+    // squared-norm extremes — the first sanity panel of an embedding
+    // corpus (a broken encoder or un-normalized batch shows up as a
+    // norm-range outlier before any similarity query runs). Squared
+    // norms via the codegen'd ordered-fold self-dot (bit-identical to
+    // the DuckDB mirror); min/max are exact value PICKS, so the
+    // double outputs hash cleanly where a mean's summation order
+    // would not. One narrow scan + map-combined aggregate.
+    "emb_norm_stats" -> ((s, d) => {
+      val selfDot = graft.functions.DotProductExpr.dot(
+        col("embedding").cast(ArrayType(DoubleType)),
+        col("embedding").cast(ArrayType(DoubleType)))
+      embeddings(s, d)
+        .withColumn("sq", selfDot)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("sq")).as("min_sq"),
+          max(col("sq")).as("max_sq"))
+        .orderBy(col("label"))
+    }),
+
     "ann_pq_topk" -> ((s, d) =>
       embeddings(s, d)
         // fused codegen'd encode (graft.functions.PqEncodeExpr): one
@@ -924,6 +945,15 @@ object SimilarityQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same ordered-fold self-dot; min/max are exact picks
+    "emb_norm_stats" ->
+      s"""WITH s AS (
+         |  SELECT label, ${duckDot("embedding", "embedding")} AS sq
+         |  FROM embeddings
+         |)
+         |SELECT label, count(*) AS n_vecs,
+         |  min(sq) AS min_sq, max(sq) AS max_sq
+         |FROM s GROUP BY label ORDER BY label""".stripMargin,
     // Same literal codebook/query (Double.toString round-trips), same
     // ordered-fold subspace distances, same first-minimum argmin, same
     // m-ordered ADC sum — bit-identical before the micro-unit round.
