@@ -145,6 +145,20 @@ object ScalarQueries {
           array_join(slice(sort_array(col("toks")), 1, 5), ",").as("first5"))
         .orderBy(col("doc_id"))),
 
+    // Padding / trimming surface (r8): lpad/rpad (fixed-width report
+    // and key formatting), btrim with a custom character set, and
+    // directional trims — the normalization scalars ingestion uses
+    // before key comparison. All codegen'd built-ins, exact string
+    // semantics in both engines.
+    "fn_string_pad_trim" -> ((s, d) =>
+      nation(s, d)
+        .select(col("n_nationkey"),
+          lpad(col("n_name"), 20, ".").as("padded_l"),
+          rpad(col("n_name"), 20, "_").as("padded_r"),
+          expr("btrim(n_name, 'AEIOU')").as("vowel_trimmed"),
+          ltrim(rpad(col("n_name"), 20, " ")).as("space_roundtrip"))
+        .orderBy(col("n_nationkey"))),
+
     // Array higher-order functions (r8): exists / forall / filter /
     // zip_with — the lambda surface fn_array_ops' plain builtins do
     // not touch. All codegen-adjacent built-ins (no UDF); the
@@ -381,6 +395,13 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_string_pad_trim" ->
+      """SELECT n_nationkey,
+        |  lpad(n_name, 20, '.') AS padded_l,
+        |  rpad(n_name, 20, '_') AS padded_r,
+        |  trim(n_name, 'AEIOU') AS vowel_trimmed,
+        |  ltrim(rpad(n_name, 20, ' ')) AS space_roundtrip
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // exists/forall spelled as filter-count comparisons; zip_with via
     // list_zip's struct pairs
     "fn_array_higher_order" ->

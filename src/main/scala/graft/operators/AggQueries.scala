@@ -159,6 +159,19 @@ object AggQueries {
           .as("prios"))
         .orderBy(col("o_custkey"))),
 
+    // DISTINCT set aggregation (r8): collect_set — the dedup cousin
+    // of collect_list; sorted + joined so the set surfaces as a
+    // deterministic string (raw set order is partition-dependent in
+    // BOTH engines — the sort is what makes this oracle-pairable).
+    "agg_collect_set" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_custkey") < 100)
+        .groupBy(col("o_custkey"))
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+          .as("distinct_prios"),
+          countDistinct(col("o_orderpriority")).as("n_distinct"))
+        .orderBy(col("o_custkey"))),
+
     // Row-valued argmax/argmin with deterministic struct tie-break.
     "agg_min_max_by" -> ((s, d) =>
       orders(s, d)
@@ -549,6 +562,11 @@ object AggQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_collect_list" ->
       """SELECT o_custkey, string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+        |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "agg_collect_set" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS distinct_prios,
+        |  count(DISTINCT o_orderpriority) AS n_distinct
         |FROM orders WHERE o_custkey < 100 GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "agg_min_max_by" ->
       """SELECT o_custkey,
