@@ -349,6 +349,32 @@ object AggQueries {
     // DECIMAL(18,0) so neither engine's multiply hits its 38-digit
     // precision cap (the values are tiny; only the declared types
     // would overflow).
+    // Exact variance/stddev (r8): the var_samp/var_pop/stddev family
+    // computed from INTEGER sufficient statistics (the agg_skew_kurt
+    // technique) — Spark's built-in var_samp accumulates doubles in
+    // partition order and would hash-diverge; n·Σx² − (Σx)² over
+    // exact decimal sums, then two IEEE divisions and a sqrt, is
+    // order-invariant and byte-identical in both engines. l_quantity
+    // is integer-valued, so the sums are exact by construction.
+    "agg_variance_exact" -> ((s, d) => {
+      val x = col("l_quantity").cast(DecimalType(18, 0))
+      val x2 = (x * x).cast(DecimalType(18, 0))
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x2).cast(DoubleType).as("s2"))
+        .select(col("l_returnflag"),
+          col("n").cast("long").as("n_rows"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1.0)).as("var_samp"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("var_pop"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1.0)).as("stddev_samp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "agg_skew_kurt" -> ((s, d) => {
       val x = col("l_quantity").cast(DecimalType(18, 0))
       val x2 = (x * x).cast(DecimalType(18, 0))
@@ -646,6 +672,22 @@ object AggQueries {
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // same exact integer sums, same division/sqrt order
+    "agg_variance_exact" ->
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,0)) *
+        |      CAST(l_quantity AS DECIMAL(18,0)) AS DECIMAL(18,0)))
+        |      AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  (s2 - s1 * s1 / n) / (n - 1.0) AS var_samp,
+        |  (s2 - s1 * s1 / n) / n AS var_pop,
+        |  sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev_samp
+        |FROM p ORDER BY l_returnflag""".stripMargin,
     "agg_skew_kurt" ->
       """WITH p AS (
         |  SELECT l_returnflag,
