@@ -50,6 +50,37 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // NESTED JSON ingestion (r8): the API-payload shape — a struct
+    // inside a struct plus an array — written as JSON lines and read
+    // back under an explicit nested schema (inference is the
+    // convenience path; production pins the schema), then flattened
+    // by dotted-path extraction and array aggregation. Proves the
+    // nested JSON round-trip is lossless down to array elements; the
+    // oracle recomputes the flattened values from the base table.
+    "scan_json_nested" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("jsonnested", d)
+      graft.TempDirs.writeOnce("jsonnested" + d) {
+        nation(s, d)
+          .select(to_json(struct(
+            col("n_nationkey").as("id"),
+            struct(col("n_name").as("name"),
+              col("n_regionkey").as("region")).as("meta"),
+            array(col("n_nationkey"), col("n_regionkey"),
+              col("n_nationkey") + col("n_regionkey")).as("codes")))
+            .as("value"))
+          .coalesce(1).write.mode("overwrite").text(dir)
+      }
+      s.read
+        .schema("id BIGINT, meta STRUCT<name: STRING, region: BIGINT>, " +
+          "codes ARRAY<BIGINT>")
+        .json(dir)
+        .select(col("id"), col("meta.name").as("name"),
+          col("meta.region").as("region"),
+          size(col("codes")).cast("long").as("n_codes"),
+          expr("aggregate(codes, 0L, (a, x) -> a + x)").as("code_sum"))
+        .orderBy(col("id"))
+    }),
+
     // WHOLE-FILE text ingestion (r8): `wholetext` reads one row per
     // FILE instead of one per line — the mode document corpora use
     // when files are the unit (a book, a transcript) and line
@@ -414,6 +445,13 @@ object ScanQueries {
     "scan_json_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // flattened values recomputed from the base table — the nested
+    // container must be a pure transport layer
+    "scan_json_nested" ->
+      """SELECT n_nationkey AS id, n_name AS name, n_regionkey AS region,
+        |  CAST(3 AS BIGINT) AS n_codes,
+        |  CAST(2 * n_nationkey + 2 * n_regionkey AS BIGINT) AS code_sum
+        |FROM nation ORDER BY id""".stripMargin,
     // per-bucket shape from the same %3 arithmetic: lines = docs,
     // chars = text total + one writer newline per line
     "scan_text_wholetext" ->
