@@ -349,6 +349,21 @@ object AggQueries {
     // DECIMAL(18,0) so neither engine's multiply hits its 38-digit
     // precision cap (the values are tiny; only the declared types
     // would overflow).
+    // Dedicated MEDIAN aggregate (r8): the `median()` API — exact
+    // interpolated median (percentile_cont 0.5 semantics: even-count
+    // groups average the two middle values, one IEEE op on exact
+    // picks, deterministic cross-engine). Distinct from
+    // agg_percentile_disc (value picks) and agg_percentile_cont
+    // (multi-quantile expr): this is the named aggregate users reach
+    // for first.
+    "agg_median" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(median(col("l_quantity")).cast(DoubleType).as("med_qty"),
+          median(col("l_extendedprice")).cast(DoubleType).as("med_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // Exact variance/stddev (r8): the var_samp/var_pop/stddev family
     // computed from INTEGER sufficient statistics (the agg_skew_kurt
     // technique) — Spark's built-in var_samp accumulates doubles in
@@ -672,6 +687,13 @@ object AggQueries {
         |  quantile_cont(l_extendedprice, 0.75) AS p75_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // DuckDB median = quantile_cont(0.5): same interpolation contract
+    "agg_median" ->
+      """SELECT l_returnflag,
+        |  CAST(median(l_quantity) AS DOUBLE) AS med_qty,
+        |  CAST(median(l_extendedprice) AS DOUBLE) AS med_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // same exact integer sums, same division/sqrt order
     "agg_variance_exact" ->
       """WITH p AS (
