@@ -105,7 +105,10 @@ object Bench {
     val n = (bySlowest.length to 1 by -1)
       .find(k => line(toJson(bySlowest.take(k))).length <= 1400)
       .getOrElse(1)
-    spark.stop()
+    // stop() can itself throw on a wedged box — the JSON tail line must
+    // still print (the BENCH file write above is already guarded)
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(_) => () }
     println(line(toJson(bySlowest.take(n))))
     System.out.flush()
   }

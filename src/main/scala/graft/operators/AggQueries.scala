@@ -381,12 +381,17 @@ object AggQueries {
           sum(x2).cast(DoubleType).as("s2"))
         .select(col("l_returnflag"),
           col("n").cast("long").as("n_rows"),
-          ((col("s2") - col("s1") * col("s1") / col("n")) /
-            (col("n") - 1.0)).as("var_samp"),
+          // n=1 pinned to NULL (the SQL-standard var_samp answer):
+          // 0.0/0.0 would be NaN in Spark but engine-setting-dependent
+          // in DuckDB — the CASE is mirrored in the oracle (ADVICE r8)
+          when(col("n") > 1.0,
+            (col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1.0)).as("var_samp"),
           ((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
             .as("var_pop"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-            (col("n") - 1.0)).as("stddev_samp"))
+          when(col("n") > 1.0,
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1.0))).as("stddev_samp"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -706,9 +711,11 @@ object AggQueries {
         |  FROM lineitem GROUP BY l_returnflag
         |)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-        |  (s2 - s1 * s1 / n) / (n - 1.0) AS var_samp,
+        |  CASE WHEN n > 1 THEN (s2 - s1 * s1 / n) / (n - 1.0) END
+        |    AS var_samp,
         |  (s2 - s1 * s1 / n) / n AS var_pop,
-        |  sqrt((s2 - s1 * s1 / n) / (n - 1.0)) AS stddev_samp
+        |  CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1.0)) END
+        |    AS stddev_samp
         |FROM p ORDER BY l_returnflag""".stripMargin,
     "agg_skew_kurt" ->
       """WITH p AS (

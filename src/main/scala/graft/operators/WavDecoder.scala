@@ -83,7 +83,11 @@ object WavDecoder {
       val id = tag(b, off)
       val declared = le32(b, off + 4)
       val body = off + 8
-      val avail = math.min(declared, (b.length - body).toLong).toInt
+      // clamp to [0, remaining] like parse()/PngDecoder.idat: a hostile
+      // negative declared size would otherwise make avail negative and
+      // `off` stop advancing (infinite loop) or NegativeArraySizeException
+      val avail =
+        math.max(0L, math.min(declared, (b.length - body).toLong)).toInt
       if (id == "data") {
         val n = avail / 2
         val out = new Array[Short](n)
