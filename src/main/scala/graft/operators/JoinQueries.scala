@@ -19,6 +19,28 @@ import org.apache.spark.sql.types._
   */
 object JoinQueries {
 
+  /** One cached AQE-off child session per parent session for the
+    * native as-of queries (r9): `newSession()` + conf + fresh
+    * session-state per invocation cost ~0.15 s of the operator's
+    * bench time; the child is a fixed execution environment, so build
+    * it once. WeakHashMap keyed by the PARENT so a stopped session's
+    * entry is collectable (the SqlQueries.views pattern).
+    */
+  private val asofSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]
+  private def asofSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    asofSessions.synchronized {
+      var c = asofSessions.get(s)
+      if (c == null) {
+        c = s.newSession()
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        asofSessions.put(s, c)
+      }
+      c
+    }
+
   val queries: Map[String, Q] = Map(
     // Fact ⋈ broadcast dims (customer⋈nation⋈region).
     "join_inner_broadcast" -> ((s, d) =>
@@ -177,34 +199,37 @@ object JoinQueries {
     }),
 
     // The SAME backward-strict as-of result via the NATIVE custom
-    // operator (r8): graft.plans.AsofJoin — custom LogicalPlan +
-    // Strategy + BinaryExecNode whose declared distribution/ordering
-    // requirements let EnsureRequirements plan the co-partitioning
-    // shuffles and spilling sorts, then an O(|L|+|R|)-per-partition
-    // merge walk with O(1) state computes the join (no window
-    // buffering, no range-frame state). Oracle-paired with the
-    // IDENTICAL SQL as join_asof: a window spelling and a custom
-    // physical operator must hash to the same result — the
-    // dedup_ngram double-entry pattern applied to a whole-operator
-    // Catalyst extension. Runs on a child session with AQE off: the
-    // zipPartitions walk requires both sides' final partitionings to
-    // stay aligned, which AQE's independent stage coalescing does not
-    // guarantee for a foreign exec node (documented operator
-    // constraint; the strategy installs via experimental
-    // .extraStrategies — Spark's public hook for exactly this).
+    // operator (r8, payload-complete r9): graft.plans.AsofJoin —
+    // custom LogicalPlan + Strategy + BinaryExecNode whose declared
+    // distribution/ordering requirements let EnsureRequirements plan
+    // the co-partitioning shuffles and spilling sorts, then an
+    // O(|L|+|R|)-per-partition merge walk with O(1) state computes
+    // the join (no window buffering, no range-frame state). The
+    // result carries the matched right row's PAYLOAD columns (the
+    // pandas merge_asof contract — here the matched signup's own
+    // event_id), null-extended on no match, with equal-time right
+    // rows pinned by the event_id tiebreak. Oracle-paired with the
+    // lateral-join SQL spelling of the same semantics — a window/
+    // lateral spelling and a custom physical operator must hash to
+    // the same result, the dedup_ngram double-entry pattern applied
+    // to a whole-operator Catalyst extension. Runs on a child session
+    // with AQE off: the exec fails fast (r9 alignment guard) rather
+    // than walk partitionings AQE re-planned independently.
     "join_asof_native" -> ((s, d) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val s2 = asofSession(s)
       val ev = events(s2, d)
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val signups = events(s2, d)
         .filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts_us"))
+        .select(col("user_id").as("s_user_id"),
+          col("ts_us").as("last_signup_us"),
+          col("event_id").as("signup_event_id"))
       graft.plans.AsofJoinApi.asofJoin(s2, ev, signups,
-          key = "user_id", time = "ts_us", rightTimeCol = "ts_us",
-          asOfName = "last_signup_us")
+          leftKeyCol = "user_id", rightKeyCol = "s_user_id",
+          leftTimeCol = "ts_us", rightTimeCol = "last_signup_us",
+          rightTiebreak = Seq("signup_event_id"))
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("last_signup_us"))
+          col("last_signup_us"), col("signup_event_id"))
         .orderBy(col("event_id"))
     }),
 
@@ -212,21 +237,22 @@ object JoinQueries {
     // earliest signup with ts >= t — one flag on the merge walk
     // (consume strictly-before rows, the buffered head answers when it
     // belongs to the key), same declared requirements, same O(1)
-    // state. Oracle = the correlated-min mirror of join_asof_nearest's
-    // next_us component.
+    // state, same payload contract (r9).
     "join_asof_native_fwd" -> ((s, d) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val s2 = asofSession(s)
       val ev = events(s2, d)
         .select(col("event_id"), col("user_id"), col("ts_us"))
       val signups = events(s2, d)
         .filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts_us"))
+        .select(col("user_id").as("s_user_id"),
+          col("ts_us").as("next_signup_us"),
+          col("event_id").as("signup_event_id"))
       graft.plans.AsofJoinApi.asofJoin(s2, ev, signups,
-          key = "user_id", time = "ts_us", rightTimeCol = "ts_us",
-          asOfName = "next_signup_us", forward = true)
+          leftKeyCol = "user_id", rightKeyCol = "s_user_id",
+          leftTimeCol = "ts_us", rightTimeCol = "next_signup_us",
+          rightTiebreak = Seq("signup_event_id"), forward = true)
         .select(col("event_id"), col("user_id"), col("ts_us"),
-          col("next_signup_us"))
+          col("next_signup_us"), col("signup_event_id"))
         .orderBy(col("event_id"))
     }),
 
@@ -554,21 +580,42 @@ object JoinQueries {
         |JOIN (SELECT nullif(n_nationkey, 3) AS nk2, n_name FROM nation) n
         |  ON c.nk IS NOT DISTINCT FROM n.nk2
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
-    // correlated-min mirror of the forward direction (ts >= t)
+    // lateral mirror of the forward direction (ts >= t), payload
+    // included; ties pinned by (tus ASC, event_id ASC) — the native
+    // exec's right-side sort order
     "join_asof_native_fwd" ->
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  (SELECT min(epoch_us(s.ts)) FROM events s
-        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
-        |     AND epoch_us(s.ts) >= epoch_us(e.ts)) AS next_signup_us
-        |FROM events e ORDER BY e.event_id""".stripMargin,
-    // identical SQL as join_asof: the native custom-operator spelling
-    // must produce the same rows as the window spelling
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.user_id, e.tus AS ts_us,
+        |  s.tus AS next_signup_us, s.event_id AS signup_event_id
+        |FROM ev e LEFT JOIN LATERAL (
+        |  SELECT g.tus, g.event_id FROM ev g
+        |  WHERE g.event_type = 'signup' AND g.user_id = e.user_id
+        |    AND g.tus >= e.tus
+        |  ORDER BY g.tus ASC, g.event_id ASC LIMIT 1
+        |) s ON true
+        |ORDER BY e.event_id""".stripMargin,
+    // lateral spelling of backward-strict as-of WITH the matched
+    // row's payload (the merge_asof contract): same last_signup_us
+    // as join_asof's window spelling, plus the matched signup's
+    // event_id — ties pinned by (tus DESC, event_id DESC), the
+    // mirror of the native exec's ascending right-side sort
     "join_asof_native" ->
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  (SELECT max(epoch_us(s.ts)) FROM events s
-        |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
-        |     AND epoch_us(s.ts) < epoch_us(e.ts)) AS last_signup_us
-        |FROM events e ORDER BY e.event_id""".stripMargin,
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.user_id, e.tus AS ts_us,
+        |  s.tus AS last_signup_us, s.event_id AS signup_event_id
+        |FROM ev e LEFT JOIN LATERAL (
+        |  SELECT g.tus, g.event_id FROM ev g
+        |  WHERE g.event_type = 'signup' AND g.user_id = e.user_id
+        |    AND g.tus < e.tus
+        |  ORDER BY g.tus DESC, g.event_id DESC LIMIT 1
+        |) s ON true
+        |ORDER BY e.event_id""".stripMargin,
     // correlated min/max mirrors of the two range-frame windows;
     // nearest = smaller integer-us delta, ties to prior
     "join_asof_nearest" ->

@@ -4,13 +4,14 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, CoalescedHashPartitioning, Distribution, HashPartitioning, Partitioning, SinglePartition}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types.LongType
 
-/** Native as-of join — the SURVEY §2.E operator Spark's built-in join
+/** Native as-of join — the SURVEY §2.C operator Spark's built-in join
   * set genuinely lacks, implemented as a WHOLE-OPERATOR Catalyst
   * extension (the brief's option (c) ladder rung): a custom
   * `LogicalPlan` node, a `Strategy` that plans it, and a physical
@@ -20,27 +21,38 @@ import org.apache.spark.sql.types.LongType
   * shuffles, exactly like the built-in SortMergeJoinExec it is shaped
   * after (public Spark source, no code copied).
   *
-  * Semantics: for each left row, the LARGEST right time strictly
-  * before the left time within the same key (backward-strict
-  * merge_asof), null when no prior right row exists. Output = the
-  * left columns plus one nullable long `asof` column.
+  * Semantics (the pandas `merge_asof` contract, r9): each left row is
+  * paired with the ENTIRE matched right row — all right payload
+  * columns, null-extended when no match exists — not just the matched
+  * time. Backward (default): the right row with the LARGEST time
+  * strictly before the left time within the same key. Forward: the
+  * SMALLEST right time at-or-after the left time. Ties on the right's
+  * (key, time) are broken by the caller-supplied `rightTiebreak`
+  * columns (largest wins backward, smallest wins forward — the sort
+  * order's last/first row), making the payload deterministic under
+  * any partitioning; without a tiebreak, equal-time right rows would
+  * surface partition-order-dependent payloads.
+  *
+  * Keys and times are ANY orderable Spark type (r9 — was LongType
+  * only): the two key types must match, the two time types must
+  * match, and comparisons run through the type's interpreted ordering.
+  * The all-LongType shape (the fixture's user_id / epoch-micros) takes
+  * a specialized primitive walk — direct `getLong` reads, no boxing.
   *
   * Execution is a streaming MERGE WALK over the two (key, time)-sorted
-  * partition iterators: O(|L| + |R|) per partition, O(1) state (the
-  * last matched right time) — no window buffering, no per-key group
-  * materialization, no hash table. At 100 TB both sides shuffle once
-  * on the key (or zero times if co-bucketed — the requirement is
+  * partition iterators: O(|L| + |R|) per partition, O(1) state (a copy
+  * of the last consumed right row) — no window buffering, no per-key
+  * group materialization, no hash table. At 100 TB both sides shuffle
+  * once on the key (or zero times if co-bucketed — the requirement is
   * declared, so Catalyst elides satisfied exchanges), and partitions
   * stream through the walk regardless of key size: a single hot key
   * costs time, never memory.
   *
-  * The keys and times are required LongType (the fixture's user_id /
-  * epoch-micros shape); generalization is a matter of comparator
-  * plumbing, not operator structure. `join_asof_native` pairs this
-  * implementation against the SAME oracle as the window-spelled
-  * `join_asof` — two algorithmically different implementations, one
-  * hash — and AsofJoinNativeSpec asserts row-identical output under
-  * adversarial repartitioning.
+  * `join_asof_native` pairs this implementation against the SAME
+  * oracle shape as the window-spelled `join_asof` — two
+  * algorithmically different implementations, one hash — and
+  * AsofJoinNativeSpec asserts row-identical output under adversarial
+  * repartitioning.
   */
 case class AsofJoin(
     left: LogicalPlan,
@@ -49,16 +61,17 @@ case class AsofJoin(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    asofAttr: AttributeReference,
+    rightTiebreak: Seq[Expression] = Nil,
     forward: Boolean = false) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output :+ asofAttr
-  // the as-of column is GENERATED by this operator, not consumed from
-  // a child — declare it or CheckAnalysis reports MISSING_ATTRIBUTES
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofAttr)
+  // left-outer shape: every right column is nullable in the output
+  // (null-extended when no as-of match exists); exprIds are preserved
+  // so downstream resolution works exactly as for a built-in Join
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
   override lazy val resolved: Boolean =
     childrenResolved && leftKey.resolved && rightKey.resolved &&
-      leftTime.resolved && rightTime.resolved
+      leftTime.resolved && rightTime.resolved &&
+      rightTiebreak.forall(_.resolved)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
     copy(left = newLeft, right = newRight)
@@ -70,8 +83,8 @@ case class AsofJoin(
   */
 object AsofJoinStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, out, fwd) =>
-      AsofJoinExec(lk, rk, lt, rt, out, planLater(l), planLater(r),
+    case AsofJoin(l, r, lk, rk, lt, rt, tb, fwd) =>
+      AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r),
         fwd) :: Nil
     case _ => Nil
   }
@@ -82,19 +95,18 @@ case class AsofJoinExec(
     rightKey: Expression,
     leftTime: Expression,
     rightTime: Expression,
-    asofAttr: AttributeReference,
+    rightTiebreak: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan,
     forward: Boolean = false) extends BinaryExecNode {
 
-  require(leftKey.dataType == LongType && rightKey.dataType == LongType &&
-    leftTime.dataType == LongType && rightTime.dataType == LongType,
-    "AsofJoinExec handles LongType keys and times")
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
 
-  override def output: Seq[Attribute] = left.output :+ asofAttr
-
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofAttr)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
 
   // both sides clustered on the key: EnsureRequirements co-partitions
   // them (inserting hash exchanges only where the existing
@@ -104,19 +116,65 @@ case class AsofJoinExec(
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
   // (key, time) ascending within partitions on both sides — the merge
-  // walk's precondition, supplied by Spark's external (spilling) sort
+  // walk's precondition, supplied by Spark's external (spilling) sort.
+  // The right side additionally sorts by the tiebreak columns so the
+  // payload carried for equal (key, time) rows is deterministic.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   // rows keep the left side's partition assignment (the walk only
-  // APPENDS a column), so advertise it: a downstream groupBy/join on
-  // the same key then reuses the exchange instead of re-shuffling
-  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
-    left.outputPartitioning
+  // null-extends right columns), so advertise it: a downstream
+  // groupBy/join on the same key then reuses the exchange instead of
+  // re-shuffling
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  /** Fail fast on partition misalignment instead of silently walking
+    * differently-bounded partitions (ADVICE r8): the zipPartitions walk
+    * is correct ONLY when equal key values land in the same-index
+    * partition on both sides. EnsureRequirements guarantees that for
+    * the partitionings accepted below; anything else — most likely
+    * AQE's independent stage coalescing re-planning a child — is an
+    * error here, not wrong rows downstream.
+    */
+  private def assertAligned(): Unit = {
+    val lp = left.outputPartitioning
+    val rp = right.outputPartitioning
+    val ok = (lp, rp) match {
+      // one partition on both sides is trivially aligned whatever the
+      // partitioning class says
+      case _ if lp.numPartitions == 1 && rp.numPartitions == 1 => true
+      case (SinglePartition, SinglePartition) => true
+      case (l: HashPartitioning, r: HashPartitioning) =>
+        l.numPartitions == r.numPartitions &&
+          l.expressions.length == 1 && r.expressions.length == 1 &&
+          l.expressions.head.semanticEquals(leftKey) &&
+          r.expressions.head.semanticEquals(rightKey)
+      // AQE coalesced both sides' shuffle reads with IDENTICAL
+      // boundaries over same-numPartitions hash partitionings on the
+      // keys: partition i still holds the same key-hash range on both
+      // sides, so the walk stays aligned
+      case (l: CoalescedHashPartitioning, r: CoalescedHashPartitioning) =>
+        l.partitions == r.partitions &&
+          l.from.numPartitions == r.from.numPartitions &&
+          l.from.expressions.length == 1 &&
+          r.from.expressions.length == 1 &&
+          l.from.expressions.head.semanticEquals(leftKey) &&
+          r.from.expressions.head.semanticEquals(rightKey)
+      case _ => false
+    }
+    if (!ok) throw new IllegalStateException(
+      "AsofJoinExec children are not verifiably co-partitioned on the " +
+        s"as-of key (left: $lp, right: $rp). This typically means AQE " +
+        "re-planned a child independently — run the join on a session " +
+        "with spark.sql.adaptive.enabled=false (AsofJoinApi.asofJoin " +
+        "documents the constraint) or pre-partition both inputs on the " +
+        "key explicitly.")
+  }
 
   /** Ordinal of `e` in `out` when it is a direct attribute, else -1
     * (falls back to interpreted eval — the hot fixture path is always
@@ -128,75 +186,109 @@ case class AsofJoinExec(
     case _ => -1
   }
 
+  private def allLong: Boolean =
+    leftKey.dataType == LongType && rightKey.dataType == LongType &&
+      leftTime.dataType == LongType && rightTime.dataType == LongType
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyOrd = ordinalOf(leftKey, left.output)
-    val lTimeOrd = ordinalOf(leftTime, left.output)
-    val rKeyOrd = ordinalOf(rightKey, right.output)
-    val rTimeOrd = ordinalOf(rightTime, right.output)
+    assertAligned()
+    val rightWidth = right.output.size
+    // bind against the NULLABLE right attrs: the null-extension row
+    // feeds the projection, and a writer generated from non-null
+    // input attrs would skip the null check (the classic outer-join
+    // codegen pitfall)
+    val inAttrs = left.output ++ right.output.map(_.withNullability(true))
     val lKey = BindReferences.bindReference(leftKey, left.output)
     val lTime = BindReferences.bindReference(leftTime, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTime = BindReferences.bindReference(rightTime, right.output)
-    val schema = output
+    val lKeyOrd = ordinalOf(leftKey, left.output)
+    val lTimeOrd = ordinalOf(leftTime, left.output)
+    val rKeyOrd = ordinalOf(rightKey, right.output)
+    val rTimeOrd = ordinalOf(rightTime, right.output)
+    val useLong = allLong
+    // interpreted orderings for the generic (non-Long) walk; resolved
+    // on the driver, serialized into the closure
+    val kOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val isFwd = forward
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(schema.map(a => a: Expression), schema)
-      val extra = new GenericInternalRow(1)
+      val proj = UnsafeProjection.create(
+        inAttrs.map(a => a: Expression), inAttrs)
+      val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
-      @inline def isNull(row: InternalRow, ord: Int, e: Expression): Boolean =
-        if (ord >= 0) row.isNullAt(ord) else e.eval(row) == null
-      @inline def getLong(row: InternalRow, ord: Int, e: Expression): Long =
-        if (ord >= 0) row.getLong(ord) else e.eval(row).asInstanceOf[Long]
-      // O(1) walk state: the key and time of the last right row
-      // consumed — `matchKey` doubles as the has-match flag via key
-      // equality with the current left row
-      var matchKey = 0L
-      var matchTime = 0L
-      var hasMatch = false
+      @inline def lk(row: InternalRow): Any =
+        if (lKeyOrd >= 0) (if (row.isNullAt(lKeyOrd)) null
+          else if (useLong) row.getLong(lKeyOrd)
+          else row.get(lKeyOrd, leftKey.dataType))
+        else lKey.eval(row)
+      @inline def lt(row: InternalRow): Any =
+        if (lTimeOrd >= 0) (if (row.isNullAt(lTimeOrd)) null
+          else if (useLong) row.getLong(lTimeOrd)
+          else row.get(lTimeOrd, leftTime.dataType))
+        else lTime.eval(row)
+      @inline def rk(row: InternalRow): Any =
+        if (rKeyOrd >= 0) (if (row.isNullAt(rKeyOrd)) null
+          else if (useLong) row.getLong(rKeyOrd)
+          else row.get(rKeyOrd, rightKey.dataType))
+        else rKey.eval(row)
+      @inline def rt(row: InternalRow): Any =
+        if (rTimeOrd >= 0) (if (row.isNullAt(rTimeOrd)) null
+          else if (useLong) row.getLong(rTimeOrd)
+          else row.get(rTimeOrd, rightTime.dataType))
+        else rTime.eval(row)
+      @inline def cmpK(a: Any, b: Any): Int =
+        if (useLong) java.lang.Long.compare(
+          a.asInstanceOf[Long], b.asInstanceOf[Long])
+        else kOrd.compare(a, b)
+      @inline def cmpT(a: Any, b: Any): Int =
+        if (useLong) java.lang.Long.compare(
+          a.asInstanceOf[Long], b.asInstanceOf[Long])
+        else tOrd.compare(a, b)
+      // O(1) walk state: a COPY of the last consumed right row (the
+      // sorter reuses row objects, so a reference would rot) plus its
+      // key value — key equality with the current left row doubles as
+      // the has-match flag
+      var matchRow: InternalRow = null
+      var matchKey: Any = null
       lIter.map { lRow =>
-        val lkNull = isNull(lRow, lKeyOrd, lKey)
-        val ltNull = isNull(lRow, lTimeOrd, lTime)
-        if (!lkNull && !ltNull) {
-          val lk = getLong(lRow, lKeyOrd, lKey)
-          val lt = getLong(lRow, lTimeOrd, lTime)
-          // consume right rows strictly (key, time)-before (lk, lt)
+        val lkV = lk(lRow)
+        val ltV = lt(lRow)
+        var outRight: InternalRow = nullRight
+        if (lkV != null && ltV != null) {
+          // consume right rows strictly (key, time)-before (lk, lt);
+          // null keys/times sort first and match nothing
           var advance = true
           while (advance && rBuf.hasNext) {
             val rRow = rBuf.head
-            if (isNull(rRow, rKeyOrd, rKey) || isNull(rRow, rTimeOrd, rTime)) {
-              rBuf.next() // null keys/times sort first and match nothing
-            } else {
-              val rk = getLong(rRow, rKeyOrd, rKey)
-              val rt = getLong(rRow, rTimeOrd, rTime)
-              if (rk < lk || (rk == lk && rt < lt)) {
-                rBuf.next()
-                matchKey = rk; matchTime = rt; hasMatch = true
+            val rkV = rk(rRow)
+            val rtV = rt(rRow)
+            if (rkV == null || rtV == null) { rBuf.next() }
+            else {
+              val c = cmpK(rkV, lkV)
+              if (c < 0 || (c == 0 && cmpT(rtV, ltV) < 0)) {
+                matchRow = rBuf.next().copy()
+                matchKey = rkV
               } else advance = false
             }
           }
-          if (forward) {
+          if (isFwd) {
             // forward as-of (earliest right with rt >= lt, same key):
             // everything strictly before (lk, lt) is consumed above —
             // it can never answer this or any LATER left row — so the
             // buffered HEAD is the minimal remaining candidate; it
             // answers iff it belongs to this key (lexicographic order
             // guarantees head.rt >= lt when head.rk == lk)
-            var set = false
             if (rBuf.hasNext) {
               val rRow = rBuf.head
-              val rkAny = rKey.eval(rRow)
-              if (rkAny != null && rkAny.asInstanceOf[Long] == lk) {
-                val rtAny = rTime.eval(rRow)
-                if (rtAny != null) {
-                  extra.setLong(0, rtAny.asInstanceOf[Long]); set = true
-                }
-              }
+              val rkV = rk(rRow)
+              if (rkV != null && cmpK(rkV, lkV) == 0) outRight = rRow
             }
-            if (!set) extra.setNullAt(0)
-          } else if (hasMatch && matchKey == lk) extra.setLong(0, matchTime)
-          else extra.setNullAt(0)
-        } else extra.setNullAt(0)
-        proj(joined(lRow, extra))
+          } else if (matchRow != null && cmpK(matchKey, lkV) == 0)
+            outRight = matchRow
+        }
+        proj(joined(lRow, outRight))
       }
     }
   }
@@ -211,19 +303,36 @@ case class AsofJoinExec(
   * ordinary DataFrame. The session must have `AsofJoinStrategy`
   * installed (GraftExtensions does, and `AsofJoinApi.ensureStrategy`
   * covers plain sessions via `experimental.extraStrategies` — the
-  * public API Spark exposes for exactly this).
+  * public API Spark exposes for exactly this). Like pandas
+  * `merge_asof`, the result carries every left column plus every
+  * right column (null-extended on no match) — rename overlapping
+  * right columns before the call.
   */
 object AsofJoinApi {
 
-  def ensureStrategy(s: SparkSession): Unit = {
+  /** Idempotent strategy install. Synchronized on this object: the
+    * read-modify-write of `extraStrategies` is not atomic, and two
+    * racing threads could otherwise duplicate the strategy or drop a
+    * concurrently added third-party strategy (ADVICE r8).
+    */
+  def ensureStrategy(s: SparkSession): Unit = synchronized {
     val cur = s.experimental.extraStrategies
     if (!cur.contains(AsofJoinStrategy))
       s.experimental.extraStrategies = cur :+ AsofJoinStrategy
   }
 
+  /** As-of join `leftDf` to `rightDf`: every left row + the payload
+    * columns of the matched right row (backward: latest right time
+    * strictly before the left time; forward: earliest right time
+    * at-or-after), null-extended when no match. `rightTiebreak` names
+    * right columns that pin which equal-(key, time) right row wins —
+    * required for deterministic payloads when right rows can tie.
+    */
   def asofJoin(s: SparkSession, leftDf: DataFrame, rightDf: DataFrame,
-      key: String, time: String, rightTimeCol: String,
-      asOfName: String, forward: Boolean = false): DataFrame = {
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightTiebreak: Seq[String] = Nil,
+      forward: Boolean = false): DataFrame = {
     ensureStrategy(s)
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
@@ -232,9 +341,9 @@ object AsofJoinApi {
         throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name).mkString(", ")}"))
     val node = AsofJoin(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, time), attr(rPlan, rightTimeCol),
-      AttributeReference(asOfName, LongType, nullable = true)(), forward)
+      attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
+      rightTiebreak.map(attr(rPlan, _)), forward)
     org.apache.spark.sql.graft.DatasetBridge.ofRows(s, node)
   }
 

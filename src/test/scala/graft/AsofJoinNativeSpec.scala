@@ -3,19 +3,41 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** The native as-of join (graft.plans.AsofJoin: custom LogicalPlan +
-  * Strategy + merge-walk BinaryExecNode) must be row-identical to the
-  * window-spelled join_asof under any input partitioning, and must
-  * actually plan through the custom exec.
+  * Strategy + merge-walk BinaryExecNode) must agree with the
+  * window-spelled join_asof under any input partitioning, carry the
+  * matched right row's payload columns (the pandas merge_asof
+  * contract), handle non-Long key/time types, and must actually plan
+  * through the custom exec.
   */
 class AsofJoinNativeSpec extends SparkSpecBase {
 
-  private def rows(name: String) =
-    SparkEntry.queries(name)(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+  private def asofTimes(name: String, timeCol: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+      .select(col("event_id"), col(timeCol)).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
 
-  test("native as-of join equals the window spelling row for row") {
-    assert(rows("join_asof_native") == rows("join_asof"))
+  test("native as-of matched time equals the window spelling row for row") {
+    val win = asofTimes("join_asof", "last_signup_us")
+    val nat = asofTimes("join_asof_native", "last_signup_us")
+    assert(nat.nonEmpty && nat == win)
+  }
+
+  test("payload column is consistent: the matched signup exists at that time") {
+    // every non-null (last_signup_us, signup_event_id) pair must be a
+    // REAL signup row of the same user — the payload is the matched
+    // row, not a column mixed across rows
+    val signups = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = SparkEntry.queries("join_asof_native")(spark, sfDir)
+      .filter(col("last_signup_us").isNotNull).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val trip = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(signups.contains(trip), s"payload not a real signup row: $trip")
+    }
   }
 
   test("the plan contains AsofJoinExec (the custom strategy fired)") {
@@ -25,9 +47,9 @@ class AsofJoinNativeSpec extends SparkSpecBase {
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val sg = Tables.events(s2, sfDir)
       .filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts_us"))
+      .select(col("user_id").as("s_user_id"), col("ts_us").as("s_ts_us"))
     val df = graft.plans.AsofJoinApi.asofJoin(s2, ev, sg,
-      "user_id", "ts_us", "ts_us", "asof_us")
+      "user_id", "s_user_id", "ts_us", "s_ts_us")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), s"custom exec missing:\n$plan")
     // EnsureRequirements must have inserted the co-partitioning
@@ -46,9 +68,9 @@ class AsofJoinNativeSpec extends SparkSpecBase {
       .select(col("event_id"), col("user_id"), col("ts_us"))
     val sg = Tables.events(s2, sfDir)
       .filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts_us"))
+      .select(col("user_id").as("s_user_id"), col("ts_us").as("s_ts_us"))
     val agg = graft.plans.AsofJoinApi.asofJoin(s2, ev, sg,
-        "user_id", "ts_us", "ts_us", "asof_us")
+        "user_id", "s_user_id", "ts_us", "s_ts_us")
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
     val plan = agg.queryExecution.executedPlan.toString
     val nExchanges = "Exchange hashpartitioning".r
@@ -66,27 +88,31 @@ class AsofJoinNativeSpec extends SparkSpecBase {
         .repartition(lParts, col("event_id")) // WRONG key on purpose
       val sg = Tables.events(s2, sfDir)
         .filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts_us"))
+        .select(col("user_id").as("s_user_id"), col("ts_us").as("s_ts_us"),
+          col("event_id").as("s_event_id"))
         .repartition(rParts) // round-robin on purpose
       graft.plans.AsofJoinApi.asofJoin(s2, ev, sg,
-          "user_id", "ts_us", "ts_us", "asof_us")
+          "user_id", "s_user_id", "ts_us", "s_ts_us",
+          rightTiebreak = Seq("s_event_id"))
         .orderBy(col("event_id"))
         .collect().map(_.toString).toSeq
     }
     assert(run(7, 3) == run(1, 13))
   }
 
-  test("empty right side yields all-null as-of times") {
+  test("empty right side yields all-null right payloads") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
     import s2.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 200L))
       .toDF("event_id", "user_id", "ts_us")
-    val right = Seq.empty[(Long, Long)].toDF("user_id", "ts_us")
+    val right = Seq.empty[(Long, Long, String)]
+      .toDF("s_user_id", "s_ts_us", "tag")
     val got = graft.plans.AsofJoinApi.asofJoin(s2, left, right,
-        "user_id", "ts_us", "ts_us", "asof_us")
+        "user_id", "s_user_id", "ts_us", "s_ts_us")
       .orderBy("event_id").collect()
-    assert(got.length == 2 && got.forall(_.isNullAt(3)))
+    assert(got.length == 2 &&
+      got.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
   }
 
   test("forward direction matches the window spelling's next_us") {
@@ -97,10 +123,7 @@ class AsofJoinNativeSpec extends SparkSpecBase {
       .select(col("event_id"), col("next_us")).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) null else r.getLong(1))).toMap
-    val native = SparkEntry.queries("join_asof_native_fwd")(spark, sfDir)
-      .collect()
-      .map(r => r.getLong(0) ->
-        (if (r.isNullAt(3)) null else r.getLong(3))).toMap
+    val native = asofTimes("join_asof_native_fwd", "next_signup_us")
     assert(native.nonEmpty && native == win)
   }
 
@@ -110,15 +133,17 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     import s2.implicits._
     val left = Seq((1L, 5L, 100L), (2L, 5L, 101L), (3L, 5L, 300L))
       .toDF("event_id", "user_id", "ts_us")
-    val right = Seq((5L, 100L), (5L, 250L)).toDF("user_id", "ts_us")
+    val right = Seq((5L, 100L, "a"), (5L, 250L, "b"))
+      .toDF("s_user_id", "s_ts_us", "tag")
     val got = graft.plans.AsofJoinApi.asofJoin(s2, left, right,
-        "user_id", "ts_us", "ts_us", "next_us", forward = true)
+        "user_id", "s_user_id", "ts_us", "s_ts_us", forward = true)
       .orderBy("event_id").collect()
       .map(r => (r.getLong(0),
-        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
-    // t=100 matches the equal-time 100; t=101 skips it (already past)
-    // and takes 250; t=300 has nothing ahead
-    assert(got == Seq((1L, 100L), (2L, 250L), (3L, null)))
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getString(5))).toSeq
+    // t=100 matches the equal-time 100 (payload a); t=101 skips it
+    // (already past) and takes 250 (payload b); t=300 has nothing ahead
+    assert(got == Seq((1L, 100L, "a"), (2L, 250L, "b"), (3L, null, null)))
   }
 
   test("strict-before semantics: an equal-time right row does not match") {
@@ -127,15 +152,96 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     import s2.implicits._
     val left = Seq((1L, 5L, 100L), (2L, 5L, 101L), (3L, 6L, 100L))
       .toDF("event_id", "user_id", "ts_us")
-    val right = Seq((5L, 100L), (5L, 90L), (7L, 50L))
-      .toDF("user_id", "ts_us")
+    val right = Seq((5L, 100L, "x"), (5L, 90L, "y"), (7L, 50L, "z"))
+      .toDF("s_user_id", "s_ts_us", "tag")
     val got = graft.plans.AsofJoinApi.asofJoin(s2, left, right,
-        "user_id", "ts_us", "ts_us", "asof_us")
+        "user_id", "s_user_id", "ts_us", "s_ts_us")
       .orderBy("event_id").collect()
       .map(r => (r.getLong(0),
-        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
-    // t=100: only the 90 row is strictly before; t=101: the 100 row
-    // wins; user 6 has no right rows at all
-    assert(got == Seq((1L, 90L), (2L, 100L), (3L, null)))
+        if (r.isNullAt(4)) null else r.getLong(4),
+        if (r.isNullAt(5)) null else r.getString(5))).toSeq
+    // t=100: only the 90 row is strictly before (payload y); t=101:
+    // the 100 row wins (payload x); user 6 has no right rows at all
+    assert(got == Seq((1L, 90L, "y"), (2L, 100L, "x"), (3L, null, null)))
+  }
+
+  test("equal-time right rows resolve by the declared tiebreak, any partitioning") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val left = Seq((1L, 5L, 100L)).toDF("event_id", "user_id", "ts_us")
+    def run(parts: Int) = {
+      val right = Seq((5L, 90L, 7L, "first"), (5L, 90L, 9L, "second"),
+          (5L, 80L, 99L, "older"))
+        .toDF("s_user_id", "s_ts_us", "seq", "tag").repartition(parts)
+      graft.plans.AsofJoinApi.asofJoin(s2, left, right,
+          "user_id", "s_user_id", "ts_us", "s_ts_us",
+          rightTiebreak = Seq("seq"))
+        .select(col("tag")).collect().map(_.getString(0)).toSeq
+    }
+    // backward keeps the LAST row in (time, tiebreak) ascending order:
+    // among the two ts=90 ties, seq=9 wins, deterministically
+    assert(run(1) == Seq("second") && run(5) == Seq("second"))
+  }
+
+  test("non-Long types: string keys and timestamp times walk correctly") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(sec))
+    val left = Seq(("u1", ts(100), 1), ("u1", ts(200), 2), ("u2", ts(100), 3))
+      .toDF("k", "t", "n")
+    val right = Seq(("u1", ts(50), "a"), ("u1", ts(150), "b"),
+        ("u2", ts(500), "c"))
+      .toDF("rk", "rt", "tag")
+    val got = graft.plans.AsofJoinApi.asofJoin(s2, left, right,
+        "k", "rk", "t", "rt")
+      .orderBy("n").collect()
+      .map(r => (r.getInt(2), if (r.isNullAt(5)) null else r.getString(5)))
+      .toSeq
+    // u1@100 -> a (50); u1@200 -> b (150); u2@100 -> null (500 is after)
+    assert(got == Seq((1, "a"), (2, "b"), (3, null)))
+  }
+
+  test("with AQE on, the join is either correct or fails loudly — never silent") {
+    // the r9 alignment guard: AQE's stage re-planning may keep the
+    // two sides aligned (uniformly coalesced) — then the result must
+    // be right — or produce partitionings the exec can't verify, in
+    // which case it must throw its co-partitioning error instead of
+    // walking misaligned partitions
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    import s2.implicits._
+    val left = (1L to 100L).map(i => (i, i % 7, i * 10L))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = (1L to 50L).map(i => (i % 7, i * 17L, i))
+      .toDF("s_user_id", "s_ts_us", "seq")
+    val expected = {
+      val s3 = spark.newSession()
+      s3.conf.set("spark.sql.adaptive.enabled", "false")
+      import s3.implicits._
+      val l3 = (1L to 100L).map(i => (i, i % 7, i * 10L))
+        .toDF("event_id", "user_id", "ts_us")
+      val r3 = (1L to 50L).map(i => (i % 7, i * 17L, i))
+        .toDF("s_user_id", "s_ts_us", "seq")
+      graft.plans.AsofJoinApi.asofJoin(s3, l3, r3,
+          "user_id", "s_user_id", "ts_us", "s_ts_us",
+          rightTiebreak = Seq("seq"))
+        .orderBy("event_id").collect().map(_.toString).toSeq
+    }
+    try {
+      val got = graft.plans.AsofJoinApi.asofJoin(s2, left, right,
+          "user_id", "s_user_id", "ts_us", "s_ts_us",
+          rightTiebreak = Seq("seq"))
+        .orderBy("event_id").collect().map(_.toString).toSeq
+      assert(got == expected)
+    } catch {
+      case e: Throwable =>
+        val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+        assert(msgs.contains("co-partitioned"),
+          s"AQE failure was not the alignment guard: $msgs")
+    }
   }
 }
