@@ -161,6 +161,45 @@ object TextQueries {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // CCNet bucketing via SAMPLED thresholds (r9) — the 100 TB
+    // spelling of text_ccnet_buckets. The exact ntile(3) trisection
+    // sorts each WHOLE language in one task (a per-lang total-order
+    // window: correct, but the full-sort plan a 100 TB corpus cannot
+    // afford); the published CCNet recipe instead fits tercile CUTS on
+    // a sample and assigns buckets map-side. Here the sample is the
+    // deterministic 25% content-hash slice (the sample_hash split), the
+    // cuts are exact percentile_disc values over that sample — both
+    // engine-reproducible, so this stays oracle-paired where a
+    // percentile_approx spelling could not be — and assignment is a
+    // broadcast join + two comparisons: no total order, no per-lang
+    // sort, the only wide ops are the tiny per-lang cut aggregation
+    // and the final 15-row audit. Bucket boundaries differ slightly
+    // from the exact terciles (that is the recipe's documented
+    // trade), deterministically so.
+    "text_ccnet_sampled" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"),
+        substring(md5(col("text")), 1, 1).as("hx"))
+      val sc = lmScores(s, d).select(col("doc_id"), col("bits_mbits"))
+        .join(docs, "doc_id")
+      val cuts = sc.filter(col("hx") < "4")
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile_disc(0.3333333333333333) " +
+            "WITHIN GROUP (ORDER BY bits_mbits)").as("t1"),
+          expr("percentile_disc(0.6666666666666666) " +
+            "WITHIN GROUP (ORDER BY bits_mbits)").as("t2"))
+      sc.join(broadcast(cuts), "lang")
+        .withColumn("bucket",
+          when(col("bits_mbits") <= col("t1"), "head")
+            .when(col("bits_mbits") <= col("t2"), "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("bits_mbits")).as("min_mbits"),
+          max(col("bits_mbits")).as("max_mbits"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Language-ID: score text against each profile, pick argmax.
     // Tie-break (r7 review: the comment previously misstated it as
     // lang ASC): the descending struct sort compares (score, lang)
@@ -237,6 +276,40 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("score"),
           col("rk").cast("long").as("rk"))
         .orderBy(col("source"), col("rk"))
+    }),
+
+    // Top-30% gate via SAMPLED thresholds (r9) — the 100 TB spelling
+    // of text_quality_topfrac. The exact gate ranks each whole source
+    // in one per-source total-order window; at scale the gate is a
+    // per-source score THRESHOLD fitted on a sample and applied as a
+    // map-only filter. Threshold = exact percentile_disc(0.7) of the
+    // integer score over the deterministic 25% content-hash sample
+    // (≈ the top-30% cut), broadcast back, kept rows = score >= thr.
+    // Wide work is one tiny per-source aggregation; the corpus pass
+    // is embarrassingly parallel. Keeps slightly more or fewer than
+    // exactly 30% per source (ties and sampling error — the recipe's
+    // documented trade), deterministically in both engines.
+    "text_topfrac_sampled" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val stop = stopwordsCol
+      val scored = documents(s, d)
+        .withColumn("tok_cnt", size(toks).cast("long"))
+        .withColumn("stop_cnt",
+          size(filter(toks, t => array_position(stop, t) > 0)).cast("long"))
+        .withColumn("short_cnt",
+          size(filter(toks, t => length(t) <= lit(2))).cast("long"))
+        .withColumn("score", expr(
+          "20000 - stop_cnt * 10000 div tok_cnt - short_cnt * 10000 div tok_cnt"))
+        .select(col("doc_id"), col("source"), col("score"),
+          substring(md5(col("text")), 1, 1).as("hx"))
+      val cuts = scored.filter(col("hx") < "4")
+        .groupBy(col("source"))
+        .agg(expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY score)")
+          .as("thr"))
+      scored.join(broadcast(cuts), "source")
+        .filter(col("score") >= col("thr"))
+        .select(col("doc_id"), col("source"), col("score"))
+        .orderBy(col("source"), col("doc_id"))
     }),
 
     // Token counting: whitespace tokens, BPE-ish regex tokens (letter
@@ -702,6 +775,29 @@ object TextQueries {
         |  count(*) AS n_docs,
         |  min(bits_mbits) AS min_mbits, max(bits_mbits) AS max_mbits
         |FROM tiles GROUP BY lang, tile ORDER BY lang, bucket""".stripMargin,
+    // same 25% content-hash sample, same exact disc-quantile cuts,
+    // same broadcast-threshold assignment
+    "text_ccnet_sampled" ->
+      s"""WITH scores AS (
+        |$lmScoreSqlCore
+        |), j AS (
+        |  SELECT s.doc_id, d.lang, s.bits_mbits,
+        |    substr(md5(d.text), 1, 1) AS hx
+        |  FROM scores s JOIN documents d USING (doc_id)
+        |), cuts AS (
+        |  SELECT lang,
+        |    quantile_disc(bits_mbits, 0.3333333333333333) AS t1,
+        |    quantile_disc(bits_mbits, 0.6666666666666666) AS t2
+        |  FROM j WHERE hx < '4' GROUP BY lang
+        |)
+        |SELECT j.lang,
+        |  CASE WHEN bits_mbits <= t1 THEN 'head'
+        |       WHEN bits_mbits <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  min(bits_mbits) AS min_mbits, max(bits_mbits) AS max_mbits
+        |FROM j JOIN cuts USING (lang)
+        |GROUP BY j.lang, bucket ORDER BY lang, bucket""".stripMargin,
     // Same literal constants (2.2, 1.2, 0.25, 0.75), same one-ln
     // formula, same per-term micro-unit rounding before the integer
     // per-doc sum.
@@ -884,6 +980,31 @@ object TextQueries {
         |SELECT doc_id, source, score, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= (3 * n_src + 9) // 10
         |ORDER BY source, rk""".stripMargin,
+    // same integer score, same 25% sample, same disc-quantile 0.7
+    // threshold applied as a plain filter
+    "text_topfrac_sampled" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    substr(md5(text), 1, 1) AS hx
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, hx,
+        |    CAST(len(toks) AS BIGINT) AS tok_cnt,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','and','of','to'], t))) AS BIGINT) AS stop_cnt,
+        |    CAST(len(list_filter(toks, t -> len(t) <= 2)) AS BIGINT) AS short_cnt
+        |  FROM t
+        |), sc AS (
+        |  SELECT doc_id, source, hx,
+        |    20000 - stop_cnt * 10000 // tok_cnt - short_cnt * 10000 // tok_cnt AS score
+        |  FROM c
+        |), cuts AS (
+        |  SELECT source, quantile_disc(score, 0.7) AS thr
+        |  FROM sc WHERE hx < '4' GROUP BY source
+        |)
+        |SELECT doc_id, sc.source, score
+        |FROM sc JOIN cuts USING (source)
+        |WHERE score >= thr
+        |ORDER BY source, doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
