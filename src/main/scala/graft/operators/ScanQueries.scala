@@ -272,6 +272,57 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // Avro round-trip (r9): the row-oriented interchange format
+    // (Kafka/streaming-ingest lingua franca). Spark 4 ships the full
+    // AvroFileFormat inside spark-sql, but lookupDataSource
+    // special-cases the short name "avro" with a deploy-the-module
+    // error before consulting the classpath — the fully-qualified
+    // class name reaches the same (complete) implementation.
+    // ROW-LEVEL oracle against the original parquet — every nation
+    // row must survive parquet → avro → read byte-exactly, a
+    // stronger contract than the count-shaped csv/json/orc
+    // round-trips.
+    "scan_avro_roundtrip" -> ((s, d) => {
+      val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val dir = graft.TempDirs.scoped("avro", d)
+      nation(s, d).write.mode("overwrite").format(avroFmt).save(dir)
+      s.read.schema(nationSchema).format(avroFmt).load(dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // JDBC round-trip (r9): the operational-database source/sink every
+    // batch ETL pipeline eventually lands in, exercised against the
+    // EMBEDDED Derby engine that ships on the Spark classpath (no
+    // external server in the sandbox — the operator is the jdbc
+    // datasource write+read path itself: type mapping, overwrite DDL,
+    // partition-batched inserts). Staging writeOnce per (JVM, sf);
+    // ROW-LEVEL oracle against the original parquet proves the
+    // Spark→SQL-types→Spark round-trip lossless. At 100 TB a JDBC
+    // table is a DIMENSION side: read once, broadcast — never the
+    // fact side (numPartitions/partitionColumn exist for parallel
+    // reads of bigger tables; Derby here stands in for any
+    // JDBC-reachable RDBMS).
+    "scan_jdbc_roundtrip" -> ((s, d) => {
+      val dbDir = graft.TempDirs.scoped("derbydb", d)
+      // keep Derby's engine log out of the process cwd
+      System.setProperty("derby.stream.error.file", s"$dbDir/derby.log")
+      val url = s"jdbc:derby:$dbDir/graftdb;create=true"
+      val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+      graft.TempDirs.writeOnce("derbydb" + d) {
+        nation(s, d).write.mode("overwrite").format("jdbc")
+          .option("url", url).option("dbtable", "nation_rt")
+          .option("driver", driver).save()
+      }
+      s.read.format("jdbc")
+        .option("url", url).option("dbtable", "nation_rt")
+        .option("driver", driver).load()
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"),
+          col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Raw text-lines round-trip (r5): the remaining first-class Spark
     // source format (spark.read.text) — the shape of every
     // plain-text/WET crawl shard a training pipeline ingests. Document
@@ -444,6 +495,12 @@ object ScanQueries {
     "scan_orc_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // row-level: the avro write+read must be lossless per row
+    "scan_avro_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // row-level: the jdbc type-mapped write+read must be lossless
+    "scan_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "scan_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
