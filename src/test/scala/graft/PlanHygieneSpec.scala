@@ -27,6 +27,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows",
     "text_lm_score" -> "single-row vocab-size frame crossed onto the scorer",
     "text_ccnet_buckets" -> "inherits text_lm_score's single-row vocab cross (shared lmScores pipeline)",
+    "text_ccnet_sampled" -> "inherits text_lm_score's single-row vocab cross (shared lmScores pipeline)",
     "text_bm25_topk" -> "single-row corpus-stats frame crossed onto postings",
     "graph_pagerank" -> "single-row node-count frame crossed onto the node list",
     "mix_temperature" -> "single-row max-count frame crossed onto the rate table",
