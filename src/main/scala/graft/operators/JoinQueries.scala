@@ -151,6 +151,45 @@ object JoinQueries {
         .orderBy(col("band"))
     }),
 
+    // Interval-OVERLAP join (r9): interval set × interval set, pairs
+    // where [a_s, a_e] and [b_s, b_e] intersect — the temporal-overlap
+    // primitive (session×campaign, outage×job, version-validity
+    // joins). join_range_binned covers point-in-interval; this is the
+    // interval×interval case. Same binning recipe at a coarser tile:
+    // each interval explodes to the week tiles it touches, the join is
+    // an EQUI join on tile with the exact overlap predicate as a
+    // residual, and `distinct` collapses pairs that share several
+    // tiles. O(n·tiles + true pairs), never the nested loop Spark
+    // would otherwise plan for a pure theta overlap. Both sides are
+    // deterministic key-filtered slices of orders with key-derived
+    // interval lengths (the fixture has one date column; the shape is
+    // what is exercised). Plan-asserted: no BNLJ/CartesianProduct.
+    "join_interval_overlap" -> ((s, d) => {
+      val epoch = lit("1970-01-01")
+      def side(mod: Int, lenMod: Int, id: String, s0: String, e0: String) =
+        orders(s, d).filter(col("o_orderkey") % mod === 0)
+          .select(col("o_orderkey").as(id),
+            to_date(col("o_orderdate")).as(s0),
+            date_add(to_date(col("o_orderdate")),
+              (col("o_orderkey") % lenMod + 1).cast("int")).as(e0))
+      val a = side(97, 5, "a_id", "a_s", "a_e")
+        .withColumn("tile", explode(sequence(
+          floor(datediff(col("a_s"), epoch) / 7),
+          floor(datediff(col("a_e"), epoch) / 7))))
+      val b = side(89, 7, "b_id", "b_s", "b_e")
+        .withColumn("tile", explode(sequence(
+          floor(datediff(col("b_s"), epoch) / 7),
+          floor(datediff(col("b_e"), epoch) / 7))))
+      a.join(b, Seq("tile"))
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .select(col("a_id"), col("b_id"),
+          (datediff(least(col("a_e"), col("b_e")),
+            greatest(col("a_s"), col("b_s"))) + 1).cast("long")
+            .as("overlap_days"))
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Null-safe equi join (r8): `<=>` (EqualNullSafe) — NULL keys
     // MATCH each other instead of silently dropping, the semantics a
     // dimension join needs when the "unknown" bucket is a real
@@ -573,6 +612,25 @@ object JoinQueries {
         |   WHERE s.user_id = e.user_id AND s.event_type = 'signup'
         |     AND epoch_us(s.ts) < epoch_us(e.ts)) AS last_signup_us
         |FROM events e ORDER BY e.event_id""".stripMargin,
+    // plain theta overlap join — DuckDB's IEJoin evaluates it without
+    // the tiling, which exists on the Spark side for plan shape only
+    "join_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id, CAST(o_orderdate AS DATE) AS a_s,
+        |    CAST(o_orderdate AS DATE)
+        |      + CAST(o_orderkey % 5 + 1 AS INTEGER) AS a_e
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), b AS (
+        |  SELECT o_orderkey AS b_id, CAST(o_orderdate AS DATE) AS b_s,
+        |    CAST(o_orderdate AS DATE)
+        |      + CAST(o_orderkey % 7 + 1 AS INTEGER) AS b_e
+        |  FROM orders WHERE o_orderkey % 89 = 0
+        |)
+        |SELECT a_id, b_id,
+        |  CAST(datediff('day', greatest(a_s, b_s), least(a_e, b_e)) + 1
+        |    AS BIGINT) AS overlap_days
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_id, b_id""".stripMargin,
     // IS NOT DISTINCT FROM — SQL's spelling of the null-safe equality
     "join_null_safe" ->
       """SELECT n.n_name, count(*) AS n_cust

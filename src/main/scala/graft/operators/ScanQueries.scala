@@ -272,6 +272,21 @@ object ScanQueries {
         .orderBy(col("n_regionkey"))
     }),
 
+    // XML round-trip (r9): the remaining first-class Spark 4 file
+    // format (native XML source since 4.0 — XmlFileFormat is
+    // service-registered, unlike avro). Row-level oracle against the
+    // original parquet, same contract as the avro/jdbc round-trips.
+    "scan_xml_roundtrip" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("xmlsrc", d)
+      nation(s, d).write.mode("overwrite")
+        .option("rootTag", "nations").option("rowTag", "nation")
+        .format("xml").save(dir)
+      s.read.schema(nationSchema).option("rowTag", "nation")
+        .format("xml").load(dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Avro round-trip (r9): the row-oriented interchange format
     // (Kafka/streaming-ingest lingua franca). Spark 4 ships the full
     // AvroFileFormat inside spark-sql, but lookupDataSource
@@ -495,6 +510,9 @@ object ScanQueries {
     "scan_orc_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // row-level: the xml write+read must be lossless per row
+    "scan_xml_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     // row-level: the avro write+read must be lossless per row
     "scan_avro_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",

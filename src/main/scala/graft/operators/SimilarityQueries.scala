@@ -485,6 +485,40 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // Exact embedding covariance (r9): the d×d second-moment table —
+    // the whitening/PCA-prep statistic every embedding pipeline
+    // computes before dimensionality work. Components quantize to
+    // milli-units (part of the operator contract, deterministic), so
+    // the upper-triangle covariance NUMERATOR n·ΣXᵢXⱼ − ΣXᵢ·ΣXⱼ is
+    // exact BIGINT arithmetic — associative, partitioning-invariant,
+    // byte-identical cross-engine where a double accumulation would
+    // hash-diverge. Shape: posexplode to (vec, dim, q), equi
+    // self-join on vec_id (64×64 fan-out per vector), one map-combined
+    // aggregate to d(d+1)/2 = 2080 rows. At 100 TB this is the
+    // map-side-combine pattern: per-partition partial Gram matrices,
+    // one tiny final reduce — the join fan-out streams, never
+    // materializes.
+    "emb_covariance" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
+          .as("q"))
+        .select(col("vec_id"), posexplode(col("q")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("qv"))
+      val a = q.select(col("vec_id"), col("i"), col("qv").as("qi"))
+      val b = q.select(col("vec_id"), col("i").as("j"), col("qv").as("qj"))
+      a.join(b, Seq("vec_id"))
+        .filter(col("i") <= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("qi") * col("qj")).as("s_ij"),
+          sum(col("qi")).as("s_i"), sum(col("qj")).as("s_j"),
+          count(lit(1)).as("n"))
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num"),
+          col("n"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     "ann_pq_topk" -> ((s, d) =>
       embeddings(s, d)
         // fused codegen'd encode (graft.functions.PqEncodeExpr): one
@@ -954,6 +988,22 @@ object SimilarityQueries {
          |SELECT label, count(*) AS n_vecs,
          |  min(sq) AS min_sq, max(sq) AS max_sq
          |FROM s GROUP BY label ORDER BY label""".stripMargin,
+    // same milli quantization, same exact integer numerator; the CTE
+    // is consumed twice (self-join) so it must be MATERIALIZED, and
+    // the hugeint sums cast back to BIGINT for schema parity
+    "emb_covariance" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)
+        |)
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  CAST(count(*) * sum(a.qv * b.qv) - sum(a.qv) * sum(b.qv)
+        |    AS BIGINT) AS cov_num,
+        |  count(*) AS n
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
     // Same literal codebook/query (Double.toString round-trips), same
     // ordered-fold subspace distances, same first-minimum argmin, same
     // m-ordered ADC sum — bit-identical before the micro-unit round.

@@ -26,8 +26,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "ann_ivf_built_topk" -> "k=8-centroid broadcast fan-out per vector",
     "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows",
     "text_lm_score" -> "single-row vocab-size frame crossed onto the scorer",
-    "text_ccnet_buckets" -> "inherits text_lm_score's single-row vocab cross (shared lmScores pipeline)",
-    "text_ccnet_sampled" -> "inherits text_lm_score's single-row vocab cross (shared lmScores pipeline)",
+    // (the ccnet bucketing ops read the r9 lm_scores ARTIFACT, so the
+    // vocab cross no longer appears in their measured plans)
     "text_bm25_topk" -> "single-row corpus-stats frame crossed onto postings",
     "graph_pagerank" -> "single-row node-count frame crossed onto the node list",
     "mix_temperature" -> "single-row max-count frame crossed onto the rate table",
