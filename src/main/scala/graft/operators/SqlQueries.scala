@@ -252,6 +252,23 @@ object SqlQueries {
                AS sum_qty
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus""")
+    }),
+
+    // GROUP BY ALL (r9): the analyzer infers the grouping set from the
+    // non-aggregate select items — the DuckDB-pioneered shorthand
+    // Spark 4 adopted; the SAME SQL text (modulo view name) runs in
+    // both engines, so this operator is oracle-paired on the literal
+    // feature, not a desugared equivalent. The plan is the ordinary
+    // partial+final hash aggregate (syntax layer only).
+    "sql_group_by_all" -> ((s, d) => {
+      val v = views(s, d)
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE)
+            AS sum_qty
+        FROM lineitem_v_$v
+        GROUP BY ALL
+        ORDER BY ALL""")
     })
   )
 
@@ -335,6 +352,13 @@ object SqlQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the literal feature: DuckDB runs the same GROUP BY ALL text
+    "sql_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin
   )
 }
