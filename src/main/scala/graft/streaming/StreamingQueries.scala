@@ -31,6 +31,13 @@ object StreamingQueries {
   case class Ev(event_id: Long, ts_us: Long, user_id: Long,
                 event_type: String, value: Double)
 
+  /** Ev plus the TimestampType column the watermark (and so event-time
+    * timers) attaches to.
+    */
+  case class EvW(event_id: Long, ts_us: Long, user_id: Long,
+                 event_type: String, value: Double,
+                 ts_ts: java.sql.Timestamp)
+
   /** Per-user running money sum via the Spark 4 `transformWithState`
     * StatefulProcessor API (typed ValueState, RocksDB state store).
     * Value is kept in exact cents (long) so the emitted running totals
@@ -47,6 +54,49 @@ object StreamingQueries {
       val s = (if (sum.exists()) sum.get() else 0L) + add
       sum.update(s)
       Iterator((user, s))
+    }
+  }
+
+  /** Event-time-TIMER processor (r9): per-user inactivity close. Each
+    * input batch folds (n, cents, max event ms) into ValueState and
+    * moves the user's single inactivity timer to maxSeen + 30 min
+    * (delete-then-register — at most one live timer per key); when the
+    * WATERMARK passes a timer, `handleExpiredTimer` emits the user's
+    * closed totals and clears the state. The timer surface is the
+    * point: output is produced by TIME passing, not by input arriving —
+    * the session-timeout/SLA-alarm primitive mapGroupsWithState spelled
+    * with setTimeoutTimestamp and Spark 4's API spells this way.
+    */
+  private class InactivityClose
+      extends StatefulProcessor[Long, EvW, (Long, Long, Long)] {
+    @transient private var agg: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Long, Long)]("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+    private def timerAt(maxMs: Long): Long = maxMs + 30L * 60 * 1000
+    override def handleInputRows(user: Long, rows: Iterator[EvW],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, c, m) =
+        if (agg.exists()) agg.get() else (0L, 0L, Long.MinValue)
+      val hadState = n > 0
+      rows.foreach { e =>
+        n += 1
+        c += math.round(e.value * 100)
+        m = math.max(m, e.ts_us / 1000)
+      }
+      if (hadState) getHandle.deleteTimer(timerAt(agg.get()._3))
+      agg.update((n, c, m))
+      getHandle.registerTimer(timerAt(m))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+      if (agg.exists()) {
+        val (n, c, _) = agg.get()
+        agg.clear()
+        Iterator((user, n, c))
+      } else Iterator.empty
     }
   }
 
@@ -528,6 +578,49 @@ object StreamingQueries {
       out.groupBy(col("user_id"))
         .agg(max(col("cents_running")).as("total_cents"))
         .orderBy(col("user_id"))
+    }),
+
+    // Event-time TIMERS on transformWithState (r9): per-user
+    // inactivity close — totals are EMITTED BY THE WATERMARK passing
+    // the user's 30-min inactivity timer, not by rows arriving (the
+    // session-timeout/SLA-alarm primitive; TimeMode.EventTime +
+    // registerTimer/handleExpiredTimer, the Spark 4 replacement for
+    // mapGroupsWithState's setTimeoutTimestamp). Replayed as ONE
+    // AvailableNow batch (the stream_stream_join discipline) so every
+    // row folds into state before any watermark movement, then the
+    // trailing no-data batch advances the watermark to
+    // global-max − 10 min and fires exactly the timers at or before
+    // it: emitted = users whose last activity is ≥ 30 min before
+    // that watermark, each with complete totals — deterministic
+    // regardless of file pickup. Users active near stream end stay
+    // open (their timer is beyond the final watermark): exactly the
+    // semantics a live pipeline has, and the oracle reproduces the
+    // threshold in ms watermark arithmetic.
+    "stream_tws_timers" -> ((s0, d) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s.implicits._
+      implicit val outEnc: Encoder[(Long, Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong)
+      val src = s.readStream
+        .schema(Encoders.product[Ev].schema)
+        .parquet(plainEventsDir(s0, d))
+        .withColumn("ts_ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_ts", "10 minutes")
+        .as[EvW]
+      val q = src.groupByKey(_.user_id)
+        .transformWithState(new InactivityClose, TimeMode.EventTime(),
+          OutputMode.Append())
+        .toDF("user_id", "n_events", "sum_cents")
+        .writeStream.format("memory").queryName("graft_sink_timers")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table("graft_sink_timers").orderBy(col("user_id"))
     })
   )
 
@@ -581,6 +674,26 @@ object StreamingQueries {
         |  value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // the timer threshold in the same ms watermark arithmetic the
+    // engine uses: watermark = global max (ms) − 10 min; a user's
+    // inactivity timer (last activity ms + 30 min) fires iff it is at
+    // or before that watermark, emitting the COMPLETE per-user totals
+    "stream_tws_timers" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |), mx AS (
+        |  SELECT max(tus) // 1000 - 600000 AS wm_ms FROM e
+        |), u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(v * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    max(tus) // 1000 AS umax_ms
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT user_id, n_events, sum_cents
+        |FROM u, mx WHERE umax_ms + 1800000 <= wm_ms
+        |ORDER BY user_id""".stripMargin,
     "stream_sink_parquet" ->
       """SELECT user_id, count(*) AS n_purchases,
         |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents
