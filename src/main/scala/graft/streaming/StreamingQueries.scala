@@ -4,7 +4,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY.md §2.I — Structured Streaming over `events`.
   *
@@ -97,6 +97,33 @@ object StreamingQueries {
         agg.clear()
         Iterator((user, n, c))
       } else Iterator.empty
+    }
+  }
+
+  /** MapState processor (r9): per-user event_type → count map — the
+    * keyed-sub-state surface of the Spark 4 API (ValueState and timer
+    * coverage live in RunningCents / InactivityClose). Each batch
+    * folds its rows into the map and re-emits the FULL updated map as
+    * (user, type, n) rows; counts are monotone, so the per-(user,
+    * type) max over Update-mode emissions is the final count under
+    * ANY file chunking (the stream_tws_running_sum discipline).
+    */
+  private class TypeCounts
+      extends StatefulProcessor[Long, Ev, (Long, String, Long)] {
+    @transient private var m: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { e =>
+        val k = e.event_type
+        val cur = if (m.containsKey(k)) m.getValue(k) else 0L
+        m.updateValue(k, cur + 1)
+      }
+      // snapshot + sort so the emission order is deterministic
+      m.iterator().map { case (k, v) => (user, k, v) }
+        .toSeq.sortBy(_._2).iterator
     }
   }
 
@@ -580,6 +607,29 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // MapState on transformWithState (r9): per-user event_type →
+    // count map on RocksDB — the keyed-sub-state API surface (one
+    // state row per (grouping key, map key) in the store, so a
+    // user's map never materializes except when iterated). Replayed
+    // file-source; per-(user, type) max over Update emissions is the
+    // final count (monotone), chunking-independent.
+    "stream_tws_map_counts" -> ((s, d) => {
+      val out = runFileStream(s, "graft_sink_twsmap", plainEventsDir(s, d),
+        OutputMode.Update(), rocksDb = true) { ds =>
+        import ds.sparkSession.implicits._
+        implicit val outEnc: Encoder[(Long, String, Long)] =
+          Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
+            Encoders.scalaLong)
+        ds.groupByKey(_.user_id)
+          .transformWithState(new TypeCounts, TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "event_type", "n_running")
+      }
+      out.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n_running")).as("n_events"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Event-time TIMERS on transformWithState (r9): per-user
     // inactivity close — totals are EMITTED BY THE WATERMARK passing
     // the user's 30-min inactivity timer, not by rows arriving (the
@@ -674,6 +724,10 @@ object StreamingQueries {
         |  value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    "stream_tws_map_counts" ->
+      """SELECT user_id, event_type, count(*) AS n_events FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     // the timer threshold in the same ms watermark arithmetic the
     // engine uses: watermark = global max (ms) − 10 min; a user's
     // inactivity timer (last activity ms + 30 min) fires iff it is at
