@@ -465,6 +465,47 @@ object AggQueries {
             "min_d", "max_d")))
         .orderBy(col("col_name"))),
 
+    // Declarative data-quality expectations (r9): the Deequ/dbt-tests
+    // shape — a rule set (not-null, unique, accepted-values, range,
+    // referential shape) evaluated over orders in ONE scan, one audit
+    // row per rule with its violation count and verdict. The 100 TB
+    // discipline: N expectations cost one pass (violation predicates
+    // are sums of codegen'd CASEs; uniqueness is count −
+    // count_distinct in the same Expand pass), never N table scans —
+    // the gate a pipeline runs before promoting a batch.
+    "profile_expectations" -> ((s, d) =>
+      orders(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("v_key_null"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("v_key_dup"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("v_price_pos"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("v_status_set"),
+          sum(when(col("o_orderdate") <
+              lit("1992-01-01").cast(TimestampType) ||
+              col("o_orderdate") >=
+              lit("1999-01-01").cast(TimestampType), 1L)
+            .otherwise(0L)).as("v_date_range"),
+          sum(when(col("o_custkey") <= 0, 1L).otherwise(0L))
+            .as("v_cust_fk"))
+        .select(expr(
+          "stack(6, " +
+            "'o_custkey_positive', v_cust_fk, " +
+            "'o_orderdate_in_range', v_date_range, " +
+            "'o_orderkey_not_null', v_key_null, " +
+            "'o_orderkey_unique', v_key_dup, " +
+            "'o_orderstatus_accepted', v_status_set, " +
+            "'o_totalprice_positive', v_price_pos)")
+          .as(Seq("rule", "n_violations")),
+          col("n").as("n_rows"))
+        .select(col("rule"), col("n_violations"),
+          (col("n_violations") === 0L).as("passed"), col("n_rows"))
+        .orderBy(col("rule"))),
+
     // Piggybacked metrics via Dataset.observe (r7): the CollectMetrics
     // API — aggregates accumulated ON THE SIDE of a pass that is
     // already running, the zero-extra-scan way a 100 TB pipeline
@@ -796,6 +837,35 @@ object AggQueries {
         |FROM b FULL OUTER JOIN c USING (bkt)""".stripMargin,
     // plain aggregate mirror — the observation must equal what a
     // dedicated scan computes
+    // same one-pass sums, reshaped by a VALUES join instead of stack
+    "profile_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_key_null,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_key_dup,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_price_pos,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_status_set,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate >= TIMESTAMP '1999-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_date_range,
+        |    CAST(sum(CASE WHEN o_custkey <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_cust_fk
+        |  FROM orders
+        |)
+        |SELECT r.rule, r.n_violations, r.n_violations = 0 AS passed,
+        |  a.n AS n_rows
+        |FROM a, LATERAL (VALUES
+        |  ('o_custkey_positive', a.v_cust_fk),
+        |  ('o_orderdate_in_range', a.v_date_range),
+        |  ('o_orderkey_not_null', a.v_key_null),
+        |  ('o_orderkey_unique', a.v_key_dup),
+        |  ('o_orderstatus_accepted', a.v_status_set),
+        |  ('o_totalprice_positive', a.v_price_pos))
+        |  AS r(rule, n_violations)
+        |ORDER BY r.rule""".stripMargin,
     "profile_observe" ->
       """SELECT count(*) AS n_rows, count(l_returnflag) AS n_flag,
         |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
