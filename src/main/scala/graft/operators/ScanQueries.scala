@@ -363,6 +363,29 @@ object ScanQueries {
         .orderBy(col("tok0"))
     }),
 
+    // GZIP-compressed text round-trip (r9): the compression-codec leg
+    // of the text path — real crawl shards (WET files) arrive gzipped,
+    // and the reader must split/decompress per FILE (gzip is not
+    // splittable: one file = one task, which is why crawl dumps ship
+    // as many medium files — documented scale contract). Same
+    // aggregate and oracle as scan_text_roundtrip, so the codec layer
+    // is proven transparent.
+    "scan_text_gzip" -> ((s, d) => {
+      val dir = graft.TempDirs.scoped("textgz", d)
+      graft.TempDirs.writeOnce("textgz" + d) {
+        documents(s, d).select(col("text"))
+          .write.mode("overwrite").option("compression", "gzip")
+          .text(dir)
+      }
+      s.read.text(dir)
+        .select(split(col("value"), " ").getItem(0).as("tok0"),
+          length(col("value")).as("len"))
+        .groupBy(col("tok0"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("len")).cast("long").as("sum_chars"))
+        .orderBy(col("tok0"))
+    }),
+
     // binaryFile source (r6): Spark's whole-file reader — the
     // ingestion path for multimodal corpora (images/audio/arbitrary
     // blobs land as one row per FILE with path/length/content, no
@@ -497,6 +520,12 @@ object ScanQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "scan_text_roundtrip" ->
+      """SELECT string_split(text, ' ')[1] AS tok0,
+        |  count(*) AS n_lines,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY tok0""".stripMargin,
+    // identical oracle: the gzip codec must be a transparent layer
+    "scan_text_gzip" ->
       """SELECT string_split(text, ' ')[1] AS tok0,
         |  count(*) AS n_lines,
         |  CAST(sum(len(text)) AS BIGINT) AS sum_chars

@@ -204,6 +204,46 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     assert(got == Seq((1, "a"), (2, "b"), (3, null)))
   }
 
+  test("random tables: native walk equals a Scala reference, both directions") {
+    // generated micro-tables with DENSE collisions (6 keys, 40 time
+    // values, duplicate (key, time) right rows) — the distributions
+    // the fixture never produces; reference = per-left-row max/min-by
+    // (time, seq) over a plain Scala filter
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 5L)
+      t <- Gen.chooseNum(0L, 39L)
+    } yield (k, t)
+    for (case_ <- 0 until 6; fwd <- Seq(false, true)) {
+      val left = sample(Gen.listOfN(30, rowGen), 1000L + case_)
+        .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = sample(Gen.listOfN(25, rowGen), 2000L + case_)
+        .zipWithIndex.map { case ((k, t), i) => (k, t, 100L + i) }
+      val got = graft.plans.AsofJoinApi.asofJoin(s2,
+          left.toDF("lid", "k", "t"),
+          right.toDF("rk", "rt", "seq"),
+          "k", "rk", "t", "rt", rightTiebreak = Seq("seq"),
+          forward = fwd)
+        .orderBy("lid").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+      val want = left.map { case (lid, k, t) =>
+        val cands = right.filter { case (rk, rt, _) =>
+          rk == k && (if (fwd) rt >= t else rt < t) }
+        lid -> (if (cands.isEmpty) None
+          else if (fwd) Some(cands.minBy(c => (c._2, c._3))._3)
+          else Some(cands.maxBy(c => (c._2, c._3))._3))
+      }.toMap
+      assert(got == want, s"case=$case_ forward=$fwd")
+    }
+  }
+
   test("with AQE on, the join is either correct or fails loudly — never silent") {
     // the r9 alignment guard: AQE's stage re-planning may keep the
     // two sides aligned (uniformly coalesced) — then the result must
