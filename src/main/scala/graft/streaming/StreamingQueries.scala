@@ -4,7 +4,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY.md §2.I — Structured Streaming over `events`.
   *
@@ -97,6 +97,33 @@ object StreamingQueries {
         agg.clear()
         Iterator((user, n, c))
       } else Iterator.empty
+    }
+  }
+
+  /** ListState processor (r9): per-user bounded recent-items
+    * retention — the serving-state shape ("last N events per
+    * entity"). State = the top-3 (ts, event_id) pairs so far; the
+    * top-k merge is associative, so the final state is
+    * chunking-independent, and each emission is the flattened
+    * desc-sorted pairs — element-wise monotone in every position and
+    * length, so the LEXICOGRAPHIC MAX over Update-mode emissions is
+    * the final retention (the array-typed analogue of the monotone
+    * running-sum discipline).
+    */
+  private class RecentTop3
+      extends StatefulProcessor[Long, Ev, (Long, Seq[Long])] {
+    @transient private var st: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(Long, Long)]("recent",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[(Long, Seq[Long])] = {
+      val existing = if (st.exists()) st.get().toSeq else Seq.empty
+      val merged = (existing ++ rows.map(e => (e.ts_us, e.event_id)))
+        .sortBy(p => (-p._1, -p._2)).take(3)
+      st.put(merged.toArray)
+      Iterator((user, merged.flatMap(p => Seq(p._1, p._2))))
     }
   }
 
@@ -607,6 +634,29 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // ListState on transformWithState (r9): per-user last-3 events by
+    // (event time, id) on RocksDB — bounded per-key retention, the
+    // feature-serving/session-replay state shape. The top-k merge is
+    // associative (chunking-independent final state) and emissions
+    // are positionally monotone, so the lexicographic MAX over
+    // Update emissions is the final answer — mirrored by the oracle's
+    // per-user rank-3 window.
+    "stream_tws_list_recent" -> ((s, d) => {
+      val out = runFileStream(s, "graft_sink_twslist", plainEventsDir(s, d),
+        OutputMode.Update(), rocksDb = true) { ds =>
+        import ds.sparkSession.implicits._
+        implicit val outEnc: Encoder[(Long, Seq[Long])] =
+          Encoders.product[(Long, Seq[Long])]
+        ds.groupByKey(_.user_id)
+          .transformWithState(new RecentTop3, TimeMode.None(),
+            OutputMode.Update())
+          .toDF("user_id", "top3")
+      }
+      out.groupBy(col("user_id"))
+        .agg(max(col("top3")).as("top3"))
+        .orderBy(col("user_id"))
+    }),
+
     // MapState on transformWithState (r9): per-user event_type →
     // count map on RocksDB — the keyed-sub-state API surface (one
     // state row per (grouping key, map key) in the store, so a
@@ -724,6 +774,21 @@ object StreamingQueries {
         |  value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // per-user rank-3 window, flattened in the same (ts desc, id
+    // desc) order the processor emits
+    "stream_tws_list_recent" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+        |), r AS (
+        |  SELECT user_id, tus, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  flatten(list([tus, event_id]
+        |    ORDER BY tus DESC, event_id DESC)) AS top3
+        |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tws_map_counts" ->
       """SELECT user_id, event_type, count(*) AS n_events FROM events
         |GROUP BY user_id, event_type
