@@ -321,6 +321,33 @@ object ScalarQueries {
           sha2(col("text"), 256).as("h_sha256"))
         .orderBy(col("doc_id"))),
 
+    // AES column-encryption round-trip (r9): encrypt the text column
+    // (AES-128-ECB — the DETERMINISTIC mode; GCM's random IV would
+    // make the ciphertext unhashable by design), decrypt it back, and
+    // emit proofs the oracle can mirror WITHOUT implementing AES:
+    // the PKCS5 ciphertext length is pure arithmetic over the
+    // plaintext byte count (ASCII fixture ⇒ len == octet_length,
+    // pinned by FixtureSchemaSpec), and the decrypted digest must
+    // equal the original text's digest — the at-rest
+    // PII-column-protection leg of a curation pipeline. ECB's
+    // determinism is also its weakness (equal blocks leak equality);
+    // production randomized modes are exactly the ones an exact
+    // oracle cannot pair, which is why the roundtrip is the contract
+    // here.
+    "fn_aes_roundtrip" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("cipher",
+          expr("aes_encrypt(text, '0123456789abcdef', 'ECB')"))
+        .select(col("doc_id"),
+          length(col("cipher")).cast("long").as("n_cipher_bytes"),
+          md5(expr(
+            "cast(aes_decrypt(cipher, '0123456789abcdef', 'ECB') as string)"))
+            .as("dec_md5"),
+          (expr(
+            "cast(aes_decrypt(cipher, '0123456789abcdef', 'ECB') as string)")
+            === col("text")).as("roundtrips"))
+        .orderBy(col("doc_id"))),
+
     // Parse a delimited string column with an explicit schema
     // (from_csv — embedded delimited payloads without a re-read).
     "fn_from_csv" -> ((s, d) =>
@@ -560,6 +587,14 @@ object ScalarQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, xored""".stripMargin,
     "fn_hash_digest" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // no AES needed: PKCS5 length is arithmetic, the decrypted digest
+    // is the original digest iff the round-trip is lossless
+    "fn_aes_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(16 * (len(text) // 16 + 1) AS BIGINT) AS n_cipher_bytes,
+        |  md5(text) AS dec_md5,
+        |  true AS roundtrips
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_from_csv" ->
       """SELECT c_custkey, c_custkey AS id, c_nationkey AS nk,

@@ -163,6 +163,33 @@ object TimeSeriesQueries {
     // from approx_percentile or a per-key sample and apply as a
     // map-only filter — the exact-disc form here is what makes the
     // operator oracle-pairable (same trade as agg_percentile_disc).
+    // Seasonal (hour-of-day) baseline + anomaly count (r9): the
+    // seasonality primitive of ops/metrics pipelines — fit a 24-row
+    // per-hour profile (count, exact cents sum, integer mean), then
+    // count per-hour events deviating from their hour's mean by more
+    // than 100% of it. The hour key is pure epoch integer arithmetic
+    // ((µs div 3600000000) % 24) — identical cross-engine, no
+    // timezone/calendar surface at all. Profile is a broadcast
+    // 24-row table; the scoring pass is map-only against it — the
+    // fit-small/apply-streaming shape every seasonal baseline has at
+    // 100 TB.
+    "ts_seasonal_profile" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(expr("(ts_us div 3600000000) % 24").as("hod"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val prof = ev.groupBy(col("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("sum_cents"))
+        .withColumn("mean_cents", expr("sum_cents div n_events"))
+      ev.join(broadcast(prof), "hod")
+        .groupBy(col("hod"), col("n_events"), col("mean_cents"))
+        .agg(sum(when(abs(col("cents") - col("mean_cents")) >
+            col("mean_cents"), 1L).otherwise(0L)).as("n_anomalous"))
+        .select(col("hod"), col("n_events"), col("mean_cents"),
+          col("n_anomalous"))
+        .orderBy(col("hod"))
+    }),
+
     "ts_outlier_mad" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("value"))
       val med = ev.groupBy(col("user_id")).agg(
@@ -457,6 +484,26 @@ object TimeSeriesQueries {
     // quantile_disc picks the same actual data values as Spark's
     // percentile_disc (the agg_percentile_disc precedent); dev and
     // the 3-MAD gate are the same IEEE ops on those values.
+    // same epoch-hour key, same exact integer cents and div mean
+    "ts_seasonal_profile" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), p AS (
+        |  SELECT hod, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY hod
+        |), m AS (
+        |  SELECT hod, n_events, sum_cents // n_events AS mean_cents
+        |  FROM p
+        |)
+        |SELECT m.hod, m.n_events, m.mean_cents,
+        |  CAST(sum(CASE WHEN abs(e.cents - m.mean_cents) > m.mean_cents
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+        |FROM e JOIN m ON e.hod = m.hod
+        |GROUP BY m.hod, m.n_events, m.mean_cents
+        |ORDER BY m.hod""".stripMargin,
     "ts_outlier_mad" ->
       """WITH e AS (
         |  SELECT user_id, value FROM events
