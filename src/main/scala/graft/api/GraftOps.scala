@@ -1,0 +1,167 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PARAMETERIZED library surface (r9): the engine's reusable
+  * curation primitives exposed over caller-named columns, so a user
+  * points them at their own tables instead of the test fixtures. Each
+  * function is the same expression tree as the corresponding
+  * oracle-verified `SparkEntry` operator — GraftOpsSpec asserts the
+  * equivalence ON the fixtures, so the facade inherits the DuckDB
+  * differential evidence rather than re-deriving it.
+  *
+  * Everything here is a narrow map, a broadcast-threshold join, or a
+  * banded candidate join — the per-operator scale notes live with the
+  * fixture queries (SURVEY §2) and apply unchanged.
+  */
+object GraftOps {
+
+  /** Native as-of join (backward/forward, payload-complete) — see
+    * [[graft.plans.AsofJoinApi.asofJoin]].
+    */
+  def asofJoin(s: SparkSession, left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightTiebreak: Seq[String] = Nil,
+      forward: Boolean = false): DataFrame =
+    graft.plans.AsofJoinApi.asofJoin(s, left, right, leftKeyCol,
+      rightKeyCol, leftTimeCol, rightTimeCol, rightTiebreak, forward)
+
+  /** Deterministic content-hash sample: keep rows whose md5(hashCol)
+    * first hex digit falls in the lowest `sixteenths`/16 of the hash
+    * space. Repeatable across runs, partitionings, and engines;
+    * disjoint samples come from disjoint digit ranges.
+    */
+  def hashSample(df: DataFrame, hashCol: String,
+      sixteenths: Int): DataFrame = {
+    require(sixteenths >= 1 && sixteenths <= 16,
+      s"sixteenths must be 1..16, got $sixteenths")
+    df.filter(substring(md5(col(hashCol)), 1, 1) <
+      java.lang.Integer.toHexString(sixteenths))
+  }
+
+  /** Content-hash-stable train/val/test split column: 256 uniform
+    * md5-prefix levels cut at ~80/10/10. A row never migrates between
+    * splits when the corpus around it changes.
+    */
+  def hashSplit(df: DataFrame, hashCol: String,
+      splitName: String = "split"): DataFrame =
+    df.withColumn(splitName, {
+      val h2 = substring(md5(col(hashCol)), 1, 2)
+      when(h2 < "cd", "train").when(h2 < "e7", "val").otherwise("test")
+    })
+
+  /** Integer-exact quality-score columns over a whitespace-tokenized
+    * text column: token count, mean token length (centi-chars),
+    * stopword and short-token ratios in basis points, and the
+    * tok_cnt>=20 && stop_bp<4000 gate.
+    */
+  def qualityScore(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stop = array(stopwords.map(lit): _*)
+    df.withColumn("tok_cnt", size(toks).cast("long"))
+      .withColumn("char_cnt",
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("stop_cnt",
+        size(filter(toks, t => array_position(stop, t) > 0)).cast("long"))
+      .withColumn("short_cnt",
+        size(filter(toks, t => length(t) <= lit(2))).cast("long"))
+      .withColumn("mean_tok_len_c", expr("char_cnt * 100 div tok_cnt"))
+      .withColumn("stop_bp", expr("stop_cnt * 10000 div tok_cnt"))
+      .withColumn("short_bp", expr("short_cnt * 10000 div tok_cnt"))
+      .withColumn("passes_gate",
+        col("tok_cnt") >= 20 && col("stop_bp") < 4000)
+      .drop("char_cnt", "stop_cnt", "short_cnt")
+  }
+
+  /** Token-count columns: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other chars), distinct tokens.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens",
+        size(split(col(textCol), " ")).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col(textCol),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long"))
+      .withColumn("distinct_tokens",
+        size(array_distinct(split(col(textCol), " "))).cast("long"))
+
+  /** Document-boundary token-budget packing: within each shard
+    * (`shardCol`), rows in `orderCol` order are assigned to bin
+    * floor(tokens_before / budget) — one window cumsum, no sequential
+    * loop; long documents simply start their own bins.
+    */
+  def packTokenBudget(df: DataFrame, shardCol: String, orderCol: String,
+      textCol: String, budget: Int = 4096): DataFrame =
+    df.withColumn("n_toks", size(split(col(textCol), " ")))
+      .withColumn("bin", expr(
+        s"(sum(n_toks) OVER (PARTITION BY $shardCol ORDER BY $orderCol " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks) div $budget"))
+
+  /** MinHash + LSH near-duplicate pairs over a text column: 3-word
+    * shingles → 64-bit hashed shingle sets → `numPerm`-permutation
+    * signature (codegen'd MinHashSigExpr) → `bands` band digests →
+    * band-bucket self-join → exact Jaccard (over the hashed sets) on
+    * cohabitants only. Returns distinct (id_a, id_b) with
+    * jaccard >= `jaccardMin`, id_a < id_b. Never all-pairs: candidate
+    * volume ∝ Σ bucket².
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 16, bands: Int = 4,
+      jaccardMin: Double = 0.4): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val rows = numPerm / bands
+    val sig = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("toks", split(col("__text"), " "))
+      .withColumn("shingles",
+        when(size(col("toks")) < 3, array(array_join(col("toks"), " ")))
+          .otherwise(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+      .withColumn("hset",
+        expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+      .withColumn("sig",
+        graft.functions.MinHashSigExpr.sig(col("hset"), numPerm))
+      .select(col("__id"), col("hset"), col("sig"))
+    val banded = sig.select(col("__id"), col("hset"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))))"))
+        .as(Seq("band", "band_sig")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_sig") === col("b.band_sig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        (size(array_intersect(col("a.hset"), col("b.hset")))
+          .cast("double") /
+          size(array_union(col("a.hset"), col("b.hset")))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardMin)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Per-entity bucket cuts fitted as EXACT disc-quantiles over the
+    * deterministic 25% content-hash sample — the scale-safe threshold
+    * recipe (fit small, apply map-side). Returns one row per entity
+    * with a `cuts` array aligned to `probs`. Join it back broadcast
+    * and compare.
+    */
+  def sampledQuantileCuts(df: DataFrame, entityCol: String,
+      valueCol: String, hashCol: String,
+      probs: Seq[Double]): DataFrame = {
+    val aggs = probs.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)")
+        .as(s"__c$i")
+    }
+    hashSample(df, hashCol, 4)
+      .groupBy(col(entityCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(entityCol),
+        array(probs.indices.map(i => col(s"__c$i")): _*).as("cuts"))
+  }
+}

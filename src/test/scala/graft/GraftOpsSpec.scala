@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The parameterized facade (graft.api.GraftOps) must reproduce the
+  * oracle-verified fixture operators exactly when pointed at the
+  * fixture columns — the facade inherits the DuckDB differential
+  * evidence through these equivalences instead of re-deriving it.
+  * Plus one run on a NON-fixture schema per function, proving the
+  * column parameterization is real.
+  */
+class GraftOpsSpec extends SparkSpecBase {
+  import graft.api.GraftOps
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("hashSample(4/16) reproduces sample_hash") {
+    val got = GraftOps.hashSample(docs, "text", 4)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("sample_hash")(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("hashSplit reproduces sample_split's audit") {
+    val got = GraftOps.hashSplit(docs, "text")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_toks"),
+        expr("bit_xor(doc_id)").as("id_xor"))
+      .orderBy(col("split")).collect().toSeq
+    val want = SparkEntry.queries("sample_split")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("qualityScore reproduces text_quality_score") {
+    val got = GraftOps.qualityScore(docs, "text")
+      .select(col("doc_id"), col("tok_cnt"), col("mean_tok_len_c"),
+        col("stop_bp"), col("short_bp"), col("passes_gate"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("text_quality_score")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("tokenCounts reproduces text_token_count") {
+    val got = GraftOps.tokenCounts(docs, "text")
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+        col("distinct_tokens"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("text_token_count")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("packTokenBudget reproduces pack_token_budget") {
+    val got = GraftOps.packTokenBudget(docs, "lang", "doc_id", "text")
+      .select(col("lang"), col("doc_id"), col("n_toks"), col("bin"))
+      .orderBy(col("lang"), col("doc_id")).collect().toSeq
+    val want = SparkEntry.queries("pack_token_budget")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("minhashCandidatePairs reproduces dedup_minhash") {
+    val got = GraftOps.minhashCandidatePairs(docs, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = SparkEntry.queries("dedup_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("sampledQuantileCuts matches text_topfrac_sampled's thresholds") {
+    val scored = GraftOps.qualityScore(docs, "text")
+      .withColumn("score",
+        lit(20000L) - col("stop_bp") - col("short_bp"))
+    val cuts = GraftOps.sampledQuantileCuts(scored, "source", "score",
+        "text", Seq(0.7))
+      .select(col("source"), element_at(col("cuts"), 1).as("thr"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue()).toMap
+    // the operator's kept set must be exactly {score >= thr} per source
+    val kept = SparkEntry.queries("text_topfrac_sampled")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.nonEmpty && cuts.nonEmpty)
+    kept.foreach { case (_, src, score) =>
+      assert(score >= cuts(src), s"kept row below the facade cut in $src")
+    }
+    val below = scored.select(col("doc_id"), col("source"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter { case (_, src, sc) => cuts.contains(src) && sc >= cuts(src) }
+    assert(below.length == kept.length,
+      "facade threshold keeps a different row count than the operator")
+  }
+
+  test("the facade works on a non-fixture schema (column names are real parameters)") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "completely different words here now"))
+      .toDF("rid", "body")
+    val pairs = GraftOps.minhashCandidatePairs(df, "rid", "body",
+        jaccardMin = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+    val q = GraftOps.qualityScore(df, "body")
+    assert(q.columns.contains("stop_bp") &&
+      q.count() == 3 && q.filter(col("tok_cnt") === 5).count() == 3)
+  }
+}
