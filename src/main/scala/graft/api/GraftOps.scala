@@ -145,6 +145,57 @@ object GraftOps {
       .distinct()
   }
 
+  /** Interval×interval OVERLAP join via week tiling: each side
+    * explodes to the 7-day tiles it touches, the join is an EQUI join
+    * on tile with the exact overlap residual, and `distinct` collapses
+    * pairs sharing several tiles — O(n·tiles + true pairs), never the
+    * nested loop Spark would plan for a raw theta overlap. Start/end
+    * columns must be DateType, ends inclusive. Returns all left
+    * columns + all right columns of the overlapping pairs, distinct.
+    */
+  def intervalOverlapJoin(left: DataFrame, leftStart: String,
+      leftEnd: String, right: DataFrame, rightStart: String,
+      rightEnd: String): DataFrame = {
+    val epoch = lit("1970-01-01")
+    def tiled(df: DataFrame, s0: String, e0: String) =
+      df.withColumn("__tile", explode(sequence(
+        floor(datediff(col(s0), epoch) / 7),
+        floor(datediff(col(e0), epoch) / 7))))
+    val outCols = (left.columns ++ right.columns).map(col).toSeq
+    tiled(left, leftStart, leftEnd)
+      .join(tiled(right, rightStart, rightEnd), Seq("__tile"))
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd))
+      .select(outCols: _*)
+      .distinct()
+  }
+
+  /** Exact integer covariance NUMERATORS of a float-vector column:
+    * components milli-quantized, upper-triangle n·ΣXᵢXⱼ − ΣXᵢ·ΣXⱼ as
+    * BIGINT — associative, partitioning-invariant. Returns (i, j,
+    * cov_num, n) with 1-based dims, i <= j. Divide by n² for the
+    * covariance itself.
+    */
+  def covarianceNumerators(df: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val q = df.select(col(idCol).as("__vid"), expr(
+        s"transform($vecCol, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
+        .as("q"))
+      .select(col("__vid"), posexplode(col("q")))
+      .select(col("__vid"), (col("pos") + 1).as("i"), col("col").as("qv"))
+    val a = q.select(col("__vid"), col("i"), col("qv").as("qi"))
+    val b = q.select(col("__vid"), col("i").as("j"), col("qv").as("qj"))
+    a.join(b, Seq("__vid"))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("s_ij"),
+        sum(col("qi")).as("s_i"), sum(col("qj")).as("s_j"),
+        count(lit(1)).as("n"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num"),
+        col("n"))
+  }
+
   /** Per-entity bucket cuts fitted as EXACT disc-quantiles over the
     * deterministic 25% content-hash sample — the scale-safe threshold
     * recipe (fit small, apply map-side). Returns one row per entity

@@ -96,6 +96,34 @@ class GraftOpsSpec extends SparkSpecBase {
       "facade threshold keeps a different row count than the operator")
   }
 
+  test("covarianceNumerators reproduces emb_covariance") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = GraftOps.covarianceNumerators(emb, "embedding", "vec_id")
+      .orderBy(col("i"), col("j")).collect().map(_.toString).toSeq
+    val want = SparkEntry.queries("emb_covariance")(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("intervalOverlapJoin reproduces join_interval_overlap's pairs") {
+    def side(mod: Int, lenMod: Int, id: String, s0: String, e0: String) =
+      Tables.orders(spark, sfDir).filter(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as(id),
+          to_date(col("o_orderdate")).as(s0),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % lenMod + 1).cast("int")).as(e0))
+    val got = GraftOps.intervalOverlapJoin(
+        side(97, 5, "a_id", "a_s", "a_e"), "a_s", "a_e",
+        side(89, 7, "b_id", "b_s", "b_e"), "b_s", "b_e")
+      .select(col("a_id"), col("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = SparkEntry.queries("join_interval_overlap")(spark, sfDir)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("the facade works on a non-fixture schema (column names are real parameters)") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon"),
