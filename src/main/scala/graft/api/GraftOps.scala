@@ -37,7 +37,12 @@ object GraftOps {
       sixteenths: Int): DataFrame = {
     require(sixteenths >= 1 && sixteenths <= 16,
       s"sixteenths must be 1..16, got $sixteenths")
-    df.filter(substring(md5(col(hashCol)), 1, 1) <
+    // 16/16 must be a no-op filter: toHexString(16) = "10" compares
+    // LEXICOGRAPHICALLY against single hex digits ("2" < "10" is
+    // false), so the full-sample case cannot go through the digit
+    // comparison at all
+    if (sixteenths == 16) df
+    else df.filter(substring(md5(col(hashCol)), 1, 1) <
       java.lang.Integer.toHexString(sixteenths))
   }
 

@@ -23,6 +23,13 @@ class GraftOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got == want)
   }
 
+  test("hashSample boundary fractions: 16/16 keeps everything, 1/16 a strict subset") {
+    val n = docs.count()
+    assert(GraftOps.hashSample(docs, "text", 16).count() == n)
+    val one = GraftOps.hashSample(docs, "text", 1).count()
+    assert(one > 0 && one < n)
+  }
+
   test("hashSplit reproduces sample_split's audit") {
     val got = GraftOps.hashSplit(docs, "text")
       .groupBy(col("split"))
