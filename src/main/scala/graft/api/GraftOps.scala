@@ -103,7 +103,7 @@ object GraftOps {
       textCol: String, budget: Int = 4096): DataFrame =
     df.withColumn("n_toks", size(split(col(textCol), " ")))
       .withColumn("bin", expr(
-        s"(sum(n_toks) OVER (PARTITION BY $shardCol ORDER BY $orderCol " +
+        s"(sum(n_toks) OVER (PARTITION BY `$shardCol` ORDER BY `$orderCol` " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks) div $budget"))
 
   /** MinHash + LSH near-duplicate pairs over a text column: 3-word
@@ -161,6 +161,9 @@ object GraftOps {
   def intervalOverlapJoin(left: DataFrame, leftStart: String,
       leftEnd: String, right: DataFrame, rightStart: String,
       rightEnd: String): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"rename overlapping columns before joining: ${overlap.mkString(", ")}")
     val epoch = lit("1970-01-01")
     def tiled(df: DataFrame, s0: String, e0: String) =
       df.withColumn("__tile", explode(sequence(
@@ -210,8 +213,10 @@ object GraftOps {
   def sampledQuantileCuts(df: DataFrame, entityCol: String,
       valueCol: String, hashCol: String,
       probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probs must be non-empty fractions in (0, 1), got $probs")
     val aggs = probs.zipWithIndex.map { case (p, i) =>
-      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)")
+      expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY `$valueCol`)")
         .as(s"__c$i")
     }
     hashSample(df, hashCol, 4)
