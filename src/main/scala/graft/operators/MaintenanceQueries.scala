@@ -175,6 +175,42 @@ object MaintenanceQueries {
           lit(SnapshotTable.versions(root).length.toLong))
     }),
 
+    // SHALLOW CLONE through the snapshot log (r9): a dev/test copy of
+    // a production table as ONE metadata commit — the clone's v1
+    // manifest references the source's data files verbatim (zero data
+    // copy at any table size), then diverges independently via its
+    // own append while the source stays byte-identical. Output is the
+    // proof row: source aggregate unchanged, clone aggregate = source
+    // + the appended slice (overlap rows counted twice — append is an
+    // append), and shared_files_ok asserts the clone's latest manifest
+    // still references every source file (zero-copy, checked
+    // structurally, not assumed). The clone's VACUUM can never sweep
+    // source files (containment guard in SnapshotTable.vacuum,
+    // SnapshotCommitSpec pins it).
+    "table_clone" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val src = graft.TempDirs.scoped("snapclsrc", d)
+      val dst = graft.TempDirs.scoped("snapcldst", d)
+      graft.TempDirs.writeOnce("snapcl" + d) {
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        SnapshotTable.commit(src, docs.filter(col("doc_id") % 2 === 0))
+        SnapshotTable.cloneTo(src, 1L, dst)
+        SnapshotTable.append(dst, docs.filter(col("doc_id") % 7 === 3))
+        ()
+      }
+      val srcFiles = SnapshotTable.manifestFiles(src, 1L).toSet
+      val cloneFiles = SnapshotTable
+        .manifestFiles(dst, SnapshotTable.latestVersion(dst).get).toSet
+      val sharedOk = srcFiles.subsetOf(cloneFiles)
+      val srcAgg = SnapshotTable.read(s, src)
+        .agg(count(lit(1)).as("n_src"), sum(col("n_chars")).as("sum_src"))
+      val dstAgg = SnapshotTable.read(s, dst)
+        .agg(count(lit(1)).as("n_clone"),
+          sum(col("n_chars")).as("sum_clone"))
+      srcAgg.crossJoin(dstAgg)
+        .withColumn("shared_files_ok", lit(sharedOk))
+    }),
+
     // Retention / VACUUM over the snapshot-commit log (r8, closing
     // the boundary's last maintenance exclusion): a three-version
     // table (deterministic %3/%6/%12 slices at pinned file counts
@@ -406,6 +442,25 @@ object MaintenanceQueries {
         |  CAST(4 AS BIGINT) AS latest_version,
         |  CAST(4 AS BIGINT) AS n_versions
         |FROM documents WHERE doc_id % 6 = 0""".stripMargin,
+    // clone proof recomputed from the change-log arithmetic: source =
+    // the even slice, clone = even slice + the %7=3 append (overlap
+    // counted twice); shared_files_ok is the structural zero-copy
+    // check, true by the clone protocol
+    "table_clone" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_src,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |     WHERE doc_id % 2 = 0) AS sum_src,
+        |  (SELECT count(*) FROM documents
+        |     WHERE doc_id % 2 = 0 OR doc_id % 7 = 3)
+        |    + (SELECT count(*) FROM documents
+        |       WHERE doc_id % 2 = 0 AND doc_id % 7 = 3) AS n_clone,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |     WHERE doc_id % 2 = 0 OR doc_id % 7 = 3)
+        |    + (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |       FROM documents
+        |       WHERE doc_id % 2 = 0 AND doc_id % 7 = 3) AS sum_clone,
+        |  true AS shared_files_ok""".stripMargin,
     // post-vacuum state recomputed from the change-log arithmetic:
     // latest = the %12 slice, two versions retained (oldest = 2), live
     // files = v2's 4 + v3's 2 pinned repartition counts

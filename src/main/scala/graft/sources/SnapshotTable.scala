@@ -48,6 +48,18 @@ object SnapshotTable {
 
   private val ManifestName = """v(\d+)\.json""".r
 
+  /** Manifest entry for an absolute file path: relative when the file
+    * lives under this root, absolute (normalized) otherwise — a
+    * shallow clone's foreign references must never be rewritten into
+    * `../`-laced pseudo-relative paths (r9: append/restore did, which
+    * made the same source file appear under two different strings).
+    */
+  private def manifestEntry(root: String, abs: String): String = {
+    val r = Paths.get(root).toAbsolutePath.normalize()
+    val p = Paths.get(abs).toAbsolutePath.normalize()
+    if (p.startsWith(r)) r.relativize(p).toString else p.toString
+  }
+
   /** All committed versions, ascending (empty for a fresh table). */
   def versions(root: String): Seq[Long] = {
     val dir = manifestDir(root)
@@ -73,8 +85,11 @@ object SnapshotTable {
     val arr = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalStateException(s"torn manifest $p: $json"))
       .group(1)
+    // normalized so the same physical file always surfaces as ONE
+    // string — manifest set arithmetic (vacuum refcounts, clone
+    // sharing checks) is string-keyed
     """"([^"]+)"""".r.findAllMatchIn(arr).map(_.group(1))
-      .map(rel => Paths.get(root).resolve(rel).toString).toSeq
+      .map(rel => Paths.get(root).resolve(rel).normalize().toString).toSeq
   }
 
   /** Commit `df` as the complete content of the table's next version;
@@ -161,7 +176,7 @@ object SnapshotTable {
     while (true) {
       val parent = latestVersion(root)
       val base = parent.map(v => manifestFiles(root, v)
-        .map(abs => Paths.get(root).relativize(Paths.get(abs)).toString))
+        .map(abs => manifestEntry(root, abs)))
         .getOrElse(Seq.empty)
       val files = base ++ fresh
       val v = parent.getOrElse(0L) + 1
@@ -187,7 +202,7 @@ object SnapshotTable {
     */
   def restore(root: String, v: Long): Long = {
     val files = manifestFiles(root, v)
-      .map(abs => Paths.get(root).relativize(Paths.get(abs)).toString)
+      .map(abs => manifestEntry(root, abs))
     var next = latestVersion(root).getOrElse(0L) + 1
     while (true) {
       val tmp = Files.createTempFile(manifestDir(root), ".commit", ".tmp")
@@ -201,6 +216,38 @@ object SnapshotTable {
         case _: FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
           next = math.max(next + 1, latestVersion(root).getOrElse(0L) + 1)
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** SHALLOW CLONE (r9): a new table at `dstRoot` whose v1 manifest
+    * references the source version's data files VERBATIM (as absolute
+    * paths — `manifestFiles`' root-resolve returns an absolute entry
+    * unchanged) — zero data copy, O(files) metadata, any table size.
+    * The clone then evolves independently: appends/commits add its own
+    * relative files next to the foreign absolute ones. The classic
+    * shallow-clone hazard (a clone's VACUUM sweeping the source's
+    * files) is structurally closed here: `vacuum` only ever deletes
+    * files UNDER its own root, so foreign references simply age out of
+    * the clone's manifests without touching the source.
+    */
+  def cloneTo(srcRoot: String, v: Long, dstRoot: String): Long = {
+    val files = manifestFiles(srcRoot, v) // absolute
+    Files.createDirectories(manifestDir(dstRoot))
+    var next = latestVersion(dstRoot).getOrElse(0L) + 1
+    while (true) {
+      val tmp = Files.createTempFile(manifestDir(dstRoot), ".commit", ".tmp")
+      Files.writeString(tmp,
+        s"""{"version":$next,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}""")
+      try {
+        Files.createLink(manifestPath(dstRoot, next), tmp)
+        Files.deleteIfExists(tmp)
+        return next
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          next = math.max(next + 1, latestVersion(dstRoot).getOrElse(0L) + 1)
       }
     }
     -1L // unreachable
@@ -224,8 +271,15 @@ object SnapshotTable {
     val victims = drop.flatMap(v => manifestFiles(root, v)).toSet -- keptFiles
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     var filesDeleted = 0
+    // containment guard (r9): only sweep files UNDER this root — a
+    // shallow clone's manifests reference the SOURCE table's files by
+    // absolute path, and a clone's vacuum must never reach into the
+    // source (the documented shallow-clone hazard, closed structurally)
+    val rootAbs = Paths.get(root).toAbsolutePath
     victims.foreach { f =>
-      if (Files.deleteIfExists(Paths.get(f))) filesDeleted += 1
+      val p = Paths.get(f)
+      if (p.toAbsolutePath.startsWith(rootAbs) && Files.deleteIfExists(p))
+        filesDeleted += 1
     }
     // sweep now-empty per-commit data dirs (cosmetic, keeps the table
     // dir from accumulating husks)

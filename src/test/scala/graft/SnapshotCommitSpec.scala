@@ -166,6 +166,30 @@ class SnapshotCommitSpec extends SparkSpecBase {
       .schema.fieldNames.toSeq == Seq("k", "a"))
   }
 
+  test("shallow clone is zero-copy, diverges independently, and its vacuum never touches the source") {
+    import spark.implicits._
+    val src = freshRoot("clsrc")
+    val dst = freshRoot("cldst")
+    SnapshotTable.commit(src, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v = SnapshotTable.cloneTo(src, 1L, dst)
+    assert(v == 1L)
+    // zero-copy: the clone's manifest references the SOURCE's files
+    assert(SnapshotTable.manifestFiles(dst, 1L).toSet ==
+      SnapshotTable.manifestFiles(src, 1L).toSet)
+    // divergence: append to the clone, source unchanged
+    SnapshotTable.append(dst, Seq((3L, "c")).toDF("k", "s"))
+    assert(SnapshotTable.read(spark, dst).count() == 3L)
+    assert(SnapshotTable.read(spark, src).count() == 2L)
+    // the containment guard: vacuum the clone down to a version that
+    // no longer references the source — the SOURCE's files must
+    // survive (the shallow-clone hazard, closed structurally)
+    SnapshotTable.commit(dst, Seq((9L, "z")).toDF("k", "s")) // v3: own files only
+    SnapshotTable.vacuum(dst, 1)
+    assert(SnapshotTable.read(spark, src).count() == 2L,
+      "clone vacuum deleted source data files")
+    assert(SnapshotTable.read(spark, dst).count() == 1L)
+  }
+
   test("an empty commit reads back as zero rows with the schema intact") {
     // Spark writes a schema-only part file for an empty df, so an
     // empty version is a first-class readable snapshot (a TRUNCATE),
