@@ -4,7 +4,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY.md §2.I — Structured Streaming over `events`.
   *
@@ -97,6 +97,30 @@ object StreamingQueries {
         agg.clear()
         Iterator((user, n, c))
       } else Iterator.empty
+    }
+  }
+
+  /** Initial-state processor (r9): warm-start migration — state is
+    * BOOTSTRAPPED from a batch table before the first micro-batch
+    * (handleInitialState), then the stream increments on top. The
+    * ×1000 weighting makes the bootstrap's contribution provably
+    * present in every emission (a processor that ignored the initial
+    * state would emit plain counts and hash-mismatch).
+    */
+  private class WarmStartCount
+      extends StatefulProcessorWithInitialState[Long, Ev, (Long, Long), Long] {
+    @transient private var score: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      score = getHandle.getValueState[Long]("score",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInitialState(user: Long, init: Long,
+                                    timers: TimerValues): Unit =
+      score.update(init * 1000L)
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val s = (if (score.exists()) score.get() else 0L) + rows.size
+      score.update(s)
+      Iterator((user, s))
     }
   }
 
@@ -634,6 +658,47 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Initial state on transformWithState (r9): the state-MIGRATION
+    // surface — per-user state bootstrapped from a BATCH table
+    // (signup counts ×1000) before micro-batch 1, then the stream
+    // (non-signup events, a disjoint staged source) increments on
+    // top. The weighting proves the bootstrap is live: emitted score
+    // = 1000·batch_signups + stream_events, which no stream-only
+    // counting can produce. Running sums are monotone, so max over
+    // Update emissions is final, chunking-independent. This is how a
+    // production pipeline moves from batch to streaming without
+    // replaying history — the state store starts where batch left
+    // off.
+    "stream_tws_initial_state" -> ((s0, d) => {
+      val srcDir = graft.TempDirs.scoped("stream_src_nosignup", d)
+      graft.TempDirs.writeOnce("stream_src_nosignup" + d) {
+        events(s0, d)
+          .filter(col("event_type") =!= "signup")
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(2, pmod(col("event_id"), lit(2)))
+          .write.mode("overwrite").parquet(srcDir)
+      }
+      val out = runFileStream(s0, "graft_sink_twsinit", srcDir,
+        OutputMode.Update(), rocksDb = true) { ds =>
+        import ds.sparkSession.implicits._
+        implicit val outEnc: Encoder[(Long, Long)] =
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+        val init = events(ds.sparkSession, d)
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).count()
+          .as[(Long, Long)]
+          .groupByKey(_._1).mapValues(_._2)
+        ds.groupByKey(_.user_id)
+          .transformWithState(new WarmStartCount, TimeMode.None(),
+            OutputMode.Update(), init)
+          .toDF("user_id", "score")
+      }
+      out.groupBy(col("user_id"))
+        .agg(max(col("score")).as("score"))
+        .orderBy(col("user_id"))
+    }),
+
     // ListState on transformWithState (r9): per-user last-3 events by
     // (event time, id) on RocksDB — bounded per-key retention, the
     // feature-serving/session-replay state shape. The top-k merge is
@@ -774,6 +839,20 @@ object StreamingQueries {
         |  value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
+    // users with >= 1 non-signup event, scored 1000·signups + rest —
+    // the exact warm-start algebra
+    "stream_tws_initial_state" ->
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS ns FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), o AS (
+        |  SELECT user_id, count(*) AS nn FROM events
+        |  WHERE event_type <> 'signup' GROUP BY user_id
+        |)
+        |SELECT o.user_id,
+        |  CAST(1000 * coalesce(s.ns, 0) + o.nn AS BIGINT) AS score
+        |FROM o LEFT JOIN s USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // per-user rank-3 window, flattened in the same (ts desc, id
     // desc) order the processor emits
     "stream_tws_list_recent" ->
