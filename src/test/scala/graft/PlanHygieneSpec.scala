@@ -31,7 +31,8 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_bm25_topk" -> "single-row corpus-stats frame crossed onto postings",
     "graph_pagerank" -> "single-row node-count frame crossed onto the node list",
     "mix_temperature" -> "single-row max-count frame crossed onto the rate table",
-    "agg_histogram" -> "single-row bin-total frame crossed onto the <=10 bins"
+    "agg_histogram" -> "single-row bin-total frame crossed onto the <=10 bins",
+    "table_clone" -> "1-row source aggregate crossed onto the 1-row clone aggregate"
   )
 
   private lazy val framesByQuery
