@@ -348,6 +348,24 @@ object ScalarQueries {
             === col("text")).as("roundtrips"))
         .orderBy(col("doc_id"))),
 
+    // Base64 round-trip (r9): the text→binary→base64 encode/decode leg
+    // of any wire/storage-format pipeline. This Spark build ships the
+    // legacy CHUNKED (MIME, CRLF every 76 chars) base64 encoder, so
+    // the canonical RFC 4648 form is recovered by stripping the fold
+    // breaks — the chunking is pure presentation, the octets are
+    // identical (unbase64 accepts both). The canonical STRING itself
+    // is hash-compared against DuckDB's to_base64 — not just length
+    // arithmetic — plus the decode-back digest proves losslessness.
+    // Pure map stage.
+    "fn_base64_roundtrip" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("b64",
+          regexp_replace(base64(col("text").cast("binary")), "\r\n", ""))
+        .select(col("doc_id"), col("b64"),
+          length(col("b64")).cast("long").as("n_b64_chars"),
+          md5(unbase64(col("b64")).cast("string")).as("dec_md5"))
+        .orderBy(col("doc_id"))),
+
     // Parse a delimited string column with an explicit schema
     // (from_csv — embedded delimited payloads without a re-read).
     "fn_from_csv" -> ((s, d) =>
@@ -595,6 +613,11 @@ object ScalarQueries {
         |  CAST(16 * (len(text) // 16 + 1) AS BIGINT) AS n_cipher_bytes,
         |  md5(text) AS dec_md5,
         |  true AS roundtrips
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_base64_roundtrip" ->
+      """SELECT doc_id, to_base64(encode(text)) AS b64,
+        |  CAST(len(to_base64(encode(text))) AS BIGINT) AS n_b64_chars,
+        |  md5(decode(from_base64(to_base64(encode(text))))) AS dec_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_from_csv" ->
       """SELECT c_custkey, c_custkey AS id, c_nationkey AS nk,

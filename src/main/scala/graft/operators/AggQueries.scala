@@ -364,6 +364,35 @@ object AggQueries {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    // Weighted median (r9): the importance-weighted selection
+    // primitive (data-mixing weights, token-count-weighted document
+    // stats). Per group, order values and take the smallest whose
+    // cumulative weight reaches half the total — all-integer (price
+    // cents BIGINT, integer quantities as weights, BIGINT cumulative
+    // window), so the hash match is exact by construction. Intra-tie
+    // row order inside the cumulative frame cannot change the
+    // selected VALUE (every row of a tie run carries the same cents).
+    // One group-keyed window + one partial agg; no global sort.
+    "agg_weighted_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+        col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("w"))
+      val tot = li.groupBy(col("l_returnflag"))
+        .agg(sum(col("w")).as("total_w"), count(lit(1)).as("n_rows"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("cum_w", sum(col("w")).over(cw))
+        .join(broadcast(tot), "l_returnflag")
+        .filter(col("cum_w") * 2 >= col("total_w"))
+        .groupBy(col("l_returnflag"), col("total_w"), col("n_rows"))
+        .agg(min(col("cents")).as("wmed_cents"))
+        .select(col("l_returnflag"), col("n_rows"), col("total_w"),
+          col("wmed_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Exact variance/stddev (r8): the var_samp/var_pop/stddev family
     // computed from INTEGER sufficient statistics (the agg_skew_kurt
     // technique) — Spark's built-in var_samp accumulates doubles in
@@ -740,6 +769,31 @@ object AggQueries {
         |  CAST(median(l_extendedprice) AS DOUBLE) AS med_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same all-integer cumulative-weight selection; the ROWS frame's
+    // intra-tie order cannot change the selected cents value
+    "agg_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,0)) AS BIGINT) AS w
+        |  FROM lineitem
+        |), tot AS (
+        |  SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_w,
+        |    count(*) AS n_rows
+        |  FROM li GROUP BY l_returnflag
+        |), cum AS (
+        |  SELECT l_returnflag, cents,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_w
+        |  FROM li
+        |)
+        |SELECT c.l_returnflag, t.n_rows, t.total_w,
+        |  min(c.cents) AS wmed_cents
+        |FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+        |WHERE c.cum_w * 2 >= t.total_w
+        |GROUP BY c.l_returnflag, t.n_rows, t.total_w
+        |ORDER BY c.l_returnflag""".stripMargin,
     // same exact integer sums, same division/sqrt order
     "agg_variance_exact" ->
       """WITH p AS (

@@ -269,6 +269,45 @@ object SqlQueries {
         FROM lineitem_v_$v
         GROUP BY ALL
         ORDER BY ALL""")
+    }),
+
+    // Inline VALUES table (r9): a literal lookup/decode table spliced
+    // into the query text and joined against a fixture table — the
+    // "small dim that lives in the SQL, not in storage" pattern
+    // (status-code decodes, enum labels). Catalyst plans the VALUES as
+    // a LocalRelation, so the join broadcasts it for free; at 100 TB
+    // the fact side streams map-side against the in-plan literal dim.
+    "sql_values_inline" -> ((s, d) => {
+      val v = views(s, d)
+      s.sql(s"""
+        SELECT v.rk, v.zone, count(*) AS n_nations
+        FROM nation_v_$v n
+        JOIN (SELECT * FROM VALUES
+            (0, 'alpha'), (1, 'beta'), (2, 'gamma'),
+            (3, 'delta'), (4, 'epsilon') AS t(rk, zone)) v
+          ON n.n_regionkey = v.rk
+        GROUP BY v.rk, v.zone
+        ORDER BY v.rk""")
+    }),
+
+    // DISTINCT ON semantics (r9): one argmax row per key — DuckDB has
+    // the literal `DISTINCT ON (key) ... ORDER BY key, tiebreak`
+    // surface; Spark's equivalent spelling is the rn=1 window slice.
+    // Both pick the SAME row because the ORDER BY is a total order
+    // (price DESC then orderkey ASC breaks all ties). One
+    // hash-partitioned window, no global sort: at 100 TB this is a
+    // single shuffle on o_custkey + per-partition sort, and the rn=1
+    // filter collapses each group before any downstream exchange.
+    "sql_distinct_on" -> ((s, d) => {
+      val v = views(s, d)
+      s.sql(s"""
+        SELECT o_custkey, o_orderkey, top_price FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice AS top_price,
+            row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders_v_$v)
+        WHERE rn = 1
+        ORDER BY o_custkey""")
     })
   )
 
@@ -359,6 +398,21 @@ object SqlQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ALL
-        |ORDER BY ALL""".stripMargin
+        |ORDER BY ALL""".stripMargin,
+    "sql_values_inline" ->
+      """SELECT v.rk, v.zone, count(*) AS n_nations
+        |FROM nation n
+        |JOIN (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'),
+        |  (3, 'delta'), (4, 'epsilon')) AS v(rk, zone)
+        |  ON n.n_regionkey = v.rk
+        |GROUP BY v.rk, v.zone
+        |ORDER BY v.rk""".stripMargin,
+    // DuckDB's literal DISTINCT ON surface; the tiebreak ORDER BY is a
+    // total order so it selects the identical row to Spark's rn=1.
+    "sql_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey)
+        |  o_custkey, o_orderkey, o_totalprice AS top_price
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin
   )
 }

@@ -190,6 +190,73 @@ object TimeSeriesQueries {
         .orderBy(col("hod"))
     }),
 
+    // Lag-1 autocorrelation per user (r9): the serial-dependence
+    // primitive of metrics/anomaly pipelines. Consecutive-pair
+    // sufficient statistics are EXACT BIGINT sums over milli-quantized
+    // cents (pair products ~1e10, sums ~1e14 — far under 2^63), cast
+    // to double only for the closed-form Pearson expression, which is
+    // then a fixed IEEE tree both engines evaluate identically (the
+    // agg_corr_exact argument). Degenerate users (zero variance on
+    // either side) are NULLed explicitly — IEEE inf/nan renderings
+    // differ across engines. One window shuffle on user_id + one
+    // partial-agg: at 100 TB the pairing is a per-key sorted walk,
+    // never a self-join.
+    "ts_autocorr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("x"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val st = ev
+        .withColumn("y", lead(col("x"), 1).over(w))
+        .filter(col("y").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+      st.select(col("user_id"), col("n").cast("long").as("n_pairs"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) === 0.0 ||
+               (col("n") * col("syy") - col("sy") * col("sy")) === 0.0, lit(null))
+            .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("lag1_corr"))
+        .orderBy(col("user_id"))
+    }),
+
+    // CUSUM changepoint statistic per user (r9): max |running sum of
+    // deviations from the user mean| — the classic drift detector.
+    // All-integer: cents, integer-div mean, BIGINT running sum (ROWS
+    // frame over the unique (ts_us, event_id) order), abs-max — zero
+    // float surface, so the hash match is exact by construction. Plan
+    // is one agg + one key-partitioned window on the same user_id
+    // hashing (Catalyst reuses the exchange); at 100 TB the window
+    // sort is per-key external sort, and the per-user mean join stays
+    // key-local.
+    "ts_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val m = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+        .withColumn("mean_cents", expr("sum_cents div n_events"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.join(m, "user_id")
+        .withColumn("cusum", sum(col("cents") - col("mean_cents")).over(w))
+        .groupBy(col("user_id"), col("n_events"), col("mean_cents"))
+        .agg(max(abs(col("cusum"))).as("max_abs_cusum"))
+        .select(col("user_id"), col("n_events"), col("mean_cents"),
+          col("max_abs_cusum"))
+        .orderBy(col("user_id"))
+    }),
+
     "ts_outlier_mad" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("value"))
       val med = ev.groupBy(col("user_id")).agg(
@@ -504,6 +571,56 @@ object TimeSeriesQueries {
         |FROM e JOIN m ON e.hod = m.hod
         |GROUP BY m.hod, m.n_events, m.mean_cents
         |ORDER BY m.hod""".stripMargin,
+    // exact BIGINT pair sums cast to double, then the identical IEEE
+    // closed form as Spark; degenerate variance explicitly NULL
+    "ts_autocorr" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    lead(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS y
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM e WHERE y IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n * sxx - sx * sx = 0.0 OR n * syy - sy * sy = 0.0
+        |    THEN NULL
+        |    ELSE (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
+        |    AS lag1_corr
+        |FROM s ORDER BY user_id""".stripMargin,
+    // all-integer CUSUM: cents, integer-div mean, ROWS-frame running
+    // sum over the unique (ts, event_id) order, abs-max
+    "ts_cusum" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY user_id
+        |), mm AS (
+        |  SELECT user_id, n_events, sum_cents // n_events AS mean_cents
+        |  FROM m
+        |), c AS (
+        |  SELECT e.user_id, mm.n_events, mm.mean_cents,
+        |    sum(e.cents - mm.mean_cents) OVER (
+        |      PARTITION BY e.user_id ORDER BY e.ts_us, e.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM e JOIN mm ON e.user_id = mm.user_id
+        |)
+        |SELECT user_id, n_events, mean_cents,
+        |  CAST(max(abs(cusum)) AS BIGINT) AS max_abs_cusum
+        |FROM c GROUP BY user_id, n_events, mean_cents
+        |ORDER BY user_id""".stripMargin,
     "ts_outlier_mad" ->
       """WITH e AS (
         |  SELECT user_id, value FROM events

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** Independent recomputations for the r9 selection/serial-stats wave:
+  * weighted median, lag-1 autocorrelation, CUSUM, DISTINCT ON, inline
+  * VALUES, and the base64 round-trip. Each test rebuilds the answer
+  * from collected fixture rows with plain Scala (no Spark operators),
+  * so a Spark-side plan bug and an oracle-side SQL bug cannot cancel.
+  */
+class SelectionStatsSpec extends SparkSpecBase {
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  test("agg_weighted_median matches a sort-and-scan recomputation") {
+    val got = SparkEntry.queries("agg_weighted_median")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice", "l_quantity")
+      .collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1)),
+        r.getDouble(2).toLong))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val totalW = rs.map(_._3).sum
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      val wmed = sorted.find { case (_, _, w) =>
+        cum += w; cum * 2 >= totalW
+      }.get._2
+      (flag, rs.length.toLong, totalW, wmed)
+    }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("ts_autocorr matches an ordered-fold recomputation (exact IEEE)") {
+    val got = SparkEntry.queries("ts_autocorr")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val byUser = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+      .groupBy(_._1)
+    val expected = byUser.flatMap { case (uid, rs) =>
+      val xs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      val pairs = xs.zip(xs.drop(1))
+      if (pairs.isEmpty) None
+      else {
+        val n = pairs.length.toDouble
+        val sx = pairs.map(_._1).sum.toDouble
+        val sy = pairs.map(_._2).sum.toDouble
+        val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+        val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+        val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+        val dx = n * sxx - sx * sx
+        val dy = n * syy - sy * sy
+        val corr = if (dx == 0.0 || dy == 0.0) None
+          else Some((n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy)))
+        Some(uid -> (pairs.length.toLong, corr))
+      }
+    }
+    assert(got == expected)
+  }
+
+  test("ts_cusum matches an all-integer recomputation") {
+    val got = SparkEntry.queries("ts_cusum")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    val byUser = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+      .groupBy(_._1)
+    val expected = byUser.map { case (uid, rs) =>
+      val xs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      val n = xs.length.toLong
+      val mean = Math.floorDiv(xs.sum, n) // both engines: positive sums
+      var cum = 0L
+      var maxAbs = 0L
+      xs.foreach { x => cum += x - mean; maxAbs = math.max(maxAbs, math.abs(cum)) }
+      (uid, n, mean, maxAbs)
+    }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("sql_distinct_on picks the argmax row per customer") {
+    val got = SparkEntry.queries("sql_distinct_on")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (_, rs) => rs.minBy(r => (-r._3, r._2)) }
+      .toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("sql_values_inline decodes region keys through the literal dim") {
+    val got = SparkEntry.queries("sql_values_inline")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val zones = Map(0 -> "alpha", 1 -> "beta", 2 -> "gamma",
+      3 -> "delta", 4 -> "epsilon")
+    val expected = Tables.nation(spark, sfDir)
+      .select("n_regionkey").collect()
+      .map(_.getAs[Number]("n_regionkey").intValue())
+      .groupBy(identity).map { case (rk, xs) =>
+        (rk, zones(rk), xs.length.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("fn_base64_roundtrip emits canonical RFC 4648 and decodes losslessly") {
+    val got = SparkEntry.queries("fn_base64_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val md = MessageDigest.getInstance("MD5")
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = r.getString(1).getBytes(StandardCharsets.UTF_8)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bytes)
+        val dig = md.digest(bytes).map("%02x".format(_)).mkString
+        (r.getLong(0), b64, b64.length.toLong, dig)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+}
