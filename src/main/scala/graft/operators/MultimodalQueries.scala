@@ -365,6 +365,35 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // JPEG frame metadata (r9): the LOSSY format leg — each doc's
+    // payload is encoded to a real JPEG by the JDK's own writer
+    // (independent implementation), then graft's marker walk
+    // (JpegDecoder.sofInfo, a real T.81 §B segment traversal — no
+    // fixed header offset exists in JPEG) recovers the SOF frame
+    // fields. The oracle reproduces width/height/precision/components
+    // as pure (doc_id, byte-length) arithmetic with zero JPEG code;
+    // pixel values are lossy and deliberately never surfaced. Binary
+    // stays partition-local (narrow mapPartitions), never shuffles.
+    "mm_jpeg_meta" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.map { case (id, payload) =>
+            val w = (16 + id % 17).toInt
+            val h = (payload.length + w - 1) / w
+            val jpeg = JpegDecoder.synthesize(w, h, payload)
+            val m = JpegDecoder.sofInfo(jpeg).get
+            (id, m.width.toLong, m.height.toLong, m.precision.toLong,
+              m.nComponents.toLong)
+          }
+        }
+        .toDF("doc_id", "width", "height", "precision", "n_components")
+        .orderBy(col("doc_id"))
+    }),
+
     // Perceptual-hash image dedup (r7): the classic average-hash
     // (aHash) near-dup detector over DECODED pixels — the image arm of
     // the dedup family (text dedups by MinHash/SimHash; images dedup
@@ -538,6 +567,19 @@ object MultimodalQueries {
         |  CAST(0 AS BIGINT) AS color_type,
         |  CAST(list_sum(vals) AS BIGINT) AS px_sum,
         |  CAST(list_sum(list_slice(vals, 1, least(w, n))) AS BIGINT) AS row0_sum
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // frame fields are (doc_id, byte-length) arithmetic; the Spark
+    // side recovers them from a REAL JDK-encoded JPEG via the marker
+    // walk — the oracle needs no JPEG code at all
+    "mm_jpeg_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    CAST(16 + doc_id % 17 AS BIGINT) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id, w AS width, (n + w - 1) // w AS height,
+        |  CAST(8 AS BIGINT) AS precision,
+        |  CAST(1 AS BIGINT) AS n_components
         |FROM d ORDER BY doc_id""".stripMargin,
     // Mirrors the aHash over the synthesis arithmetic: sample (ri,ci)
     // is payload byte (ri*h/8)*w + ci*w/8 (0 past the payload — the

@@ -344,6 +344,42 @@ object TextQueries {
             .as("distinct_tokens"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style quality rule set (r9, Rae et al. 2021 §A1.1 — the
+    // public pretraining-corpus filter recipe): per-doc verdicts for
+    // (1) word count in [20, 1000], (2) mean word length in [3, 10],
+    // (3) >= 2 distinct stopwords present, plus the conjunctive gate.
+    // The stopword set is the fixture vocabulary's two function words
+    // ("the", "a" — the other six of Gopher's canonical eight don't
+    // occur in the 31-word synthetic vocab, which would make the rule
+    // vacuously false corpus-wide). Mean word length stays INTEGER:
+    // the fixture is single-spaced (split/string_split pairing pinned
+    // by the token ops), so sum of word chars = len - (n_words - 1),
+    // and the [3,10] band is the cross-multiplied 3·nw <= sum <=
+    // 10·nw. Stopword presence is padded-substring containment — no
+    // split, no list functions, byte-identical semantics in both
+    // engines. Pure map stage; at 100 TB this is the first, cheapest
+    // corpus gate.
+    "text_gopher_rules" -> ((s, d) => {
+      val stop = Seq("the", "a")
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val nStop = stop.map(w =>
+        when(padded.contains(s" $w "), 1).otherwise(0))
+        .reduce(_ + _)
+      documents(s, d)
+        .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+        .withColumn("sum_wchars",
+          (length(col("text")) - col("n_words") + 1).cast("long"))
+        .withColumn("n_stopwords", nStop.cast("long"))
+        .select(col("doc_id"), col("n_words"), col("n_stopwords"),
+          col("n_words").between(20L, 1000L).as("r_wordcount"),
+          (col("sum_wchars") >= col("n_words") * 3 &&
+            col("sum_wchars") <= col("n_words") * 10).as("r_wordlen"),
+          (col("n_stopwords") >= 2L).as("r_stopwords"))
+        .withColumn("gopher_pass",
+          col("r_wordcount") && col("r_wordlen") && col("r_stopwords"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprint: polynomial rolling hash over the character
     // codepoints, mod 1e9+7 (products stay < 2^63 so Spark and DuckDB
     // agree exactly — no wrap-around semantics involved).
@@ -1029,6 +1065,27 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same integer word-length band and padded-substring stopword
+    // containment; the conjunctive gate mirrors column-for-column
+    "text_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(text) - len(string_split(text, ' ')) + 1 AS BIGINT)
+        |      AS sum_wchars,
+        |    CAST((CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END)
+        |      + (CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_stopwords
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_stopwords,
+        |  n_words BETWEEN 20 AND 1000 AS r_wordcount,
+        |  sum_wchars >= n_words * 3 AND sum_wchars <= n_words * 10 AS r_wordlen,
+        |  n_stopwords >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 20 AND 1000) AND
+        |    (sum_wchars >= n_words * 3 AND sum_wchars <= n_words * 10) AND
+        |    n_stopwords >= 2 AS gopher_pass
+        |FROM d ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -114,6 +114,29 @@ class SelectionStatsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("text_gopher_rules matches a plain-Scala rule recomputation") {
+    val got = SparkEntry.queries("text_gopher_rules")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+        r.getBoolean(6))).toSeq
+    val stop = Set("the", "a")
+    val expected = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val words = r.getString(1).split(" ", -1)
+        val nw = words.length.toLong
+        val sumW = words.map(_.length.toLong).sum
+        val nStop = stop.count(words.contains).toLong
+        val rWc = nw >= 20 && nw <= 1000
+        val rWl = sumW >= nw * 3 && sumW <= nw * 10
+        val rSw = nStop >= 2
+        (r.getLong(0), nw, nStop, rWc, rWl, rSw, rWc && rWl && rSw)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+    // both verdicts must be exercised by the fixture or the gate is vacuous
+    assert(got.exists(_._7) && got.exists(!_._7))
+  }
+
   test("fn_base64_roundtrip emits canonical RFC 4648 and decodes losslessly") {
     val got = SparkEntry.queries("fn_base64_roundtrip")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
