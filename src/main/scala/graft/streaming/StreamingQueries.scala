@@ -432,6 +432,29 @@ object StreamingQueries {
         .orderBy(col("user_id"))
     }),
 
+    // COMPLETE-mode leaderboard (r9): the third output mode —
+    // stream_sink_parquet appends, stream_stateful_count updates, this
+    // RE-EMITS the full aggregate every micro-batch (the live-dashboard
+    // contract: each refresh replaces the whole board). The memory
+    // sink's complete-mode table is the LAST full emission, so the
+    // final read is the total aggregate regardless of file pickup
+    // order — chunking-independence by the output mode's own
+    // semantics, no watermark involved. Exact cents sums; top-3 slice
+    // with a total-order tiebreak. At scale complete mode is only
+    // viable because the result is |event_type|-bounded (a handful of
+    // rows) — the state is the aggregate itself, never the input.
+    "stream_topk_complete" -> ((s, d) => {
+      val out = runFileStream(s, "graft_sink_topk",
+        plainEventsDir(s, d), OutputMode.Complete()) { src =>
+        src.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
+      }
+      out.orderBy(col("n").desc, col("event_type").asc)
+        .limit(3)
+        .select(col("event_type"), col("n"), col("sum_cents"))
+    }),
+
     // Stream-static enrichment join: each micro-batch of the event
     // stream broadcast-joins the static dimension table (no state, no
     // watermark needed — the canonical "enrich the feed" shape). The
@@ -816,6 +839,12 @@ object StreamingQueries {
     "stream_stateful_count" ->
       """SELECT user_id, count(*) AS n_events FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // complete mode's last emission IS the total aggregate
+    "stream_topk_complete" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(18,0)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type ASC LIMIT 3""".stripMargin,
     "stream_tws_running_sum" ->
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents

@@ -21,6 +21,19 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("stream_topk_complete equals the batch top-3 leaderboard") {
+    val streamed = run("stream_topk_complete").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+      .orderBy(col("n").desc, col("event_type").asc).limit(3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+
   test("stream_foreachbatch_upsert equals batch latest-per-key and is restart-stable") {
     val first = run("stream_foreachbatch_upsert").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
