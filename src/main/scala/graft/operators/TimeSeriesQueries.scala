@@ -257,6 +257,31 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Rolling median over the trailing 5 events per user (r9): the
+    // robust-smoothing companion to ts_ewma (median filters kill
+    // spikes a mean smears). Exact discrete median over a BOUNDED
+    // ROWS frame: collect the <=5 frame cents, sort, take element
+    // ceil(n/2) — the lower-median pick DuckDB's windowed
+    // quantile_disc(0.5) makes (the agg_percentile_disc contract).
+    // The frame array is <=5 longs, so the non-codegen collect stays
+    // O(1) per row at any corpus size; one key-partitioned window
+    // shuffle, per-key external sort.
+    "ts_rolling_median" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("frame", sort_array(collect_list(col("cents")).over(w)))
+        .select(col("user_id"), col("event_id"),
+          element_at(col("frame"),
+            ((size(col("frame")) + 1) / lit(2)).cast("int"))
+            .as("med5_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "ts_outlier_mad" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("value"))
       val med = ev.groupBy(col("user_id")).agg(
@@ -596,6 +621,15 @@ object TimeSeriesQueries {
         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
         |    AS lag1_corr
         |FROM s ORDER BY user_id""".stripMargin,
+    // windowed quantile_disc(0.5) picks the same lower-median element
+    // as Spark's sorted-frame ceil(n/2) pick
+    "ts_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  CAST(quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS med5_cents
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     // all-integer CUSUM: cents, integer-div mean, ROWS-frame running
     // sum over the unique (ts, event_id) order, abs-max
     "ts_cusum" ->

@@ -87,6 +87,26 @@ class SelectionStatsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("ts_rolling_median matches a sliding-window recomputation") {
+    val got = SparkEntry.queries("ts_rolling_median")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+      .groupBy(_._1)
+      .flatMap { case (uid, rs) =>
+        val ordered = rs.sortBy(r => (r._2, r._3))
+        ordered.indices.map { i =>
+          val frame = ordered.slice(math.max(0, i - 4), i + 1)
+            .map(_._4).sorted
+          (uid, ordered(i)._3, frame((frame.length + 1) / 2 - 1))
+        }
+      }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+  }
+
   test("sql_distinct_on picks the argmax row per customer") {
     val got = SparkEntry.queries("sql_distinct_on")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
