@@ -225,4 +225,76 @@ object GraftOps {
       .select(col(entityCol),
         array(probs.indices.map(i => col(s"__c$i")): _*).as("cuts"))
   }
+
+  /** Weighted median per group: smallest `valueCol` whose cumulative
+    * `weightCol` reaches half the group total (the `agg_weighted_median`
+    * tree over caller columns — all-integer when the inputs are).
+    * Output: one row per group with `n_rows`, `total_w`, `wmed`.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).as("total_w"), count(lit(1)).as("n_rows"))
+    val cw = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum_w", sum(col(weightCol)).over(cw))
+      .join(broadcast(tot), groupCol)
+      .filter(col("__cum_w") * 2 >= col("total_w"))
+      .groupBy(col(groupCol), col("total_w"), col("n_rows"))
+      .agg(min(col(valueCol)).as("wmed"))
+      .select(col(groupCol), col("n_rows"), col("total_w"), col("wmed"))
+  }
+
+  /** Per-key CUSUM drift statistic: max |running sum of deviations
+    * from the key mean| over the (orderCols) order — the
+    * `ts_cusum` tree over caller columns. Integer-exact when
+    * `valueCol` is integral. Output: key, n_events, mean (integer
+    * div), max_abs_cusum.
+    */
+  def cusum(df: DataFrame, keyCol: String, valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val m = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("__sum"))
+      .withColumn("mean", expr("__sum div n_events")).drop("__sum")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(m, keyCol)
+      .withColumn("__cusum", sum(col(valueCol) - col("mean")).over(w))
+      .groupBy(col(keyCol), col("n_events"), col("mean"))
+      .agg(max(abs(col("__cusum"))).as("max_abs_cusum"))
+  }
+
+  /** Per-key lag-1 autocorrelation from exact integer sufficient
+    * statistics (the `ts_autocorr` tree over caller columns): NULL
+    * for keys with < 2 rows or zero variance on either side.
+    * Output: key, n_pairs, lag1_corr.
+    */
+  def lag1Autocorr(df: DataFrame, keyCol: String, valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val st = df
+      .withColumn("__y", lead(col(valueCol), 1).over(w))
+      .filter(col("__y").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col(valueCol)).cast("double").as("sx"),
+        sum(col("__y")).cast("double").as("sy"),
+        sum(col(valueCol) * col("__y")).cast("double").as("sxy"),
+        sum(col(valueCol) * col(valueCol)).cast("double").as("sxx"),
+        sum(col("__y") * col("__y")).cast("double").as("syy"))
+    st.select(col(keyCol), col("n").cast("long").as("n_pairs"),
+      when((col("n") * col("sxx") - col("sx") * col("sx")) === 0.0 ||
+           (col("n") * col("syy") - col("sy") * col("sy")) === 0.0, lit(null))
+        .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+        .as("lag1_corr"))
+  }
 }

@@ -131,6 +131,43 @@ class GraftOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty && got == want)
   }
 
+  test("weightedMedian reproduces agg_weighted_median") {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_returnflag"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
+      expr("cast(cast(l_quantity as decimal(18,0)) as long)").as("w"))
+    val got = GraftOps.weightedMedian(li, "l_returnflag", "cents", "w")
+      .orderBy(col("l_returnflag")).collect().toSeq
+    val want = SparkEntry.queries("agg_weighted_median")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("cusum reproduces ts_cusum") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val got = GraftOps.cusum(ev, "user_id", "cents",
+        Seq("ts_us", "event_id"))
+      .select(col("user_id"), col("n_events"), col("mean").as("mean_cents"),
+        col("max_abs_cusum"))
+      .orderBy(col("user_id")).collect().toSeq
+    val want = SparkEntry.queries("ts_cusum")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("lag1Autocorr reproduces ts_autocorr") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+    val got = GraftOps.lag1Autocorr(ev, "user_id", "cents",
+        Seq("ts_us", "event_id"))
+      .orderBy(col("user_id")).collect().toSeq
+    val want = SparkEntry.queries("ts_autocorr")(spark, sfDir)
+      .collect().toSeq
+    assert(got == want)
+  }
+
   test("the facade works on a non-fixture schema (column names are real parameters)") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon"),
