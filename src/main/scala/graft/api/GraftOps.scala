@@ -229,16 +229,21 @@ object GraftOps {
   /** Weighted median per group: smallest `valueCol` whose cumulative
     * `weightCol` reaches half the group total (the `agg_weighted_median`
     * tree over caller columns — all-integer when the inputs are).
-    * Output: one row per group with `n_rows`, `total_w`, `wmed`.
+    * Two-phase: a fully parallel (group, value) pre-aggregation, then
+    * the cumulative window over DISTINCT values only — the raw rows
+    * never enter a per-group sort. Output: one row per group with
+    * `n_rows`, `total_w`, `wmed`.
     */
   def weightedMedian(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tot = df.groupBy(col(groupCol))
-      .agg(sum(col(weightCol)).as("total_w"), count(lit(1)).as("n_rows"))
+    val byValue = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("__vw"), count(lit(1)).as("__vn"))
+    val tot = byValue.groupBy(col(groupCol))
+      .agg(sum(col("__vw")).as("total_w"), sum(col("__vn")).as("n_rows"))
     val cw = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum_w", sum(col(weightCol)).over(cw))
+    byValue.withColumn("__cum_w", sum(col("__vw")).over(cw))
       .join(broadcast(tot), groupCol)
       .filter(col("__cum_w") * 2 >= col("total_w"))
       .groupBy(col(groupCol), col("total_w"), col("n_rows"))

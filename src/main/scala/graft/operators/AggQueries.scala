@@ -366,24 +366,31 @@ object AggQueries {
 
     // Weighted median (r9): the importance-weighted selection
     // primitive (data-mixing weights, token-count-weighted document
-    // stats). Per group, order values and take the smallest whose
-    // cumulative weight reaches half the total — all-integer (price
-    // cents BIGINT, integer quantities as weights, BIGINT cumulative
-    // window), so the hash match is exact by construction. Intra-tie
-    // row order inside the cumulative frame cannot change the
-    // selected VALUE (every row of a tie run carries the same cents).
-    // One group-keyed window + one partial agg; no global sort.
+    // stats). Per group, the smallest value whose cumulative weight
+    // reaches half the total — all-integer (price cents BIGINT,
+    // integer quantities as weights, BIGINT cumulative window), so
+    // the hash match is exact by construction. TWO-PHASE shape: the
+    // data-proportional pass is a fully parallel (group, value)
+    // pre-aggregation (map-side combine, high-cardinality keys); the
+    // per-group cumulative window then runs over DISTINCT VALUES
+    // only — never the raw rows — so the low-cardinality window sort
+    // that the naive per-row spelling funnels an entire group through
+    // one task (the exact anti-pattern the r8 verdict named on
+    // text_ccnet_buckets) is bounded by |distinct values|, and ties
+    // collapse before the window (no intra-tie order surface at all).
     "agg_weighted_median" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val li = lineitem(s, d).select(col("l_returnflag"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
         col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("w"))
-      val tot = li.groupBy(col("l_returnflag"))
-        .agg(sum(col("w")).as("total_w"), count(lit(1)).as("n_rows"))
+      val byValue = li.groupBy(col("l_returnflag"), col("cents"))
+        .agg(sum(col("w")).as("vw"), count(lit(1)).as("vn"))
+      val tot = byValue.groupBy(col("l_returnflag"))
+        .agg(sum(col("vw")).as("total_w"), sum(col("vn")).as("n_rows"))
       val cw = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      li.withColumn("cum_w", sum(col("w")).over(cw))
+      byValue.withColumn("cum_w", sum(col("vw")).over(cw))
         .join(broadcast(tot), "l_returnflag")
         .filter(col("cum_w") * 2 >= col("total_w"))
         .groupBy(col("l_returnflag"), col("total_w"), col("n_rows"))
