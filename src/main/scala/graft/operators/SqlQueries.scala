@@ -308,6 +308,26 @@ object SqlQueries {
           FROM orders_v_$v)
         WHERE rn = 1
         ORDER BY o_custkey""")
+    }),
+
+    // FILTER clause (r9): the ANSI per-aggregate predicate — one scan,
+    // many differently-filtered aggregates (the pivot-without-pivot
+    // spelling analysts write daily). The SAME SQL text runs in both
+    // engines. Catalyst folds each FILTER into the aggregate's
+    // conditional update, so the plan stays ONE partial+final hash
+    // aggregate over one scan — no per-aggregate passes at any scale.
+    "sql_filter_clause" -> ((s, d) => {
+      val v = views(s, d)
+      s.sql(s"""
+        SELECT l_returnflag,
+          count(*) AS n_all,
+          count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+          count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+            FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price
+        FROM lineitem_v_$v
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
     })
   )
 
@@ -413,6 +433,17 @@ object SqlQueries {
       """SELECT DISTINCT ON (o_custkey)
         |  o_custkey, o_orderkey, o_totalprice AS top_price
         |FROM orders
-        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    // identical SQL text — the literal ANSI FILTER clause
+    "sql_filter_clause" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -257,6 +257,32 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Week-over-week deltas per event type (r9): the growth-report
+    // primitive — weekly count + exact cents revenue, each with its
+    // previous-week value and delta via lag over the per-type weekly
+    // series. Week key is pure epoch integer arithmetic (no calendar
+    // surface); all-integer outputs. The window partitions on
+    // event_type over the |weeks|-bounded AGGREGATE series, so the
+    // sort input is O(#types · #weeks) — never the raw events (the
+    // heavy pass is the parallel weekly pre-aggregation).
+    "ts_week_over_week" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val weekly = events(s, d)
+        .select(col("event_type"),
+          expr("ts_us div 604800000000").as("week"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .groupBy(col("event_type"), col("week"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      weekly
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta_n", col("n") - col("prev_n"))
+        .withColumn("delta_rev", col("rev_cents") - lag(col("rev_cents"), 1).over(w))
+        .select(col("event_type"), col("week"), col("n"), col("rev_cents"),
+          col("prev_n"), col("delta_n"), col("delta_rev"))
+        .orderBy(col("event_type"), col("week"))
+    }),
+
     // Rolling median over the trailing 5 events per user (r9): the
     // robust-smoothing companion to ts_ewma (median filters kill
     // spikes a mean smears). Exact discrete median over a BOUNDED
@@ -621,6 +647,21 @@ object TimeSeriesQueries {
         |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
         |    AS lag1_corr
         |FROM s ORDER BY user_id""".stripMargin,
+    // same epoch-week key and integer deltas over the weekly aggregate
+    "ts_week_over_week" ->
+      """WITH wk AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    count(*) AS n,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(18,0)) AS BIGINT) AS rev_cents
+        |  FROM events GROUP BY event_type, epoch_us(ts) // 604800000000
+        |)
+        |SELECT event_type, week, n, rev_cents,
+        |  lag(n, 1) OVER w AS prev_n,
+        |  n - lag(n, 1) OVER w AS delta_n,
+        |  rev_cents - lag(rev_cents, 1) OVER w AS delta_rev
+        |FROM wk
+        |WINDOW w AS (PARTITION BY event_type ORDER BY week)
+        |ORDER BY event_type, week""".stripMargin,
     // windowed quantile_disc(0.5) picks the same lower-median element
     // as Spark's sorted-frame ceil(n/2) pick
     "ts_rolling_median" ->

@@ -120,6 +120,52 @@ class SelectionStatsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("sql_filter_clause matches per-predicate recomputed counts") {
+    val got = SparkEntry.queries("sql_filter_clause")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_discount", "l_tax",
+        "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val expected = rows.groupBy(_._1).map { case (flag, rs) =>
+      val taxed = rs.filter(_._4 > 0.04)
+        .map(r => BigDecimal(r._5).setScale(2)).sum
+      (flag, rs.length.toLong,
+        rs.count(_._2 >= 25).toLong,
+        rs.count(_._3 > 0.05).toLong,
+        taxed.toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("ts_week_over_week matches a weekly-series recomputation") {
+    val got = SparkEntry.queries("ts_week_over_week")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+    val weekly = Tables.events(spark, sfDir)
+      .select("event_type", "ts_us", "value").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 604800000000L),
+        cents(r.getDouble(2))))
+      .groupBy(_._1)
+      .map { case ((t, wk), rs) =>
+        (t, wk, rs.length.toLong, rs.map(_._2).sum)
+      }.toSeq
+    val expected = weekly.groupBy(_._1).toSeq.flatMap { case (_, series) =>
+      val s = series.sortBy(_._2)
+      s.zipWithIndex.map { case ((t, wk, n, rev), i) =>
+        val prev = if (i == 0) None else Some(s(i - 1))
+        (t, wk, n, rev, prev.map(_._3),
+          prev.map(p => n - p._3), prev.map(p => rev - p._4))
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got == expected)
+  }
+
   test("sql_values_inline decodes region keys through the literal dim") {
     val got = SparkEntry.queries("sql_values_inline")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
