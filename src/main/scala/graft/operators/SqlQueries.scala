@@ -328,6 +328,27 @@ object SqlQueries {
         FROM lineitem_v_$v
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")
+    }),
+
+    // Join-strategy hint surface (r9): the /*+ BROADCAST */ comment
+    // hint — the knob users reach for when statistics mislead the
+    // planner. The hint changes the PLAN, never the result: the
+    // oracle runs the same join hint-free, and SqlSyntaxSpec asserts
+    // the hinted plan actually broadcasts while the value surface
+    // stays identical. Per-nation order revenue through a 25-row dim
+    // the hint pins to the build side.
+    "sql_join_hint" -> ((s, d) => {
+      val v = views(s, d)
+      s.sql(s"""
+        SELECT /*+ BROADCAST(n) */ n.n_name,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders_v_$v o
+        JOIN customer_v_$v c ON o.o_custkey = c.c_custkey
+        JOIN nation_v_$v n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name""")
     })
   )
 
@@ -444,6 +465,16 @@ object SqlQueries {
         |    FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+    // hint-free: the hint may only change the plan, never the values
+    "sql_join_hint" ->
+      """SELECT n.n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin
   )
 }

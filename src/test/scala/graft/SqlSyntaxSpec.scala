@@ -15,6 +15,13 @@ class SqlSyntaxSpec extends SparkSpecBase {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("sql_join_hint's BROADCAST hint reaches the physical plan") {
+    val plan = SparkEntry.queries("sql_join_hint")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hinted dim join did not broadcast:\n$plan")
+  }
+
   test("sql_pipe_syntax optimizes to the classic spelling's plan") {
     val pipe = SparkEntry.queries("sql_pipe_syntax")(spark, sfDir)
     // view names are scoped by input dir (SqlQueries.views, r8)
