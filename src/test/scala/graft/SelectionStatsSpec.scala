@@ -180,6 +180,44 @@ class SelectionStatsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("weightedMedian boundary: an exact half-total crossing picks the LOWER value") {
+    val ss = spark
+    import ss.implicits._
+    // weights 1/1: cum at the lower value is exactly half → 2*cum == total
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 1L)).toDF("grp", "v", "w")
+    val r = graft.api.GraftOps.weightedMedian(df, "grp", "v", "w").collect()
+    assert(r.length == 1 && r(0).getAs[Long]("wmed") == 10L)
+    // weight-dominant upper value pulls the median up
+    val df2 = Seq(("g", 10L, 1L), ("g", 20L, 3L)).toDF("grp", "v", "w")
+    val r2 = graft.api.GraftOps.weightedMedian(df2, "grp", "v", "w").collect()
+    assert(r2(0).getAs[Long]("wmed") == 20L)
+  }
+
+  test("cusum boundary: single-row and constant series have zero drift") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, 1L, 5L), (2L, 1L, 7L), (2L, 2L, 7L), (2L, 3L, 7L))
+      .toDF("k", "t", "v")
+    val r = graft.api.GraftOps.cusum(df, "k", "v", Seq("t")).collect()
+      .map(x => x.getAs[Long]("k") -> x.getAs[Long]("max_abs_cusum")).toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("lag1Autocorr boundary: <2 rows yields no row; constant series yields NULL") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq((1L, 1L, 5L), (2L, 1L, 7L), (2L, 2L, 7L), (2L, 3L, 7L),
+      (3L, 1L, 1L), (3L, 2L, 2L), (3L, 3L, 3L), (3L, 4L, 4L))
+      .toDF("k", "t", "v")
+    val rows = graft.api.GraftOps.lag1Autocorr(df, "k", "v", Seq("t"))
+      .collect().map(r => r.getAs[Long]("k") ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(!rows.contains(1L)) // no pairs
+    assert(rows(2L).isEmpty)   // zero variance → NULL, not NaN/inf
+    // a perfectly linear series has lag-1 autocorrelation exactly 1
+    assert(math.abs(rows(3L).get - 1.0) < 1e-12)
+  }
+
   test("text_gopher_rules matches a plain-Scala rule recomputation") {
     val got = SparkEntry.queries("text_gopher_rules")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
