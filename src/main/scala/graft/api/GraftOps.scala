@@ -228,24 +228,45 @@ object GraftOps {
 
   /** Weighted median per group: smallest `valueCol` whose cumulative
     * `weightCol` reaches half the group total (the `agg_weighted_median`
-    * tree over caller columns — all-integer when the inputs are).
-    * Two-phase: a fully parallel (group, value) pre-aggregation, then
-    * the cumulative window over DISTINCT values only — the raw rows
-    * never enter a per-group sort. Output: one row per group with
-    * `n_rows`, `total_w`, `wmed`.
+    * tree over caller columns — all-integer when the inputs are;
+    * `valueCol` must be integral). Bucketed two-pass distributed
+    * selection: pass 1 locates the crossing bucket on the O(#buckets)
+    * per-group histogram, pass 2 pins the exact value inside that one
+    * bucket — no stage sorts more than max(#buckets, bucket-slice)
+    * rows per group at any corpus size. Truncating `div` buckets are
+    * order-preserving intervals for negative values too. Output: one
+    * row per group with `n_rows`, `total_w`, `wmed`.
     */
   def weightedMedian(df: DataFrame, groupCol: String,
-      valueCol: String, weightCol: String): DataFrame = {
+      valueCol: String, weightCol: String,
+      bucketWidth: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byValue = df.groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol)).as("__vw"), count(lit(1)).as("__vn"))
-    val tot = byValue.groupBy(col(groupCol))
-      .agg(sum(col("__vw")).as("total_w"), sum(col("__vn")).as("n_rows"))
-    val cw = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val bucketed = df.withColumn("__bkt",
+      expr(s"`$valueCol` div $bucketWidth"))
+    val bw = bucketed.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(weightCol)).as("__bw"), count(lit(1)).as("__bn"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byValue.withColumn("__cum_w", sum(col("__vw")).over(cw))
-      .join(broadcast(tot), groupCol)
-      .filter(col("__cum_w") * 2 >= col("total_w"))
+    val cum = bw.withColumn("__cum", sum(col("__bw")).over(cumW))
+    val tot = bw.groupBy(col(groupCol))
+      .agg(sum(col("__bw")).as("total_w"), sum(col("__bn")).as("n_rows"))
+    val crossing = cum.join(broadcast(tot), groupCol)
+      .filter(col("__cum") * 2 >= col("total_w"))
+      .groupBy(col(groupCol), col("total_w"), col("n_rows"))
+      .agg(min_by(struct(col("__bkt"), (col("__cum") - col("__bw")).as("below")),
+        col("__bkt")).as("__cb"))
+      .select(col(groupCol), col("total_w"), col("n_rows"),
+        col("__cb.__bkt").as("__cbkt"), col("__cb.below").as("__below"))
+    val inBkt = bucketed.join(broadcast(crossing), Seq(groupCol))
+      .filter(col("__bkt") === col("__cbkt"))
+      .groupBy(col(groupCol), col("total_w"), col("n_rows"),
+        col("__below"), col(valueCol))
+      .agg(sum(col(weightCol)).as("__vw"))
+    val cumV = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inBkt.withColumn("__cum_in", sum(col("__vw")).over(cumV))
+      .filter((col("__below") + col("__cum_in")) * 2 >= col("total_w"))
       .groupBy(col(groupCol), col("total_w"), col("n_rows"))
       .agg(min(col(valueCol)).as("wmed"))
       .select(col(groupCol), col("n_rows"), col("total_w"), col("wmed"))

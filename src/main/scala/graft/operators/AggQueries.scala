@@ -368,31 +368,55 @@ object AggQueries {
     // primitive (data-mixing weights, token-count-weighted document
     // stats). Per group, the smallest value whose cumulative weight
     // reaches half the total — all-integer (price cents BIGINT,
-    // integer quantities as weights, BIGINT cumulative window), so
-    // the hash match is exact by construction. TWO-PHASE shape: the
-    // data-proportional pass is a fully parallel (group, value)
-    // pre-aggregation (map-side combine, high-cardinality keys); the
-    // per-group cumulative window then runs over DISTINCT VALUES
-    // only — never the raw rows — so the low-cardinality window sort
-    // that the naive per-row spelling funnels an entire group through
-    // one task (the exact anti-pattern the r8 verdict named on
-    // text_ccnet_buckets) is bounded by |distinct values|, and ties
-    // collapse before the window (no intra-tie order surface at all).
+    // integer quantities as weights), so the hash match is exact by
+    // construction. BUCKETED TWO-PASS distributed selection (the
+    // classic exact-median-at-scale shape; a naive per-group
+    // cumulative window funnels the whole group through one sort
+    // task — the r8 text_ccnet_buckets anti-pattern, and with
+    // near-unique prices a distinct-value pre-agg doesn't compress):
+    // pass 1 aggregates weight per (group, value-bucket) — fully
+    // parallel, map-side combined — and the per-group cumulative over
+    // the O(#buckets) bucket histogram locates the CROSSING bucket
+    // plus the weight strictly below it; pass 2 re-reads only the
+    // crossing bucket's rows (a ~1/#buckets slice), aggregates per
+    // value, and the tiny within-bucket cumulative pins the exact
+    // value. No stage ever sorts more than max(#buckets,
+    // bucket-slice-distinct-values) rows per group, at any corpus
+    // size. Ties collapse in the per-value aggs, so intra-tie order
+    // has no surface.
     "agg_weighted_median" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val li = lineitem(s, d).select(col("l_returnflag"),
         expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"),
         col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("w"))
-      val byValue = li.groupBy(col("l_returnflag"), col("cents"))
-        .agg(sum(col("w")).as("vw"), count(lit(1)).as("vn"))
-      val tot = byValue.groupBy(col("l_returnflag"))
-        .agg(sum(col("vw")).as("total_w"), sum(col("vn")).as("n_rows"))
-      val cw = Window.partitionBy(col("l_returnflag"))
+      val bucketed = li.withColumn("bkt", expr("cents div 65536"))
+      val bw = bucketed.groupBy(col("l_returnflag"), col("bkt"))
+        .agg(sum(col("w")).as("bw"), count(lit(1)).as("bn"))
+      val cumW = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bw.withColumn("cum", sum(col("bw")).over(cumW))
+      val tot = bw.groupBy(col("l_returnflag"))
+        .agg(sum(col("bw")).as("total_w"), sum(col("bn")).as("n_rows"))
+      // crossing bucket: the first whose cumulative reaches half;
+      // below = weight strictly under it (cum - own bucket weight)
+      val crossing = cum.join(broadcast(tot), "l_returnflag")
+        .filter(col("cum") * 2 >= col("total_w"))
+        .groupBy(col("l_returnflag"), col("total_w"), col("n_rows"))
+        .agg(min_by(struct(col("bkt"), (col("cum") - col("bw")).as("below")),
+          col("bkt")).as("cb"))
+        .select(col("l_returnflag"), col("total_w"), col("n_rows"),
+          col("cb.bkt").as("cbkt"), col("cb.below").as("below"))
+      val inBkt = bucketed.join(broadcast(crossing), Seq("l_returnflag"))
+        .filter(col("bkt") === col("cbkt"))
+        .groupBy(col("l_returnflag"), col("total_w"), col("n_rows"),
+          col("below"), col("cents"))
+        .agg(sum(col("w")).as("vw"))
+      val cumV = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byValue.withColumn("cum_w", sum(col("vw")).over(cw))
-        .join(broadcast(tot), "l_returnflag")
-        .filter(col("cum_w") * 2 >= col("total_w"))
+      inBkt.withColumn("cum_in", sum(col("vw")).over(cumV))
+        .filter((col("below") + col("cum_in")) * 2 >= col("total_w"))
         .groupBy(col("l_returnflag"), col("total_w"), col("n_rows"))
         .agg(min(col("cents")).as("wmed_cents"))
         .select(col("l_returnflag"), col("n_rows"), col("total_w"),

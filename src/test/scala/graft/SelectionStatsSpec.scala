@@ -193,6 +193,31 @@ class SelectionStatsSpec extends SparkSpecBase {
     assert(r2(0).getAs[Long]("wmed") == 20L)
   }
 
+  test("weightedMedian handles negative values and bucket-boundary straddles") {
+    val ss = spark
+    import ss.implicits._
+    // values straddle negative/positive buckets with width 10
+    val df = Seq(("g", -25L, 1L), ("g", -5L, 1L), ("g", 5L, 1L),
+      ("g", 15L, 1L), ("g", 95L, 1L)).toDF("grp", "v", "w")
+    val r = graft.api.GraftOps.weightedMedian(df, "grp", "v", "w", 10L)
+      .collect()
+    // total 5, crossing at cumulative 3 (2*3 >= 5) → 3rd smallest = 5
+    assert(r.length == 1 && r(0).getAs[Long]("wmed") == 5L)
+    // a sort-and-scan cross-check on a pseudo-random micro set
+    val vals = (1 to 97).map(i => ((i * 7919) % 101 - 50).toLong)
+    val ws = (1 to 97).map(i => ((i * 104729) % 7 + 1).toLong)
+    val df2 = vals.zip(ws).map { case (v, w) => ("g", v, w) }
+      .toDF("grp", "v", "w")
+    val got = graft.api.GraftOps.weightedMedian(df2, "grp", "v", "w", 13L)
+      .collect()(0).getAs[Long]("wmed")
+    val totalW = ws.sum
+    var cum = 0L
+    val want = vals.zip(ws).sortBy(_._1).find { case (_, w) =>
+      cum += w; cum * 2 >= totalW
+    }.get._1
+    assert(got == want)
+  }
+
   test("cusum boundary: single-row and constant series have zero drift") {
     val ss = spark
     import ss.implicits._
