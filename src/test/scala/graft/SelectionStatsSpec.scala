@@ -218,6 +218,22 @@ class SelectionStatsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("weightedMedian is invariant to bucketWidth (the partition is internal)") {
+    val ss = spark
+    import ss.implicits._
+    val rows = (1 to 211).map { i =>
+      (s"g${i % 3}", ((i * 7919) % 1009 - 500).toLong, ((i * 104729) % 9 + 1).toLong)
+    }
+    val df = rows.toDF("grp", "v", "w")
+    val results = Seq(1L, 7L, 97L, 65536L).map { bw =>
+      graft.api.GraftOps.weightedMedian(df, "grp", "v", "w", bw)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+    }
+    assert(results.distinct.size == 1,
+      s"bucketWidth changed the answer: $results")
+  }
+
   test("cusum boundary: single-row and constant series have zero drift") {
     val ss = spark
     import ss.implicits._
