@@ -211,6 +211,45 @@ object MaintenanceQueries {
         .withColumn("shared_files_ok", lit(sharedOk))
     }),
 
+    // BRANCH-AND-MERGE through the snapshot log (r9): the dev-branch
+    // workflow one rung above table_clone — cut a branch (shallow
+    // clone of v1), let BOTH sides advance (branch appends %7, the
+    // mainline concurrently appends %5), then fold the branch's
+    // divergence back as ONE metadata commit (append-only three-way
+    // merge against the cut point: delta = branch-latest files beyond
+    // src@v1, landed on top of the CURRENT mainline so its progress
+    // survives). Output is the proof row: merged aggregate = the
+    // three slices' arithmetic, the branch is byte-intact, mainline
+    // history is exactly three versions, and the delta files are
+    // shared (zero-copy) between branch and mainline — all
+    // oracle-recomputable or structural. Re-merge is a file-set
+    // no-op (spec-pinned).
+    "table_branch_merge" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val src = graft.TempDirs.scoped("snapbrsrc", d)
+      val br = graft.TempDirs.scoped("snapbrdev", d)
+      graft.TempDirs.writeOnce("snapbr" + d) {
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        SnapshotTable.commit(src, docs.filter(col("doc_id") % 2 === 0))
+        SnapshotTable.cloneTo(src, 1L, br)
+        SnapshotTable.append(br, docs.filter(col("doc_id") % 7 === 3))
+        SnapshotTable.append(src, docs.filter(col("doc_id") % 5 === 1))
+        SnapshotTable.mergeFrom(src, br, 1L)
+        ()
+      }
+      val srcV = SnapshotTable.latestVersion(src).get
+      val brV = SnapshotTable.latestVersion(br).get
+      val brFiles = SnapshotTable.manifestFiles(br, brV).toSet
+      val srcFiles = SnapshotTable.manifestFiles(src, srcV).toSet
+      val sharedOk = brFiles.subsetOf(srcFiles)
+      SnapshotTable.read(s, src)
+        .agg(count(lit(1)).as("n_merged"),
+          sum(col("n_chars")).as("sum_merged"))
+        .withColumn("src_versions", lit(srcV))
+        .withColumn("branch_versions", lit(brV))
+        .withColumn("branch_files_shared_ok", lit(sharedOk))
+    }),
+
     // Retention / VACUUM over the snapshot-commit log (r8, closing
     // the boundary's last maintenance exclusion): a three-version
     // table (deterministic %3/%6/%12 slices at pinned file counts
@@ -461,6 +500,23 @@ object MaintenanceQueries {
         |       FROM documents
         |       WHERE doc_id % 2 = 0 AND doc_id % 7 = 3) AS sum_clone,
         |  true AS shared_files_ok""".stripMargin,
+    // three whole-slice appends: a row appears once PER slice, so the
+    // merged aggregate is the plain sum of the three slice aggregates
+    "table_branch_merge" ->
+      """SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+        |    + (SELECT count(*) FROM documents WHERE doc_id % 5 = 1)
+        |    + (SELECT count(*) FROM documents WHERE doc_id % 7 = 3)
+        |    AS n_merged,
+        |  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+        |     WHERE doc_id % 2 = 0)
+        |    + (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |       FROM documents WHERE doc_id % 5 = 1)
+        |    + (SELECT CAST(coalesce(sum(n_chars), 0) AS BIGINT)
+        |       FROM documents WHERE doc_id % 7 = 3) AS sum_merged,
+        |  CAST(3 AS BIGINT) AS src_versions,
+        |  CAST(2 AS BIGINT) AS branch_versions,
+        |  true AS branch_files_shared_ok""".stripMargin,
     // post-vacuum state recomputed from the change-log arithmetic:
     // latest = the %12 slice, two versions retained (oldest = 2), live
     // files = v2's 4 + v3's 2 pinned repartition counts

@@ -253,6 +253,42 @@ object SnapshotTable {
     -1L // unreachable
   }
 
+  /** MERGE-BACK (r9): fold a branch's divergence since `baseVersion`
+    * into this table as ONE metadata commit — the append-only
+    * three-way merge (base = the version the branch was cut at):
+    * delta = files the branch's latest manifest references beyond
+    * dst@baseVersion, committed on top of dst's CURRENT latest (so
+    * mainline progress since the cut survives). Zero data copy, the
+    * branch stays intact, and a re-merge is a file-set no-op (delta
+    * entries already present dedupe away). Returns the new version.
+    */
+  def mergeFrom(dstRoot: String, branchRoot: String,
+      baseVersion: Long): Long = {
+    val base = manifestFiles(dstRoot, baseVersion).toSet
+    val bv = latestVersion(branchRoot).getOrElse(throw
+      new IllegalStateException(s"branch $branchRoot has no commits"))
+    val delta = manifestFiles(branchRoot, bv).filterNot(base)
+    while (true) {
+      val parent = latestVersion(dstRoot)
+      val merged = (parent.map(v => manifestFiles(dstRoot, v))
+        .getOrElse(Seq.empty) ++ delta)
+        .distinct // re-merge safety: never list one file twice
+        .map(abs => manifestEntry(dstRoot, abs))
+      val v = parent.getOrElse(0L) + 1
+      val tmp = Files.createTempFile(manifestDir(dstRoot), ".commit", ".tmp")
+      Files.writeString(tmp,
+        s"""{"version":$v,"files":[${merged.map("\"" + _ + "\"").mkString(",")}]}""")
+      try {
+        Files.createLink(manifestPath(dstRoot, v), tmp)
+        Files.deleteIfExists(tmp)
+        return v
+      } catch {
+        case _: FileAlreadyExistsException => Files.deleteIfExists(tmp)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Retention (VACUUM): keep the newest `retainLast` manifests,
     * delete the older manifests and every data file NO retained
     * manifest references. Returns (manifestsDeleted, filesDeleted).

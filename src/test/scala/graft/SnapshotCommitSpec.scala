@@ -190,6 +190,31 @@ class SnapshotCommitSpec extends SparkSpecBase {
     assert(SnapshotTable.read(spark, dst).count() == 1L)
   }
 
+  test("mergeFrom folds branch divergence onto mainline progress; re-merge is a no-op") {
+    import spark.implicits._
+    val src = freshRoot("mgsrc")
+    val br = freshRoot("mgbr")
+    SnapshotTable.commit(src, Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    SnapshotTable.cloneTo(src, 1L, br)
+    SnapshotTable.append(br, Seq((3L, 30L)).toDF("id", "v"))
+    // mainline advances AFTER the cut — the merge must not lose this
+    SnapshotTable.append(src, Seq((4L, 40L)).toDF("id", "v"))
+    val v = SnapshotTable.mergeFrom(src, br, 1L)
+    assert(v == 3L)
+    val merged = SnapshotTable.read(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    // branch history untouched by the merge
+    assert(SnapshotTable.latestVersion(br).contains(2L))
+    assert(SnapshotTable.read(spark, br).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // re-merge: a new version, but the identical file set (no dup rows)
+    val files3 = SnapshotTable.manifestFiles(src, 3L).toSet
+    val v2 = SnapshotTable.mergeFrom(src, br, 1L)
+    assert(SnapshotTable.manifestFiles(src, v2).toSet == files3)
+    assert(SnapshotTable.read(spark, src).count() == 4L)
+  }
+
   test("an empty commit reads back as zero rows with the schema intact") {
     // Spark writes a schema-only part file for an empty df, so an
     // empty version is a first-class readable snapshot (a TRUNCATE),
