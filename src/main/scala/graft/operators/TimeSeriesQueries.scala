@@ -257,6 +257,94 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Largest-Triangle-Three-Buckets downsampling (r9, Steinarsson
+    // 2013 — the standard time-series VISUALIZATION decimation): per
+    // user, keep first + last + one point per equal-count bucket, each
+    // pick maximizing the triangle area against the PREVIOUS pick and
+    // the NEXT bucket's centroid — the sequential dependence that makes
+    // this a per-key ordered fold, not a window (and not
+    // SQL-expressible: declared-N, LttbSpec recomputes it in plain
+    // Scala and pins the structural invariants). Same secondary-sort
+    // shape as ts_ewma: hash repartition on user_id, external sort
+    // within partitions, O(1)-state streaming fold — no per-key
+    // buffering beyond one bucket. Integer-exact: times are rebased to
+    // the series start so the centroid-scaled cross products stay
+    // < 2^63 (span·cnt·Δcents ≈ 1e18 worst case), and ties keep the
+    // earliest point (strict > comparison).
+    "ts_downsample_lttb" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      val k = 12 // output points per key (first + 10 buckets + last)
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+        .as[(Long, Long, Long, Long)]
+        .mapPartitions { rows =>
+          val in = rows.buffered
+          new Iterator[Seq[(Long, Int, Long, Long)]] {
+            override def hasNext: Boolean = in.hasNext
+            override def next(): Seq[(Long, Int, Long, Long)] = {
+              val key = in.head._1
+              val buf = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long)] // (ts_us, cents), arrival order
+              while (in.hasNext && in.head._1 == key) {
+                val r = in.next(); buf += ((r._2, r._4))
+              }
+              val n = buf.length
+              val picks =
+                if (n <= k) buf.indices
+                else {
+                  val t0 = buf(0)._1
+                  val mid = n - 2 // points between first and last
+                  val nb = k - 2  // buckets
+                  def bktStart(b: Int) = 1 + (b.toLong * mid / nb).toInt
+                  val sel = scala.collection.mutable.ArrayBuffer(0)
+                  var b = 0
+                  while (b < nb) {
+                    val lo = bktStart(b); val hi = bktStart(b + 1)
+                    // next bucket centroid (the last bucket's "next"
+                    // is the final point), scaled by its count
+                    val (nlo, nhi) =
+                      if (b + 1 < nb) (bktStart(b + 1), bktStart(b + 2))
+                      else (n - 1, n)
+                    var sx = 0L; var sy = 0L
+                    var i = nlo
+                    while (i < nhi) {
+                      sx += buf(i)._1 - t0; sy += buf(i)._2; i += 1
+                    }
+                    val c = (nhi - nlo).toLong
+                    val (px, py) =
+                      (buf(sel.last)._1 - t0, buf(sel.last)._2)
+                    // BigInt: span·cnt·Δcents can pass 2^63 on long
+                    // dense series — exactness beats a wrapped argmax
+                    var best = lo; var bestArea = BigInt(-1)
+                    i = lo
+                    while (i < hi) {
+                      val (ax, ay) = (buf(i)._1 - t0, buf(i)._2)
+                      val area = (
+                        (BigInt(px) * c - sx) * (ay - py) -
+                          BigInt(px - ax) * (sy - py * c)).abs
+                      if (area > bestArea) { bestArea = area; best = i }
+                      i += 1
+                    }
+                    sel += best
+                    b += 1
+                  }
+                  sel += (n - 1)
+                  sel.toSeq
+                }
+              picks.zipWithIndex.map { case (i, rank) =>
+                (key, rank, buf(i)._1, buf(i)._2)
+              }
+            }
+          }.flatten
+        }
+        .toDF("user_id", "pick", "ts_us", "cents")
+        .orderBy(col("user_id"), col("pick"))
+    }),
+
     // Week-over-week deltas per event type (r9): the growth-report
     // primitive — weekly count + exact cents revenue, each with its
     // previous-week value and delta via lag over the per-type weekly
