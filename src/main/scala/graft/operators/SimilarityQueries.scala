@@ -836,6 +836,43 @@ object SimilarityQueries {
       ivfTopk(nrm, cents)
     }),
 
+    // ANN recall audit (r9): the evaluation harness every approximate
+    // index deployment runs before trusting it — join the IVF probe
+    // path's picks against the exact brute-force top-3 ground truth
+    // and report, per query, whether the approximate pick landed in
+    // the true top-3 (recall@3 of a top-1 ANN). Both sides are the
+    // SAME pipelines as their standalone operators (fixed IVF
+    // centroids, exact cosine ranking), so the audit itself is
+    // oracle-paired end to end. Scale shape: ground truth over the
+    // bounded 10-query probe set only (brute force on a SAMPLE is how
+    // real recall audits run at corpus scale — never all queries),
+    // index side stays the nprobe bucket join.
+    "ann_recall_audit" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val nrm = embN(s, d)
+      val cents = broadcast(
+        nrm.filter(col("vec_id").between(100, 115))
+          .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
+      val ivf = ivfTopk(nrm, cents)
+        .select(col("q_id"), col("neighbor_id").as("ivf_pick"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("c_id").as("true_id"))
+      ivf.join(exact, Seq("q_id"), "left")
+        .groupBy(col("q_id"), col("ivf_pick"))
+        .agg(bool_or(col("true_id") === col("ivf_pick"))
+          .as("in_exact_top3"))
+        .orderBy(col("q_id"))
+    }),
+
     // Same IVF query shape, but the centroids come from the OFFLINE
     // k-means build (IvfIndexBuilder's Lloyd refinement) materialized
     // once per (JVM, input dir) as a parquet artifact — the
@@ -1146,6 +1183,61 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id
          |    ORDER BY qc_cos DESC, c_id ASC) AS rn FROM cand) t
          |WHERE rn = 1 ORDER BY q_id""".stripMargin
+    },
+    // the IVF chain and the exact-top-3 chain verbatim, joined:
+    // recall@3 of the top-1 ANN pick per probe query
+    "ann_recall_audit" -> {
+      val normSql = normSqlCte
+      s"""WITH nrm AS (
+         |  $normSql
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, emb_n AS cent_vec FROM nrm
+         |  WHERE vec_id BETWEEN 100 AND 115
+         |), ac AS (
+         |  SELECT c.cent_id, n.vec_id, n.emb_n,
+         |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos
+         |  FROM nrm n CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT cent_id, vec_id AS c_id, emb_n AS c_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cent_id ASC) AS rn FROM ac) t
+         |  WHERE rn = 1
+         |), pq AS (
+         |  SELECT n.vec_id AS q_id, n.emb_n AS q_n, c.cent_id,
+         |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos
+         |  FROM nrm n CROSS JOIN cents c WHERE n.vec_id < 10
+         |), probes AS (
+         |  SELECT q_id, q_n, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cent_id ASC) AS rn FROM pq) t
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.q_id, a.c_id, ${duckDot("p.q_n", "a.c_n")} AS qc_cos
+         |  FROM probes p JOIN assigned a USING (cent_id)
+         |  WHERE p.q_id <> a.c_id
+         |), ivf AS (
+         |  SELECT q_id, c_id AS ivf_pick FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY qc_cos DESC, c_id ASC) AS rn FROM cand) t
+         |  WHERE rn = 1
+         |), eq AS (
+         |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |  WHERE vec_id < 10
+         |), escored AS (
+         |  SELECT eq.q_id, c.vec_id AS c_id,
+         |    ${duckCos("eq.q_vec", "c.embedding")} AS cos
+         |  FROM eq JOIN embeddings c ON c.vec_id <> eq.q_id
+         |), exact AS (
+         |  SELECT q_id, c_id AS true_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id ASC) AS rn FROM escored) t
+         |  WHERE rn <= 3
+         |)
+         |SELECT i.q_id, i.ivf_pick,
+         |  bool_or(e.true_id = i.ivf_pick) AS in_exact_top3
+         |FROM ivf i LEFT JOIN exact e ON e.q_id = i.q_id
+         |GROUP BY i.q_id, i.ivf_pick
+         |ORDER BY i.q_id""".stripMargin
     },
     "sim_search_topk" ->
       s"""WITH q AS (
