@@ -135,7 +135,81 @@ object GraphQueries {
         when(xFirst, col("dy.dg")).otherwise(col("dx.dg")).as("dhi"))
   }
 
+  /** Weakly-connected-component labels (min reachable id) of the
+    * undirected top-K graph, iterated TO FIXPOINT and materialized as
+    * a build-once parquet artifact (the dedup_cc_clusters playbook:
+    * 4 lazy rounds, then per-round persisted propagation with a
+    * loud non-convergence cap — linear lineage, no re-derivation of
+    * the edge artifact per round).
+    */
+  private def wccLabels(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.TempDirs.scoped("graph_wcc", d)
+    graft.TempDirs.writeOnce("graph_wcc" + d) {
+      val cc = s.newSession()
+      cc.conf.set("spark.sql.shuffle.partitions", "8")
+      // best-match (1-NN) subgraph of the top-K artifact: each node
+      // keeps only its strongest tie, which fragments the network
+      // into genuine match-chain communities (the full top-3 graph is
+      // one giant component at every fixture scale — a degenerate
+      // clustering). Top-1 ⊆ top-3, so this is a pure re-rank of the
+      // existing artifact, no second pair pass.
+      val e = edgesTopK(cc, d)
+      val w1 = Window.partitionBy(col("u"))
+        .orderBy(col("shared_parts").desc, col("v").asc)
+      val nn1 = e.withColumn("rn", row_number().over(w1))
+        .filter(col("rn") === 1).drop("rn")
+      val und = undirected(nn1).persist()
+      try {
+        val verts = und.select(col("x").as("v")).distinct()
+        val withSelf = und.select(col("x").as("src"), col("y").as("dst"))
+          .unionByName(verts.select(col("v").as("src"), col("v").as("dst")))
+        def propagate(l: DataFrame): DataFrame =
+          withSelf.join(l, col("dst") === col("v"))
+            .groupBy(col("src"))
+            .agg(min(col("label")).as("label"))
+            .select(col("src").as("v"), col("label"))
+        var labels = verts.select(col("v"), col("v").as("label"))
+        for (_ <- 1 to 4) labels = propagate(labels)
+        labels = labels.persist()
+        var changed = -1L
+        var rounds = 4
+        while (changed != 0 && rounds < 100) {
+          val next = propagate(labels).persist()
+          changed = next
+            .join(labels.withColumnRenamed("label", "old"), "v")
+            .filter(col("label") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        require(changed == 0,
+          s"graph_wcc: labels not converged after $rounds rounds")
+        labels.write.mode("overwrite").parquet(dir)
+      } finally und.unpersist()
+    }
+    s.read.parquet(dir)
+  }
+
   val queries: Map[String, Q] = Map(
+    // Weakly connected components (r9): min-label propagation to
+    // FIXPOINT over the undirected BEST-MATCH (1-NN) subgraph — the
+    // community/partition primitive (dedup_cc_clusters proved the
+    // algorithm on the near-dup graph; this is its graph-analytics
+    // surface on the supplier network, with component sizes joined
+    // on; 8 match-chain communities over 100 suppliers at sf0.01 —
+    // the full top-3 graph is one giant component, a degenerate
+    // clustering). The oracle is the full recursive-CTE transitive
+    // closure — correct at ANY diameter, so the fixpoint loop is
+    // checked, not just an unrolled constant. Per round: one join +
+    // one partial agg over the O(N) 1-NN edge set.
+    "graph_wcc" -> ((s, d) => {
+      val l = wccLabels(s, d)
+      val sizes = l.groupBy(col("label")).agg(count(lit(1)).as("comp_size"))
+      l.join(sizes, "label")
+        .select(col("v").as("supplier"), col("label").as("component"),
+          col("comp_size"))
+        .orderBy(col("supplier"))
+    }),
     // The graph construction IS the operator: per-node top-K strongest
     // co-suppliers. N·K rows out, deterministic tie-break (count DESC,
     // neighbor id).
@@ -290,6 +364,29 @@ object GraphQueries {
       |e AS MATERIALIZED (SELECT u, v, shared_parts FROM topk WHERE rn <= $K)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // full transitive closure: UNION-dedup makes the recursion
+    // terminate; min reachable id = the component label
+    "graph_wcc" -> (edgeCte.replaceFirst("WITH ps", "WITH RECURSIVE ps") +
+      """,
+        |nn1 AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (PARTITION BY u
+        |      ORDER BY shared_parts DESC, v ASC) AS rn1 FROM e) t
+        |  WHERE rn1 = 1),
+        |und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM nn1),
+        |ed AS MATERIALIZED (
+        |  SELECT x AS src, y AS dst FROM und
+        |  UNION SELECT y, x FROM und
+        |  UNION SELECT x, x FROM und
+        |  UNION SELECT y, y FROM und),
+        |reach AS (
+        |  SELECT src AS v, src AS u FROM ed
+        |  UNION
+        |  SELECT r.v, ed.dst FROM reach r JOIN ed ON ed.src = r.u),
+        |lab AS (SELECT v, min(u) AS component FROM reach GROUP BY v),
+        |sz AS (SELECT component, count(*) AS comp_size FROM lab GROUP BY component)
+        |SELECT lab.v AS supplier, lab.component, sz.comp_size
+        |FROM lab JOIN sz USING (component) ORDER BY supplier""".stripMargin),
     "graph_edges_topk" -> (edgeCte +
       """
         |SELECT u AS supplier, v AS neighbor, shared_parts
