@@ -302,6 +302,36 @@ object AggQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Equi-DEPTH histogram (r9): the quartile-bucket companion to
+    // agg_histogram's equi-width bins — cuts are exact
+    // percentile_disc(0.25/0.5/0.75) DATA VALUES per return flag
+    // (the agg_percentile_disc contract, identical picks in DuckDB),
+    // then one conditional-aggregation pass counts each bucket.
+    // Buckets are [min,c1], (c1,c2], (c2,c3], (c3,max] — disc cuts
+    // are actual data points, so bucket membership is exact integer/
+    // double comparison, no interpolation surface. Two passes total:
+    // a tiny 3-cut agg that broadcasts, then a map-side bucket
+    // count — no window, no per-group sort of the fact table.
+    "agg_histogram_equi_depth" -> ((s, d) => {
+      val li = lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      val cuts = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("c1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("c2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("c3"))
+      li.join(broadcast(cuts), "l_returnflag")
+        .withColumn("bucket",
+          when(col("v") <= col("c1"), 0)
+            .when(col("v") <= col("c2"), 1)
+            .when(col("v") <= col("c3"), 2)
+            .otherwise(3))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("bucket").cast("long").as("bucket"),
+          col("n"))
+        .orderBy(col("l_returnflag"), col("bucket"))
+    }),
+
     // Per-group mode with a total deterministic order: most frequent
     // o_orderpriority per order status, ties broken by priority string
     // ascending (count desc, value asc is a total order, so the answer
@@ -886,6 +916,23 @@ object AggQueries {
         |SELECT bucket, n,
         |  n * 10000 // CAST(sum(n) OVER () AS BIGINT) AS share_bp
         |FROM c ORDER BY bucket""".stripMargin,
+    // same disc-quantile cut values, same closed-boundary buckets
+    "agg_histogram_equi_depth" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag,
+        |    quantile_disc(l_extendedprice, 0.25) AS c1,
+        |    quantile_disc(l_extendedprice, 0.5) AS c2,
+        |    quantile_disc(l_extendedprice, 0.75) AS c3
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT li.l_returnflag,
+        |  CAST(CASE WHEN li.l_extendedprice <= c.c1 THEN 0
+        |    WHEN li.l_extendedprice <= c.c2 THEN 1
+        |    WHEN li.l_extendedprice <= c.c3 THEN 2
+        |    ELSE 3 END AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem li JOIN cuts c ON li.l_returnflag = c.l_returnflag
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
