@@ -436,7 +436,38 @@ object ScalarQueries {
         .select(col("n_nationkey"),
           expr("stack(2, 'name', n_name, 'region_key', cast(n_regionkey AS STRING))")
             .as(Seq("attr", "val")))
-        .orderBy(col("n_nationkey"), col("attr")))
+        .orderBy(col("n_nationkey"), col("attr"))),
+
+    // split_part (r9): the positional field extractor both engines
+    // ship under the SAME name and 1-based contract — the
+    // delimited-code parse ('1-URGENT' → rank + label) that regex
+    // capture groups over-solve. Aggregated so the dump stays a
+    // |priorities|-row table at any scale.
+    "fn_split_part" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          expr("split_part(o_orderpriority, '-', 1)").as("prio_rank"),
+          expr("split_part(o_orderpriority, '-', 2)").as("prio_label"))
+        .groupBy(col("prio_rank"), col("prio_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prio_rank"))),
+
+    // Date-series generation (r9): per-row explode of a bounded date
+    // range (order date → +3 days, the delivery-window expansion
+    // every calendar join starts from). `sequence` + `explode` is
+    // NARROW — each task expands its own rows, no shuffle, no
+    // driver-side range; the per-row fan-out is the constant 4, so
+    // output ∝ input at any corpus size. Keyed filter bounds the
+    // dumped fixture slice.
+    "fn_sequence_explode" -> ((s, d) =>
+      orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          explode(expr(
+            "sequence(cast(o_orderdate as date), " +
+              "date_add(cast(o_orderdate as date), 3), interval 1 day)"))
+            .as("cal_day"))
+        .orderBy(col("o_orderkey"), col("cal_day")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -631,6 +662,20 @@ object ScalarQueries {
       """SELECT n_nationkey, 'name' AS attr, n_name AS val FROM nation
         |UNION ALL
         |SELECT n_nationkey, 'region_key', CAST(n_regionkey AS VARCHAR) FROM nation
-        |ORDER BY n_nationkey, attr""".stripMargin
+        |ORDER BY n_nationkey, attr""".stripMargin,
+    // same function name, same 1-based positional contract
+    "fn_split_part" ->
+      """SELECT split_part(o_orderpriority, '-', 1) AS prio_rank,
+        |  split_part(o_orderpriority, '-', 2) AS prio_label,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY prio_rank""".stripMargin,
+    // generate_series is inclusive on both ends, like Spark sequence
+    "fn_sequence_explode" ->
+      """SELECT o_orderkey,
+        |  CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+        |    CAST(o_orderdate AS DATE) + INTERVAL 3 DAY,
+        |    INTERVAL 1 DAY)) AS DATE) AS cal_day
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey, cal_day""".stripMargin
   )
 }

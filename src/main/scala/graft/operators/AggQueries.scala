@@ -332,6 +332,36 @@ object AggQueries {
         .orderBy(col("l_returnflag"), col("bucket"))
     }),
 
+    // Shannon entropy of a categorical distribution per group (r9):
+    // H = log2(n) − (Σ c·log2 c)/n over the per-value counts — the
+    // information-theoretic dispersion measure feature pipelines use
+    // for label-balance and drift checks. Exact integer counts feed a
+    // BOUNDED ordered fold (≤ |priorities| terms per group, sorted by
+    // value), so the double summation order is pinned on both engines
+    // — a plain sum(c*log2(c)) would hash-diverge on summation order.
+    // Two partial-agg shuffles over the counts table, never a window.
+    "agg_entropy" -> ((s, d) => {
+      val counts = orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy(col("o_orderstatus"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_values"),
+          sort_array(collect_list(struct(
+            col("o_orderpriority").as("p"), col("c")))).as("lst"))
+        .select(col("o_orderstatus"), col("n"), col("n_values"),
+          // micro-bits: transcendental log2 is not correctly-rounded,
+          // so Java vs libm can differ in the last ulp — 1e6 scaling +
+          // round pins a cross-engine-stable integer (the bm25
+          // micro-unit playbook)
+          round((log2(col("n")) -
+            expr("""aggregate(lst, cast(0 as double),
+                   (acc, x) -> acc + cast(x.c as double) *
+                     log2(cast(x.c as double)))""") / col("n")) * 1e6)
+            .cast("long").as("entropy_microbits"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Per-group mode with a total deterministic order: most frequent
     // o_orderpriority per order status, ties broken by priority string
     // ascending (count desc, value asc is a total order, so the answer
@@ -933,6 +963,22 @@ object AggQueries {
         |  count(*) AS n
         |FROM lineitem li JOIN cuts c ON li.l_returnflag = c.l_returnflag
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same sorted ordered fold of c*log2(c) (list_reduce with a 0.0
+    // seed), same log2(n) - s/n closed form
+    "agg_entropy" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS c
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT o_orderstatus, CAST(sum(c) AS BIGINT) AS n,
+        |  count(*) AS n_values,
+        |  CAST(round((log2(CAST(sum(c) AS BIGINT)) - list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+        |        ORDER BY o_orderpriority)),
+        |    (acc, x) -> acc + x) / CAST(sum(c) AS BIGINT)) * 1000000)
+        |    AS BIGINT) AS entropy_microbits
+        |FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt

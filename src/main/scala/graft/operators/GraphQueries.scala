@@ -310,6 +310,26 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // 2-hop reach (r9): per node, |neighbors| and |nodes within ≤2
+    // hops, self excluded| — the neighborhood-size feature
+    // recommendation and fraud pipelines precompute. One wedge join
+    // over the undirected top-K artifact (Σ deg² intermediate, the
+    // same arboricity-bounded class as link_predict — never a
+    // closure), then UNION-distinct with the 1-hop set so overlap
+    // between rings never double-counts.
+    "graph_2hop_reach" -> ((s, d) => {
+      val und = undirected(edgesTopK(s, d))
+      val two = und.as("a").join(und.as("b"), col("a.y") === col("b.x"))
+        .select(col("a.x").as("x"), col("b.y").as("y"))
+        .filter(col("x") =!= col("y"))
+      val reach = und.unionByName(two).distinct()
+      val d1 = und.groupBy(col("x")).agg(count(lit(1)).as("n_1hop"))
+      reach.groupBy(col("x")).agg(count(lit(1)).as("n_reach2"))
+        .join(d1, "x")
+        .select(col("x").as("supplier"), col("n_1hop"), col("n_reach2"))
+        .orderBy(col("supplier"))
+    }),
+
     // 3-iteration PageRank in integer micro-units, top 20 by rank.
     // new = (15·(Mass div N)) div 100 + (85·Σ incoming) div 100, with
     // contrib(u) = rank(u) div outdeg(u) — every op is int64, so the
@@ -436,6 +456,19 @@ object GraphQueries {
         |    WHERE walk.d < 4)
         |  SELECT n, min(d) AS hops FROM walk GROUP BY n)
         |SELECT n AS supplier, hops FROM bfs ORDER BY supplier""".stripMargin),
+
+    "graph_2hop_reach" -> (edgeCte +
+      """,
+        |und AS MATERIALIZED (SELECT DISTINCT x, y FROM (
+        |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
+        |two AS (
+        |  SELECT a.x AS x, b.y AS y FROM und a JOIN und b ON a.y = b.x
+        |  WHERE a.x <> b.y),
+        |reach AS (SELECT x, y FROM und UNION SELECT x, y FROM two),
+        |d1 AS (SELECT x, count(*) AS n_1hop FROM und GROUP BY x)
+        |SELECT r.x AS supplier, d1.n_1hop, count(*) AS n_reach2
+        |FROM reach r JOIN d1 ON d1.x = r.x
+        |GROUP BY r.x, d1.n_1hop ORDER BY supplier""".stripMargin),
 
     "graph_link_predict" -> (edgeCte +
       """,

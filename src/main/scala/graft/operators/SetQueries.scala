@@ -78,7 +78,26 @@ object SetQueries {
         .groupBy(col("user_id"), col("event_type"))
         .agg(min(col("event_id")).as("first_event"),
           min(col("ts_us")).as("first_ts_us"))
-        .orderBy(col("user_id"), col("event_type")))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // Symmetric difference (r9): keys in exactly ONE of the two sets
+    // (AUTOMOBILE-segment customers vs urgent-order customers), tagged
+    // with the side that holds them. Spelled as the two anti
+    // directions union'd — each EXCEPT is a shuffled left-anti on the
+    // key, so both sides stream and nothing is collected; the tag
+    // makes the result strictly richer than EXCEPT UNION EXCEPT
+    // without a second pass.
+    "set_symmetric_diff" -> ((s, d) => {
+      val a = customer(s, d)
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("custkey"))
+      val b = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")).distinct()
+      a.except(b).withColumn("side", lit("auto_only"))
+        .unionByName(b.except(a).withColumn("side", lit("urgent_only")))
+        .orderBy(col("custkey"), col("side"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -124,6 +143,20 @@ object SetQueries {
       """SELECT user_id, event_type, min(event_id) AS first_event,
         |  min(epoch_us(ts)) AS first_ts_us
         |FROM events GROUP BY user_id, event_type
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+    "set_symmetric_diff" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE'
+        |), b AS (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |)
+        |SELECT custkey, 'auto_only' AS side FROM (
+        |  SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT custkey, 'urgent_only' FROM (
+        |  SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+        |ORDER BY custkey, side""".stripMargin
   )
 }

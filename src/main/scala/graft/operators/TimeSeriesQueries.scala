@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
 object TimeSeriesQueries {
 
   private val HourUs = 3600L * 1000000L
+  private val WeekUs = 7L * 24L * 3600L * 1000000L
 
   /** Hourly per-user observation table: bucket + count + max value
     * (max: hour-level aggregate chosen deterministic under ties).
@@ -683,7 +684,115 @@ object TimeSeriesQueries {
           max_by(money(col("value")), struct(col("ts_us"), col("event_id")))
             .cast("double").as("close"),
           count(lit(1)).as("n"))
-        .orderBy(col("user_id"), col("hr")))
+        .orderBy(col("user_id"), col("hr"))),
+
+    // Cohort retention matrix (r9): users grouped by the week of
+    // their FIRST event (the cohort), tracked by how many are still
+    // active k weeks later — the canonical product-analytics
+    // triangle. All-integer: weeks are epoch-week ordinals,
+    // retention is basis points via integer division. Three
+    // shuffles, each on the natural key: (user, week) distinct,
+    // per-user min-week, then the (cohort, offset) count — the
+    // cohort-size join-back is against the tiny weeks² aggregate
+    // (broadcast), never the fact table. At 100 TB every stage is
+    // map-side combinable and the output is |weeks|² rows.
+    "ts_retention_cohort" -> ((s, d) => {
+      val act = events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $WeekUs").as("week"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val cells = act.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val sizes = cells.filter(col("week_offset") === 0)
+        .select(col("cohort_week"), col("n_users").as("cohort_size"))
+      cells.join(broadcast(sizes), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          col("cohort_size"),
+          expr("n_users * 10000 div cohort_size").as("retention_bp"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Rolling z-score anomaly flags (r9): each event scored against
+    // the trailing 6-event window of ITS OWN history (frame excludes
+    // the current row — the value being tested must not contaminate
+    // the baseline). Entirely integer algebra: with frame sums
+    // S=Σc, S2=Σc², the |x−μ| > 2σ_pop gate is the cross-multiplied
+    // (6x−S)² > 4·(6·S2−S²) — BIGINT-exact, so no IEEE sqrt/divide
+    // can drift between engines. One key-partitioned window pass
+    // (O(1) running frame state), then a per-user count — the same
+    // single user_id shuffle every serial op in this family rides.
+    "ts_anomaly_zscore" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-6, -1)
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .withColumn("fs", sum(col("c")).over(w))
+        .withColumn("fs2", sum(col("c") * col("c")).over(w))
+        .withColumn("fn", count(lit(1)).over(w))
+        .withColumn("anom",
+          col("fn") === 6 &&
+            (col("c") * 6 - col("fs")) * (col("c") * 6 - col("fs")) >
+              (col("fs2") * 6 - col("fs") * col("fs")) * 4)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("fn") === 6, 1L).otherwise(0L)).as("n_scored"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy(col("user_id"))
+    }),
+
+    // RFM customer scoring (r9): recency / frequency / monetary
+    // quartile scores — the classic CRM segmentation. The per-customer
+    // profile is one orders shuffle; the quartile CUTS are a 1-row
+    // exact percentile_disc aggregate broadcast back onto the profile
+    // (the agg_histogram_equi_depth playbook), so score assignment is
+    // MAP-SIDE — no global rank/ntile window, which at 100 TB would
+    // funnel every customer through one task (the r8 verdict's
+    // low-cardinality-window scale-killer, avoided by construction).
+    // All-integer features (days, counts, cents); scores are 1..4 by
+    // cut comparison, recency inverted (recent = high).
+    "ts_rfm_scores" -> ((s, d) => {
+      val prof = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          datediff(lit("1998-12-31").cast("date"),
+            max(col("o_orderdate")).cast("date")).cast("long").as("r_days"),
+          count(lit(1)).as("f_orders"),
+          sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+            .as("m_cents"))
+      val cuts = prof.agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY r_days)").as("r1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY r_days)").as("r2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY r_days)").as("r3"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY f_orders)").as("f1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY f_orders)").as("f2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY f_orders)").as("f3"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY m_cents)").as("m1"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY m_cents)").as("m2"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY m_cents)").as("m3"))
+      prof.crossJoin(broadcast(cuts))
+        .select(col("o_custkey"), col("r_days"), col("f_orders"),
+          col("m_cents"),
+          (lit(1L) + when(col("r_days") <= col("r1"), 1L).otherwise(0L)
+            + when(col("r_days") <= col("r2"), 1L).otherwise(0L)
+            + when(col("r_days") <= col("r3"), 1L).otherwise(0L))
+            .as("r_score"),
+          (lit(1L) + when(col("f_orders") > col("f1"), 1L).otherwise(0L)
+            + when(col("f_orders") > col("f2"), 1L).otherwise(0L)
+            + when(col("f_orders") > col("f3"), 1L).otherwise(0L))
+            .as("f_score"),
+          (lit(1L) + when(col("m_cents") > col("m1"), 1L).otherwise(0L)
+            + when(col("m_cents") > col("m2"), 1L).otherwise(0L)
+            + when(col("m_cents") > col("m3"), 1L).otherwise(0L))
+            .as("m_score"))
+        .withColumn("rfm_cell",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy(col("o_custkey"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1066,6 +1175,90 @@ object TimeSeriesQueries {
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
         |         pv + (nv - pv) * (CAST(hr - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
         |       ELSE COALESCE(pv, nv) END AS v_interp
-        |FROM w ORDER BY user_id, hr""".stripMargin
+        |FROM w ORDER BY user_id, hr""".stripMargin,
+    // same epoch-week ordinals, integer basis-point division
+    "ts_retention_cohort" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+        |), cells AS (
+        |  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |    count(*) AS n_users
+        |  FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT cohort_week, n_users AS cohort_size FROM cells
+        |  WHERE week_offset = 0
+        |)
+        |SELECT cells.cohort_week, week_offset, n_users, cohort_size,
+        |  n_users * 10000 // cohort_size AS retention_bp
+        |FROM cells JOIN sz ON cells.cohort_week = sz.cohort_week
+        |ORDER BY cells.cohort_week, week_offset""".stripMargin,
+    // identical cross-multiplied integer gate; windowed BIGINT sums
+    // come back HUGEINT, so cast before the algebra
+    "ts_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, c,
+        |    CAST(sum(c) OVER f AS BIGINT) AS fs,
+        |    CAST(sum(c * c) OVER f AS BIGINT) AS fs2,
+        |    count(*) OVER f AS fn
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN fn = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN fn = 6 AND
+        |    (c * 6 - fs) * (c * 6 - fs) > (fs2 * 6 - fs * fs) * 4
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same 1-row quantile_disc cuts, same comparison-count scores
+    "ts_rfm_scores" ->
+      """WITH prof AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |      DATE '1998-12-31') AS r_days,
+        |    count(*) AS f_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM orders GROUP BY o_custkey
+        |), cuts AS (
+        |  SELECT quantile_disc(r_days, 0.25) AS r1,
+        |    quantile_disc(r_days, 0.5) AS r2,
+        |    quantile_disc(r_days, 0.75) AS r3,
+        |    quantile_disc(f_orders, 0.25) AS f1,
+        |    quantile_disc(f_orders, 0.5) AS f2,
+        |    quantile_disc(f_orders, 0.75) AS f3,
+        |    quantile_disc(m_cents, 0.25) AS m1,
+        |    quantile_disc(m_cents, 0.5) AS m2,
+        |    quantile_disc(m_cents, 0.75) AS m3
+        |  FROM prof
+        |)
+        |SELECT o_custkey, CAST(r_days AS BIGINT) AS r_days, f_orders, m_cents,
+        |  CAST(1 + CASE WHEN r_days <= r1 THEN 1 ELSE 0 END
+        |    + CASE WHEN r_days <= r2 THEN 1 ELSE 0 END
+        |    + CASE WHEN r_days <= r3 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+        |  CAST(1 + CASE WHEN f_orders > f1 THEN 1 ELSE 0 END
+        |    + CASE WHEN f_orders > f2 THEN 1 ELSE 0 END
+        |    + CASE WHEN f_orders > f3 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+        |  CAST(1 + CASE WHEN m_cents > m1 THEN 1 ELSE 0 END
+        |    + CASE WHEN m_cents > m2 THEN 1 ELSE 0 END
+        |    + CASE WHEN m_cents > m3 THEN 1 ELSE 0 END AS BIGINT) AS m_score,
+        |  CAST((1 + CASE WHEN r_days <= r1 THEN 1 ELSE 0 END
+        |    + CASE WHEN r_days <= r2 THEN 1 ELSE 0 END
+        |    + CASE WHEN r_days <= r3 THEN 1 ELSE 0 END) * 100
+        |  + (1 + CASE WHEN f_orders > f1 THEN 1 ELSE 0 END
+        |    + CASE WHEN f_orders > f2 THEN 1 ELSE 0 END
+        |    + CASE WHEN f_orders > f3 THEN 1 ELSE 0 END) * 10
+        |  + (1 + CASE WHEN m_cents > m1 THEN 1 ELSE 0 END
+        |    + CASE WHEN m_cents > m2 THEN 1 ELSE 0 END
+        |    + CASE WHEN m_cents > m3 THEN 1 ELSE 0 END) AS BIGINT) AS rfm_cell
+        |FROM prof, cuts ORDER BY o_custkey""".stripMargin
   )
 }

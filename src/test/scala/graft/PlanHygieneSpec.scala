@@ -32,7 +32,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "graph_pagerank" -> "single-row node-count frame crossed onto the node list",
     "mix_temperature" -> "single-row max-count frame crossed onto the rate table",
     "agg_histogram" -> "single-row bin-total frame crossed onto the <=10 bins",
-    "table_clone" -> "1-row source aggregate crossed onto the 1-row clone aggregate"
+    "table_clone" -> "1-row source aggregate crossed onto the 1-row clone aggregate",
+    "ts_rfm_scores" -> "1-row quartile-cuts aggregate broadcast onto the profile",
+    "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
 
   private lazy val framesByQuery
