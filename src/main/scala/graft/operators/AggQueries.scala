@@ -725,7 +725,73 @@ object AggQueries {
             .as("p50_qty"),
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
             .as("p90_price"))
-        .orderBy(col("l_returnflag")))
+        .orderBy(col("l_returnflag"))),
+
+    // Gini coefficient of the quantity distribution per return flag
+    // (r9): the inequality measure data-balance audits report next to
+    // entropy. Computed over GROUPED frequency data via the
+    // mean-absolute-difference identity G = ΣΣ cᵢcⱼ|qᵢ−qⱼ| / (2·n·Σq)
+    // — l_quantity has ≤ 50 distinct integer values, so the pair
+    // "join" is a bounded |values|² self-join of the tiny counts
+    // table, NEVER the fact table (and never a per-group sort, which
+    // the classic rank formula would need). The numerator is an exact
+    // DECIMAL integer sum; the single final division is the only IEEE
+    // op (identical two exact operands both engines → identical
+    // micro-unit result).
+    "agg_gini" -> ((s, d) => {
+      val counts = lineitem(s, d)
+        .select(col("l_returnflag"),
+          expr("cast(round(l_quantity) as bigint)").as("q"))
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = counts.select(col("l_returnflag"), col("q").as("qa"),
+          col("c").as("ca"))
+        .join(counts.select(col("l_returnflag"), col("q").as("qb"),
+          col("c").as("cb")), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(sum((col("ca") * col("cb") * abs(col("qa") - col("qb")))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("num"))
+      val stats = counts.groupBy(col("l_returnflag"))
+        .agg(sum(col("c")).as("n"),
+          sum((col("c") * col("q")).cast("decimal(38,0)"))
+            .cast("long").as("sum_qty"))
+      stats.join(pairs, "l_returnflag")
+        .select(col("l_returnflag"), col("n"), col("sum_qty"),
+          round(col("num").cast("double") /
+            (lit(2.0) * col("n").cast("double") *
+              col("sum_qty").cast("double")) * 1e6)
+            .cast("long").as("gini_micro"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Pareto concentration (r9): what share of total order revenue the
+    // top-20%-by-revenue customers hold — the 80/20 health check of
+    // any marketplace dashboard. The p80 cut is ONE exact
+    // percentile_disc value broadcast back over the per-customer
+    // profile (the equi-depth/RFM playbook), so membership is a
+    // map-side comparison — no global revenue sort, no ntile. Strictly
+    // ">" the cut value, so cut-ties resolve identically in both
+    // engines regardless of intra-value order. All cents integer;
+    // share in basis points via integer division.
+    "agg_pareto_share" -> ((s, d) => {
+      val rev = orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("rev_cents"))
+      val cut = rev.agg(
+        expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY rev_cents)")
+          .as("cut"))
+      rev.crossJoin(broadcast(cut))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev_cents")).as("total_cents"),
+          sum(when(col("rev_cents") > col("cut"), 1L).otherwise(0L))
+            .as("top_customers"),
+          sum(when(col("rev_cents") > col("cut"), col("rev_cents"))
+            .otherwise(0L)).as("top_cents"))
+        .select(col("n_customers"), col("total_cents"),
+          col("top_customers"), col("top_cents"),
+          expr("top_cents * 10000 div total_cents").as("top_share_bp"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -1062,6 +1128,45 @@ object AggQueries {
         |SELECT 'c_nationkey', count(*), count(c_nationkey), count(DISTINCT c_nationkey),
         |  CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE)
         |FROM customer
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    // same bounded value-pair numerator (HUGEINT-exact, then one
+    // double division); same grouped-data identity
+    "agg_gini" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), num AS (
+        |  SELECT a.l_returnflag, sum(a.c * b.c * abs(a.q - b.q)) AS num
+        |  FROM c a JOIN c b ON a.l_returnflag = b.l_returnflag
+        |  GROUP BY a.l_returnflag
+        |), st AS (
+        |  SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * q) AS BIGINT) AS sum_qty
+        |  FROM c GROUP BY l_returnflag
+        |)
+        |SELECT st.l_returnflag, n, sum_qty,
+        |  CAST(round(CAST(num AS DOUBLE) /
+        |    (2.0 * CAST(n AS DOUBLE) * CAST(sum_qty AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS gini_micro
+        |FROM st JOIN num ON st.l_returnflag = num.l_returnflag
+        |ORDER BY st.l_returnflag""".stripMargin,
+    // same single quantile_disc cut, same strict-> membership
+    "agg_pareto_share" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY o_custkey
+        |), cut AS (SELECT quantile_disc(rev_cents, 0.8) AS cut FROM rev)
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(rev_cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN rev_cents > cut THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS top_customers,
+        |  CAST(sum(CASE WHEN rev_cents > cut THEN rev_cents ELSE 0 END)
+        |    AS BIGINT) AS top_cents,
+        |  CAST(sum(CASE WHEN rev_cents > cut THEN rev_cents ELSE 0 END)
+        |    * 10000 // sum(rev_cents) AS BIGINT) AS top_share_bp
+        |FROM rev, cut""".stripMargin
   )
 }

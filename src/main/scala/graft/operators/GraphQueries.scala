@@ -356,6 +356,41 @@ object GraphQueries {
       ranks.select(col("n").as("supplier"), col("rank").as("pr_rank"))
         .orderBy(col("pr_rank").desc, col("supplier"))
         .limit(20)
+    }),
+
+    // Degree assortativity (r9): the Pearson correlation between the
+    // degrees at the two ends of every edge — one scalar that says
+    // whether hubs attach to hubs (positive) or to leaves (negative),
+    // the first structural summary after the degree histogram. Exact
+    // INTEGER sufficient statistics over the directed edge list (the
+    // agg_corr_exact treatment: degrees are small ints, so n·Σxy etc.
+    // stay far inside int64), closed form applied once in DOUBLE with
+    // an identical expression tree in both engines, micro-units out.
+    // Two bounded joins on the O(N·k) artifact and a single global
+    // aggregate — no window, no closure.
+    "graph_assortativity" -> ((s, d) => {
+      val und = undirected(edgesTopK(s, d))
+      val deg = und.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val st = und
+        .join(deg.select(col("x"), col("dg").as("dx")), "x")
+        .join(deg.select(col("x").as("y"), col("dg").as("dy")), "y")
+        .agg(count(lit(1)).as("n_dir_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+      st.select(col("n_dir_edges"),
+        when(
+          col("n_dir_edges") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n_dir_edges") * col("syy") - col("sy") * col("sy") > 0,
+          round(
+            (col("n_dir_edges") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (sqrt((col("n_dir_edges") * col("sxx") -
+                col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n_dir_edges") * col("syy") -
+                  col("sy") * col("sy")).cast("double"))) * 1e6))
+          .cast("long").as("assort_micro"))
     })
   )
 
@@ -511,6 +546,32 @@ object GraphQueries {
         |    + (85 * coalesce(i3.inc, 0)) // 100 AS rank
         |  FROM r2 LEFT JOIN i3 ON r2.n = i3.n)
         |SELECT n AS supplier, rank AS pr_rank FROM r3
-        |ORDER BY pr_rank DESC, supplier LIMIT 20""".stripMargin)
+        |ORDER BY pr_rank DESC, supplier LIMIT 20""".stripMargin),
+
+    // identical integer sufficient stats and closed-form tree; HUGEINT
+    // sums cast back before the double algebra
+    "graph_assortativity" -> (edgeCte +
+      """,
+        |und AS MATERIALIZED (SELECT DISTINCT x, y FROM (
+        |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
+        |deg AS (SELECT x, count(*) AS dg FROM und GROUP BY x),
+        |st AS (
+        |  SELECT count(*) AS n_dir_edges,
+        |    CAST(sum(dx.dg) AS BIGINT) AS sx,
+        |    CAST(sum(dy.dg) AS BIGINT) AS sy,
+        |    CAST(sum(dx.dg * dy.dg) AS BIGINT) AS sxy,
+        |    CAST(sum(dx.dg * dx.dg) AS BIGINT) AS sxx,
+        |    CAST(sum(dy.dg * dy.dg) AS BIGINT) AS syy
+        |  FROM und JOIN deg dx ON dx.x = und.x JOIN deg dy ON dy.x = und.y
+        |)
+        |SELECT n_dir_edges,
+        |  CASE WHEN n_dir_edges * sxx - sx * sx > 0
+        |        AND n_dir_edges * syy - sy * sy > 0 THEN
+        |    CAST(round(CAST(n_dir_edges * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n_dir_edges * syy - sy * sy AS DOUBLE))) * 1e6)
+        |      AS BIGINT)
+        |  END AS assort_micro
+        |FROM st""".stripMargin)
   )
 }

@@ -349,6 +349,29 @@ object SqlQueries {
         JOIN nation_v_$v n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
         ORDER BY n.n_name""")
+    }),
+
+    // Named WINDOW clause (r9): define the frame spec once, reference
+    // it from several window functions — the de-duplication feature
+    // every hand-written analytics query leans on. The SAME window
+    // text drives a rank, a running sum, and a lag in both engines;
+    // because all three share one named spec, Catalyst plans ONE
+    // Window node over one (o_custkey) sort — the clause is not just
+    // sugar, it is how users guarantee the single-shuffle plan.
+    "sql_named_window" -> ((s, d) => {
+      val v = views(s, d)
+      s.sql(s"""
+        SELECT o_custkey, o_orderkey,
+          row_number() OVER w AS rn,
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_cents,
+          lag(o_orderkey) OVER w AS prev_order
+        FROM orders_v_$v
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, rn""")
     })
   )
 
@@ -475,6 +498,20 @@ object SqlQueries {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name
-        |ORDER BY n.n_name""".stripMargin
+        |ORDER BY n.n_name""".stripMargin,
+    // the same named-window text, minus the view suffix; the windowed
+    // BIGINT sum comes back HUGEINT, hence the CAST on both sides
+    "sql_named_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS run_cents,
+        |  lag(o_orderkey) OVER w AS prev_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin
   )
 }

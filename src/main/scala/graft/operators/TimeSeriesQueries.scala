@@ -792,6 +792,29 @@ object TimeSeriesQueries {
         .withColumn("rfm_cell",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // Maximum drawdown (r9): per user, the largest peak-to-trough drop
+    // of the event-value series in stored cents — the risk metric
+    // every monitoring/finance series wants next to its running max.
+    // One key-partitioned running-max window (O(1) task state on the
+    // family's user_id shuffle), then a per-user max aggregate; all
+    // integer, so no IEEE surface at all. The windowed max of BIGINT
+    // stays BIGINT in both engines (no HUGEINT promotion — only sums
+    // promote).
+    "ts_max_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .withColumn("peak", max(col("c")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("c")).as("peak_cents"),
+          max(col("peak") - col("c")).as("max_drawdown_cents"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1259,6 +1282,21 @@ object TimeSeriesQueries {
         |  + (1 + CASE WHEN m_cents > m1 THEN 1 ELSE 0 END
         |    + CASE WHEN m_cents > m2 THEN 1 ELSE 0 END
         |    + CASE WHEN m_cents > m3 THEN 1 ELSE 0 END) AS BIGINT) AS rfm_cell
-        |FROM prof, cuts ORDER BY o_custkey""".stripMargin
+        |FROM prof, cuts ORDER BY o_custkey""".stripMargin,
+    // windowed max of BIGINT is BIGINT in DuckDB too (no HUGEINT cast)
+    "ts_max_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, c,
+        |    max(c) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_events, max(c) AS peak_cents,
+        |  max(peak - c) AS max_drawdown_cents
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

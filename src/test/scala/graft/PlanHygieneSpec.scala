@@ -34,6 +34,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "agg_histogram" -> "single-row bin-total frame crossed onto the <=10 bins",
     "table_clone" -> "1-row source aggregate crossed onto the 1-row clone aggregate",
     "ts_rfm_scores" -> "1-row quartile-cuts aggregate broadcast onto the profile",
+    "agg_pareto_share" -> "1-row p80-cut aggregate broadcast onto the revenue profile",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
 
