@@ -313,17 +313,65 @@ object AggQueries {
     // a tiny 3-cut agg that broadcasts, then a map-side bucket
     // count — no window, no per-group sort of the fact table.
     "agg_histogram_equi_depth" -> ((s, d) => {
-      val li = lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      val cuts = li.groupBy(col("l_returnflag")).agg(
-        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY v)").as("c1"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("c2"),
-        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY v)").as("c3"))
+      // Quartile cuts via BUCKETED TWO-PASS selection (the
+      // agg_weighted_median machinery with unit weights), NOT
+      // percentile_disc on the fact table: the built-in's partial
+      // state buffers every value of a group, so with 3 return-flag
+      // groups ONE task merges a whole group's values at any corpus
+      // size — 2.9 s of the op's 2.9 s at sf0.1, and the
+      // low-cardinality-group buffering scale-killer at 100 TB. Pass
+      // 1 histograms 65536-cent buckets (rows ∝ value RANGE, not
+      // corpus), pass 2 pins each cut inside its crossing bucket's
+      // slice. Contract identical to percentile_disc: smallest value
+      // whose cumulative count reaches ceil(q/4·n), integer-exact as
+      // 4·cum ≥ q·n. Cents are an order-isomorphic image of the
+      // 2-decimal money values (FixtureSchemaSpec pins the fixture),
+      // so bucketing by cent cuts equals bucketing by value cuts and
+      // the quantile_disc oracle is unchanged.
+      import org.apache.spark.sql.expressions.Window
+      val li = lineitem(s, d).select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val bucketed = li.withColumn("bkt", expr("cents div 65536"))
+      val bw = bucketed.groupBy(col("l_returnflag"), col("bkt"))
+        .agg(count(lit(1)).as("bn"))
+      val cumW = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bw.withColumn("cum", sum(col("bn")).over(cumW))
+      val tot = bw.groupBy(col("l_returnflag")).agg(sum(col("bn")).as("n"))
+      // one crossing-bucket row per (flag, quarter q∈{1,2,3}): the
+      // cum frame is ≤ |value range|/65536 rows per flag, so the ×3
+      // explode is over a tiny frame, never the fact table
+      val crossing = cum.join(broadcast(tot), "l_returnflag")
+        .select(col("l_returnflag"), col("bkt"), col("bn"), col("cum"),
+          col("n"), explode(expr("array(1L, 2L, 3L)")).as("q"))
+        .filter(col("cum") * 4 >= col("q") * col("n"))
+        .groupBy(col("l_returnflag"), col("q"), col("n"))
+        .agg(min_by(struct(col("bkt"), (col("cum") - col("bn")).as("below")),
+          col("bkt")).as("cb"))
+        .select(col("l_returnflag"), col("q"), col("n"),
+          col("cb.bkt").as("cbkt"), col("cb.below").as("below"))
+      val inBkt = bucketed.join(broadcast(crossing), Seq("l_returnflag"))
+        .filter(col("bkt") === col("cbkt"))
+        .groupBy(col("l_returnflag"), col("q"), col("n"), col("below"),
+          col("cents"))
+        .agg(count(lit(1)).as("vn"))
+      val cumV = Window.partitionBy(col("l_returnflag"), col("q"))
+        .orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cutRows = inBkt.withColumn("cum_in", sum(col("vn")).over(cumV))
+        .filter((col("below") + col("cum_in")) * 4 >= col("q") * col("n"))
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(min(col("cents")).as("cut"))
+      val cuts = cutRows.groupBy(col("l_returnflag"))
+        .agg(min(when(col("q") === 1, col("cut"))).as("c1"),
+          min(when(col("q") === 2, col("cut"))).as("c2"),
+          min(when(col("q") === 3, col("cut"))).as("c3"))
       li.join(broadcast(cuts), "l_returnflag")
         .withColumn("bucket",
-          when(col("v") <= col("c1"), 0)
-            .when(col("v") <= col("c2"), 1)
-            .when(col("v") <= col("c3"), 2)
+          when(col("cents") <= col("c1"), 0)
+            .when(col("cents") <= col("c2"), 1)
+            .when(col("cents") <= col("c3"), 2)
             .otherwise(3))
         .groupBy(col("l_returnflag"), col("bucket"))
         .agg(count(lit(1)).as("n"))

@@ -122,6 +122,27 @@ class InequalityMetricsSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("agg_histogram_equi_depth matches a sort-based quartile recomputation") {
+    // pins the bucketed two-pass cut selection against the repo-wide
+    // percentile_disc contract (smallest value reaching ceil(p*n))
+    val got = SparkEntry.queries("agg_histogram_equi_depth")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), cents(r.getDouble(1))))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (flag, rs) =>
+      val vs = rs.map(_._2).sorted
+      val cuts = Seq(0.25, 0.5, 0.75).map(p =>
+        vs(math.ceil(p * vs.length).toInt - 1))
+      vs.map { v =>
+        if (v <= cuts(0)) 0L else if (v <= cuts(1)) 1L
+        else if (v <= cuts(2)) 2L else 3L
+      }.groupBy(identity).map { case (b, g) => (flag, b, g.length.toLong) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+  }
+
   test("Spark aes_encrypt ECB/PKCS matches the independent JDK cipher") {
     import javax.crypto.Cipher
     import javax.crypto.spec.SecretKeySpec
