@@ -812,6 +812,60 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Benford first-digit screen (r9): the first-significant-digit
+    // distribution of order totals vs the log10(1 + 1/d) law — the
+    // classic fabricated-numbers screen audit pipelines run before
+    // trusting a feed. First digit via string head of the exact cents
+    // integer (no float log needed to extract it); observed share in
+    // integer basis points; expected Benford mass as micro-units from
+    // one transcendental on the 9 literal digit values (identical
+    // argument both engines — the entropy/bm25 micro-unit playbook).
+    // One map-side bucket count into 9 groups; the total joins back as
+    // a 1-row broadcast (the agg_histogram shape).
+    "agg_benford" -> ((s, d) => {
+      val digits = orders(s, d)
+        .select(expr(
+          "cast(substring(cast(cast(round(o_totalprice * 100) as bigint) " +
+            "as string), 1, 1) as bigint)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("n * 10000 div total").as("share_bp"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            * 1e6).cast("long").as("benford_micro"))
+        .orderBy(col("digit"))
+    }),
+
+    // Herfindahl-Hirschman concentration index (r9): Σ shareᵢ² of
+    // customer revenue within each market segment — the antitrust
+    // concentration scalar, and with gini/entropy the third member of
+    // the distribution-shape family (each a different functional of
+    // the same shares). Numerator Σ revᵢ² as an exact DECIMAL sum
+    // (revᵢ² ~ 10¹⁵ at sf1 — an int64 sum WOULD overflow), one IEEE
+    // division of two exact integers at the end, micro-units out
+    // (1e6 = single-owner maximum).
+    "agg_hhi" -> ((s, d) => {
+      val rev = orders(s, d)
+        .join(broadcast(customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+          .as("rev"))
+      rev.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("rev")).as("total_cents"),
+          sum((col("rev") * col("rev")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("num"))
+        .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+          round(col("num").cast("double") /
+            (col("total_cents").cast("double") *
+              col("total_cents").cast("double")) * 1e6)
+            .cast("long").as("hhi_micro"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Pareto concentration (r9): what share of total order revenue the
     // top-20%-by-revenue customers hold — the 80/20 health check of
     // any marketplace dashboard. The p80 cut is ONE exact
@@ -1199,6 +1253,34 @@ object AggQueries {
         |    AS BIGINT) AS gini_micro
         |FROM st JOIN num ON st.l_returnflag = num.l_returnflag
         |ORDER BY st.l_returnflag""".stripMargin,
+    // same exact-cents digit head, same literal-digit transcendental
+    "agg_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders
+        |), c AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT digit, n, n * 10000 // total AS share_bp,
+        |  CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS benford_micro
+        |FROM c, t ORDER BY digit""".stripMargin,
+    // same HUGEINT-exact numerator, same single division
+    "agg_hhi" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_custkey
+        |)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(rev) AS BIGINT) AS total_cents,
+        |  CAST(round(CAST(sum(rev * rev) AS DOUBLE) /
+        |    (CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) *
+        |     CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS hhi_micro
+        |FROM rev GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // same single quantile_disc cut, same strict-> membership
     "agg_pareto_share" ->
       """WITH rev AS (

@@ -358,6 +358,42 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Per-node clustering coefficient (r9): 2·t / (deg·(deg−1)) — how
+    // close each node's neighborhood is to a clique, the local
+    // companion of the global triangle count and the feature
+    // community-detection pipelines start from. Reuses the oriented
+    // wedge join (every triangle found exactly once, candidate volume
+    // bounded by the top-K degree cap), counts triangles PER NODE,
+    // joins degrees, and emits integer milli-units (2000·t div
+    // (deg·(deg−1))) — exact, no IEEE division. deg<2 nodes have an
+    // undefined denominator and are pinned to 0, matching the oracle.
+    "graph_clustering_coef" -> ((s, d) => {
+      val e = edgesTopK(s, d)
+      val o = oriented(e)
+      val tri = o.as("e1")
+        .join(o.as("e2"),
+          col("e1.lo") === col("e2.lo") &&
+            (col("e1.dhi") < col("e2.dhi") ||
+              (col("e1.dhi") === col("e2.dhi") &&
+                col("e1.hi") < col("e2.hi"))))
+        .join(o.as("e3"),
+          col("e3.lo") === col("e1.hi") && col("e3.hi") === col("e2.hi"))
+        .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+          col("e2.hi").as("c"))
+      val triPerNode = tri.select(col("a").as("n"))
+        .unionByName(tri.select(col("b").as("n")))
+        .unionByName(tri.select(col("c").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("t"))
+      val deg = undirected(e).groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      deg.join(triPerNode, col("x") === col("n"), "left")
+        .select(col("x").as("supplier"), col("dg").as("degree"),
+          coalesce(col("t"), lit(0L)).as("n_triangles"),
+          when(col("dg") >= 2,
+            expr("2000 * coalesce(t, 0L) div (dg * (dg - 1))"))
+            .otherwise(0L).as("coef_milli"))
+        .orderBy(col("supplier"))
+    }),
+
     // Degree assortativity (r9): the Pearson correlation between the
     // degrees at the two ends of every edge — one scalar that says
     // whether hubs attach to hubs (positive) or to leaves (negative),
@@ -547,6 +583,37 @@ object GraphQueries {
         |  FROM r2 LEFT JOIN i3 ON r2.n = i3.n)
         |SELECT n AS supplier, rank AS pr_rank FROM r3
         |ORDER BY pr_rank DESC, supplier LIMIT 20""".stripMargin),
+
+    // same oriented triangle listing as graph_triangle_count, per-node
+    // counts left-joined onto degrees, same milli-unit integer div
+    "graph_clustering_coef" -> (edgeCte +
+      """,
+        |und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM e),
+        |deg AS (SELECT n, count(*) AS dg FROM (
+        |  SELECT x AS n FROM und UNION ALL SELECT y AS n FROM und) t GROUP BY n),
+        |ornt AS MATERIALIZED (
+        |  SELECT CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
+        |              THEN und.x ELSE und.y END AS lo,
+        |         CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
+        |              THEN und.y ELSE und.x END AS hi,
+        |         CASE WHEN (dx.dg < dy.dg) OR (dx.dg = dy.dg AND und.x < und.y)
+        |              THEN dy.dg ELSE dx.dg END AS dhi
+        |  FROM und JOIN deg dx ON dx.n = und.x JOIN deg dy ON dy.n = und.y),
+        |tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM ornt e1 JOIN ornt e2 ON e1.lo = e2.lo
+        |    AND ((e1.dhi < e2.dhi) OR (e1.dhi = e2.dhi AND e1.hi < e2.hi))
+        |  JOIN ornt e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |tpn AS (SELECT n, count(*) AS t FROM (
+        |  SELECT a AS n FROM tri UNION ALL SELECT b AS n FROM tri
+        |  UNION ALL SELECT c AS n FROM tri) t GROUP BY n)
+        |SELECT deg.n AS supplier, deg.dg AS degree,
+        |  coalesce(tpn.t, 0) AS n_triangles,
+        |  CASE WHEN deg.dg >= 2
+        |       THEN (2000 * coalesce(tpn.t, 0)) // (deg.dg * (deg.dg - 1))
+        |       ELSE 0 END AS coef_milli
+        |FROM deg LEFT JOIN tpn ON tpn.n = deg.n
+        |ORDER BY supplier""".stripMargin),
 
     // identical integer sufficient stats and closed-form tree; HUGEINT
     // sums cast back before the double algebra

@@ -794,6 +794,58 @@ object TimeSeriesQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Interval-union coverage (r9): total wall-clock each user was
+    // "active", where every event opens a 5-minute window and
+    // overlapping windows must count ONCE — the classic sweep-line
+    // union, spelled as one running-max window: a row adds
+    // max(0, end − max(prev_max_end, start)) new microseconds. All
+    // integer; O(1) frame state on the family's user_id shuffle (the
+    // naive spelling is a self-join over overlapping pairs —
+    // quadratic in the burst size).
+    "ts_interval_coverage" -> ((s, d) => {
+      val win = 300000000L // 5 min in µs
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          (col("ts_us") + lit(win)).as("e"))
+        .withColumn("pme", max(col("e")).over(w))
+        .withColumn("add",
+          greatest(lit(0L),
+            col("e") - greatest(coalesce(col("pme"), col("ts_us")),
+              col("ts_us"))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("add")).cast("long").as("covered_us"),
+          (max(col("e")) - min(col("ts_us"))).as("span_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Local-extrema counts (r9): strict peaks (greater than both
+    // neighbors) and valleys per user series — the shape primitive
+    // under peak detection, cycle counting, and oscillation alarms.
+    // One lag + one lead on the shared user window; endpoints have
+    // only one neighbor and count as neither. All integer cents.
+    "ts_peak_count" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .withColumn("pv", lag(col("c"), 1).over(w))
+        .withColumn("nv", lead(col("c"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("pv").isNotNull && col("nv").isNotNull &&
+            col("c") > col("pv") && col("c") > col("nv"), 1L)
+            .otherwise(0L)).as("n_peaks"),
+          sum(when(col("pv").isNotNull && col("nv").isNotNull &&
+            col("c") < col("pv") && col("c") < col("nv"), 1L)
+            .otherwise(0L)).as("n_valleys"))
+        .orderBy(col("user_id"))
+    }),
+
     // Maximum drawdown (r9): per user, the largest peak-to-trough drop
     // of the event-value series in stored cents — the risk metric
     // every monitoring/finance series wants next to its running max.
@@ -1283,6 +1335,40 @@ object TimeSeriesQueries {
         |    + CASE WHEN m_cents > m2 THEN 1 ELSE 0 END
         |    + CASE WHEN m_cents > m3 THEN 1 ELSE 0 END) AS BIGINT) AS rfm_cell
         |FROM prof, cuts ORDER BY o_custkey""".stripMargin,
+    // same running-max sweep; sum(add) comes back HUGEINT, cast
+    "ts_interval_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS s, event_id,
+        |    epoch_us(ts) + 300000000 AS e
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM e
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(greatest(0, e - greatest(coalesce(pme, s), s)))
+        |    AS BIGINT) AS covered_us,
+        |  max(e) - min(s) AS span_us
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_peak_count" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, c,
+        |    lag(c) OVER f AS pv, lead(c) OVER f AS nv
+        |  FROM e
+        |  WINDOW f AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |    AND c > pv AND c > nv THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |    AND c < pv AND c < nv THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // windowed max of BIGINT is BIGINT in DuckDB too (no HUGEINT cast)
     "ts_max_drawdown" ->
       """WITH e AS (

@@ -1,0 +1,110 @@
+package graft
+
+/** Independent recomputations for the r9 session-3 third wave:
+  * Benford digit screen, HHI concentration, interval-union coverage,
+  * local-extrema counts, and per-node clustering coefficient. Plain
+  * Scala over collected fixture rows, so a Spark plan bug and an
+  * oracle SQL bug cannot cancel.
+  */
+class DistributionShapeSpec extends SparkSpecBase {
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  test("agg_benford matches a digit-count recomputation") {
+    val got = SparkEntry.queries("agg_benford")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val digits = Tables.orders(spark, sfDir)
+      .select("o_totalprice").collect()
+      .map(r => cents(r.getDouble(0)).toString.head.asDigit.toLong)
+    val total = digits.length.toLong
+    val expected = digits.groupBy(identity).toSeq.map { case (d, g) =>
+      (d, g.length.toLong, g.length * 10000L / total,
+        math.round(math.log10(1.0 + 1.0 / d) * 1e6))
+    }.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("agg_hhi matches a share-squares recomputation") {
+    val got = SparkEntry.queries("agg_hhi")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val seg = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rev = Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1))))
+      .groupBy(_._1).map { case (ck, rs) => (ck, rs.map(_._2).sum) }
+    val expected = rev.toSeq.groupBy(t => seg(t._1)).map { case (s, cs) =>
+      val tot = cs.map(_._2).sum
+      val num = cs.map(c => BigInt(c._2) * BigInt(c._2)).sum
+      (s, cs.length.toLong, tot,
+        math.round(num.toDouble / (tot.toDouble * tot.toDouble) * 1e6))
+    }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("ts_interval_coverage matches an interval-merge recomputation") {
+    val got = SparkEntry.queries("ts_interval_coverage")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val win = 300000000L
+    val expected = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (uid, rs) =>
+        val iv = rs.sortBy(r => (r._2, r._3)).map(r => (r._2, r._2 + win))
+        // classic merge: extend or open a new covered segment
+        var covered = 0L
+        var curS = iv.head._1
+        var curE = iv.head._2
+        iv.tail.foreach { case (s0, e0) =>
+          if (s0 <= curE) curE = math.max(curE, e0)
+          else { covered += curE - curS; curS = s0; curE = e0 }
+        }
+        covered += curE - curS
+        (uid, iv.length.toLong, covered,
+          iv.map(_._2).max - iv.map(_._1).min)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("ts_peak_count matches a neighbor-scan recomputation") {
+    val got = SparkEntry.queries("ts_peak_count")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val expected = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+      .groupBy(_._1).map { case (uid, rs) =>
+        val xs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        val peaks = (1 until xs.length - 1).count(i =>
+          xs(i) > xs(i - 1) && xs(i) > xs(i + 1)).toLong
+        val valleys = (1 until xs.length - 1).count(i =>
+          xs(i) < xs(i - 1) && xs(i) < xs(i + 1)).toLong
+        (uid, xs.length.toLong, peaks, valleys)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("graph_clustering_coef matches a neighbor-set recomputation") {
+    val got = SparkEntry.queries("graph_clustering_coef")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val edges = SparkEntry.queries("graph_edges_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1))).toSet
+    val nb: Map[Long, Set[Long]] =
+      sym.groupBy(_._1).map { case (x, es) => x -> es.map(_._2) }
+    val expected = nb.toSeq.map { case (x, ns) =>
+      val t = ns.toSeq.combinations(2)
+        .count { case Seq(u, v) => nb(u).contains(v) }.toLong
+      val d = ns.size.toLong
+      val coef = if (d >= 2) 2000L * t / (d * (d - 1)) else 0L
+      (x, d, t, coef)
+    }.sortBy(_._1)
+    assert(got == expected)
+  }
+}

@@ -35,6 +35,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "table_clone" -> "1-row source aggregate crossed onto the 1-row clone aggregate",
     "ts_rfm_scores" -> "1-row quartile-cuts aggregate broadcast onto the profile",
     "agg_pareto_share" -> "1-row p80-cut aggregate broadcast onto the revenue profile",
+    "agg_benford" -> "1-row digit-total aggregate crossed onto the <=9 digit rows",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
 
