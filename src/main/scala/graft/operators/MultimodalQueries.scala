@@ -437,6 +437,53 @@ object MultimodalQueries {
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // REAL image resize through the batched plumbing (r9): each doc's
+    // canonical BMP decoded via the real header walk, then an 8x8
+    // nearest-neighbor THUMBNAIL sampled through the
+    // orientation-aware row reader (src row = r·h div 8, src col =
+    // c·w div 8 — the standard NN downsample grid) — the
+    // preprocessing-resize leg of an image-training pipeline, emitted
+    // as integer gray features (sum + four corners) so the oracle can
+    // mirror the synthesis arithmetic without a decoder: gray at
+    // (sr, sc) IS payload byte sr·w + sc (zero past the payload). A
+    // zero-height image (empty payload) is all-zero by definition.
+    // Narrow batched mapPartitions; binary never shuffles.
+    "mm_image_resize" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.grouped(32).flatMap { batch =>
+            batch.iterator.map { case (id, payload) =>
+              val bmp = bmpFor(id, payload)
+              val m = BmpDecoder.parse(bmp).get
+              val g = Array.ofDim[Long](8, 8)
+              var rt = 0
+              while (rt < 8) {
+                if (m.height > 0) {
+                  val sr = rt * m.height / 8
+                  val rowBytes = BmpDecoder.row(bmp, m, sr)
+                  var ct = 0
+                  while (ct < 8) {
+                    val sc = ct * m.width / 8
+                    g(rt)(ct) = (rowBytes(3 * sc) & 0xff).toLong
+                    ct += 1
+                  }
+                }
+                rt += 1
+              }
+              (id, m.width.toLong, m.height.toLong,
+                g.map(_.sum).sum, g(0)(0), g(0)(7), g(7)(0), g(7)(7))
+            }
+          }
+        }
+        .toDF("doc_id", "width", "height", "thumb_sum",
+          "px_tl", "px_tr", "px_bl", "px_br")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -636,6 +683,34 @@ object MultimodalQueries {
         |    + bit_count(xor(x.bv[2], y.bv[2]))
         |    + bit_count(xor(x.bv[3], y.bv[3]))
         |    + bit_count(xor(x.bv[4], y.bv[4])) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // mirrors the NN sample grid arithmetically: gray at thumb cell
+    // (rt, ct) is the payload byte at (rt*h//8)*w + (ct*w//8), zero
+    // past the payload (partial-last-row padding) or for h = 0
+    "mm_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(text, ''), c -> ascii(c)) AS vals,
+        |    octet_length(encode(text)) AS n,
+        |    CAST(16 + doc_id % 17 AS BIGINT) AS w
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, vals, n, w, (n + w - 1) // w AS h FROM d
+        |), g AS (
+        |  SELECT doc_id, w, h, rt, ct,
+        |    CASE WHEN h = 0 THEN 0
+        |         ELSE coalesce(vals[CAST((rt * h // 8) * w + (ct * w // 8)
+        |                             AS INT) + 1], 0) END AS gray
+        |  FROM p,
+        |    (SELECT unnest(generate_series(0, 7)) AS rt),
+        |    (SELECT unnest(generate_series(0, 7)) AS ct)
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(sum(gray) AS BIGINT) AS thumb_sum,
+        |  CAST(sum(CASE WHEN rt = 0 AND ct = 0 THEN gray ELSE 0 END) AS BIGINT) AS px_tl,
+        |  CAST(sum(CASE WHEN rt = 0 AND ct = 7 THEN gray ELSE 0 END) AS BIGINT) AS px_tr,
+        |  CAST(sum(CASE WHEN rt = 7 AND ct = 0 THEN gray ELSE 0 END) AS BIGINT) AS px_bl,
+        |  CAST(sum(CASE WHEN rt = 7 AND ct = 7 THEN gray ELSE 0 END) AS BIGINT) AS px_br
+        |FROM g GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
   )
 }
