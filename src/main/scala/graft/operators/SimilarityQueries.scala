@@ -688,6 +688,45 @@ object SimilarityQueries {
     // tasks (see cappedBucketPairs). cap = 64 caps any task at 4096
     // candidate pairs regardless of how hot a bucket gets; identical
     // oracle SQL, so the split must be provably result-preserving.
+    // Sorted-neighborhood dedup (r9): the classic entity-resolution
+    // alternative to set-similarity blocking — sort records by a
+    // normalized key, compare each record only with its w−1 sort
+    // neighbors. Spelled as lead() on the rank window, NOT a ranked
+    // self-join: a self-join on (block, rank offset) hands the merge
+    // join every same-block pair — Σ block² condition evaluations
+    // (43 M at sf1, where one task spent 20+ min inside the
+    // levenshtein conjunct before this spelling replaced it) — while
+    // lead() hands each row exactly its two neighbors, so the
+    // expensive gate runs ≤ 2·N times BY CONSTRUCTION, the linear
+    // guarantee that is SNM's entire point. Gate: byte-exact
+    // levenshtein over the 48-char key head (ASCII fixture — both
+    // engines count the same edits). Blocks cap the window sort
+    // (vocabulary-bounded here; prefix length is the standard
+    // per-corpus SNM knob).
+    "dedup_sorted_neighbors" -> ((s, d) => {
+      val w = Window.partitionBy(col("blk")).orderBy(col("k"), col("doc_id"))
+      val ranked = documents(s, d).select(col("doc_id"),
+          lower(substring(col("text"), 1, 32)).as("k"),
+          lower(substring(col("text"), 1, 6)).as("blk"),
+          lower(substring(col("text"), 1, 48)).as("k48"))
+        .select(col("doc_id"), col("k48"),
+          lead(col("doc_id"), 1).over(w).as("n1_id"),
+          lead(col("k48"), 1).over(w).as("n1_k"),
+          lead(col("doc_id"), 2).over(w).as("n2_id"),
+          lead(col("k48"), 2).over(w).as("n2_k"))
+      val pairs = ranked
+        .filter(col("n1_id").isNotNull)
+        .select(col("doc_id").as("doc_a"), col("n1_id").as("doc_b"),
+          col("k48").as("ka"), col("n1_k").as("kb"))
+        .unionByName(ranked.filter(col("n2_id").isNotNull)
+          .select(col("doc_id").as("doc_a"), col("n2_id").as("doc_b"),
+            col("k48").as("ka"), col("n2_k").as("kb")))
+      pairs.filter(levenshtein(col("ka"), col("kb")) <= 12)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ka"), col("kb")).cast("long").as("lev"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_ngram_capped" -> ((s, d) =>
       cappedBucketPairs(hashedGramTable(s, d), 64)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -1111,6 +1150,27 @@ object SimilarityQueries {
     "dedup_ngram_prefix" -> ngramJaccardSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_capped" -> ngramJaccardSql,
+    // same lead()-neighbors algebra — linear pair volume, no self-join
+    "dedup_sorted_neighbors" ->
+      """WITH k AS (
+        |  SELECT doc_id, lower(substring(text, 1, 32)) AS k,
+        |    lower(substring(text, 1, 6)) AS blk,
+        |    lower(substring(text, 1, 48)) AS k48
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, k48,
+        |    lead(doc_id, 1) OVER w AS n1_id, lead(k48, 1) OVER w AS n1_k,
+        |    lead(doc_id, 2) OVER w AS n2_id, lead(k48, 2) OVER w AS n2_k
+        |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY k, doc_id)
+        |), p AS (
+        |  SELECT doc_id AS doc_a, n1_id AS doc_b, k48 AS ka, n1_k AS kb
+        |  FROM r WHERE n1_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, n2_id, k48, n2_k FROM r WHERE n2_id IS NOT NULL
+        |)
+        |SELECT doc_a, doc_b, CAST(levenshtein(ka, kb) AS BIGINT) AS lev
+        |FROM p WHERE levenshtein(ka, kb) <= 12
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Full SQL mirror of the sign-random-projection structure: same
     // literal hyperplanes, same msb-first band fold, same bucket
     // self-join, same ordered-fold cosine gate (lshSignatureSql).

@@ -89,6 +89,41 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("dedup_sorted_neighbors matches a sort-and-scan recomputation") {
+    val got = SparkEntry.queries("dedup_sorted_neighbors")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length).toLong
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase))
+    val expected = docs
+      .map { case (id, t) => (t.take(6), t.take(32), id, t.take(48)) }
+      .groupBy(_._1).toSeq.flatMap { case (_, blk) =>
+        val sorted = blk.sortBy(r => (r._2, r._3))
+        for {
+          i <- sorted.indices
+          o <- 1 to 2
+          if i + o < sorted.length
+          d = lev(sorted(i)._4, sorted(i + o)._4)
+          if d <= 12
+        } yield (sorted(i)._3, sorted(i + o)._3, d)
+      }.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("graph_clustering_coef matches a neighbor-set recomputation") {
     val got = SparkEntry.queries("graph_clustering_coef")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
