@@ -519,6 +519,57 @@ object SimilarityQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Dominant principal component via POWER ITERATION (r9): five
+    // matrix-vector products against the exact integer covariance
+    // numerator (the emb_covariance algebra — every entry < 2^53, so
+    // the DOUBLE image is exact), max-norm normalization between
+    // rounds (five rounds: the spec's eigenvector-parallelism check
+    // needs cos(Mv, v) > 0.99 on this spectrum), sign pinned by the
+    // first component — the PCA primitive
+    // embedding pipelines run for whitening/drift. Cross-engine
+    // determinism: each matvec row is an ORDERED fold over the 64
+    // j-terms (sorted struct list), normalization and sign are IEEE
+    // ops on identical doubles, so three rounds stay bit-identical
+    // and the micro-unit output hashes. Scale shape: the d×d matrix
+    // (d=64) is a broadcast-sized artifact from ONE fact pass; every
+    // iteration is arithmetic over 64² rows — corpus size only enters
+    // pass one (the covariance aggregate).
+    "emb_pca_power" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
+          .as("q"))
+        .select(col("vec_id"), posexplode(col("q")))
+        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("qv"))
+      val a = q.select(col("vec_id"), col("i"), col("qv").as("qi"))
+      val b = q.select(col("vec_id"), col("i").as("j"), col("qv").as("qj"))
+      val upper = a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+        .groupBy(col("i"), col("j"))
+        .agg((count(lit(1)) * sum(col("qi") * col("qj")) -
+          sum(col("qi")) * sum(col("qj"))).cast("double").as("mv"))
+      val m = upper.unionByName(
+        upper.filter(col("i") < col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("mv")))
+      def step(v: DataFrame): DataFrame = {
+        val u = m.join(v, "j")
+          .groupBy(col("i"))
+          .agg(expr("aggregate(sort_array(collect_list(struct(j, mv * v))), " +
+            "cast(0.0 as double), (acc, x) -> acc + x.col2)").as("u"))
+        val nrm = u.agg(max(abs(col("u"))).as("nrm"))
+        u.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"), (col("u") / col("nrm")).as("v"))
+      }
+      val dims = m.select(col("i")).distinct()
+      val v0 = dims.select(col("i").as("j"), lit(1.0).as("v"))
+      val v3 = step(step(step(step(step(v0)))))
+      val sgn = v3.filter(col("j") === 1)
+        .select(when(col("v") < 0, -1.0).otherwise(1.0).as("sgn"))
+      v3.crossJoin(broadcast(sgn))
+        .select(col("j").cast("long").as("i"),
+          round(col("v") * col("sgn") * 1e6).cast("long").as("eig_micro"))
+        .orderBy(col("i"))
+    }),
+
     "ann_pq_topk" -> ((s, d) =>
       embeddings(s, d)
         // fused codegen'd encode (graft.functions.PqEncodeExpr): one
@@ -1080,6 +1131,58 @@ object SimilarityQueries {
         |  count(*) AS n
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
+    // same exact-integer matrix, same ordered j-folds, same max-norm
+    // and sign algebra, unrolled five rounds
+    "emb_pca_power" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)
+        |), up AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(count(*) * sum(a.qv * b.qv) - sum(a.qv) * sum(b.qv)
+        |      AS DOUBLE) AS mv
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY a.i, b.i
+        |), m AS MATERIALIZED (
+        |  SELECT i, j, mv FROM up
+        |  UNION ALL SELECT j, i, mv FROM up WHERE i < j
+        |), u1 AS (
+        |  SELECT i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(mv * 1.0 ORDER BY j)), (a, x) -> a + x) AS u
+        |  FROM m GROUP BY i
+        |), n1 AS (SELECT max(abs(u)) AS nrm FROM u1),
+        |v1 AS (SELECT i AS j, u / nrm AS v FROM u1, n1),
+        |u2 AS (
+        |  SELECT m.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(m.mv * v1.v ORDER BY m.j)), (a, x) -> a + x) AS u
+        |  FROM m JOIN v1 ON m.j = v1.j GROUP BY m.i
+        |), n2 AS (SELECT max(abs(u)) AS nrm FROM u2),
+        |v2 AS (SELECT i AS j, u / nrm AS v FROM u2, n2),
+        |u3 AS (
+        |  SELECT m.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(m.mv * v2.v ORDER BY m.j)), (a, x) -> a + x) AS u
+        |  FROM m JOIN v2 ON m.j = v2.j GROUP BY m.i
+        |), n3 AS (SELECT max(abs(u)) AS nrm FROM u3),
+        |v3i AS (SELECT i AS j, u / nrm AS v FROM u3, n3),
+        |u4 AS (
+        |  SELECT m.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(m.mv * v3i.v ORDER BY m.j)), (a, x) -> a + x) AS u
+        |  FROM m JOIN v3i ON m.j = v3i.j GROUP BY m.i
+        |), n4 AS (SELECT max(abs(u)) AS nrm FROM u4),
+        |v4 AS (SELECT i AS j, u / nrm AS v FROM u4, n4),
+        |u5 AS (
+        |  SELECT m.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(m.mv * v4.v ORDER BY m.j)), (a, x) -> a + x) AS u
+        |  FROM m JOIN v4 ON m.j = v4.j GROUP BY m.i
+        |), n5 AS (SELECT max(abs(u)) AS nrm FROM u5),
+        |v3 AS MATERIALIZED (SELECT i AS j, u / nrm AS v FROM u5, n5),
+        |sg AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+        |       FROM v3 WHERE j = 1)
+        |SELECT CAST(v3.j AS BIGINT) AS i,
+        |  CAST(round(v * sgn * 1e6) AS BIGINT) AS eig_micro
+        |FROM v3, sg ORDER BY i""".stripMargin,
     // Same literal codebook/query (Double.toString round-trips), same
     // ordered-fold subspace distances, same first-minimum argmin, same
     // m-ordered ADC sum — bit-identical before the micro-unit round.

@@ -89,6 +89,48 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("emb_pca_power matches a plain-Scala power iteration") {
+    val got = SparkEntry.queries("emb_pca_power")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val dim = vecs.head.length
+    val n = vecs.length.toLong
+    // exact integer covariance numerator, then the identical 5-round
+    // max-norm power iteration with j-ordered summation
+    val m = Array.tabulate(dim, dim) { (i0, j0) =>
+      val sij = vecs.map(v => v(i0) * v(j0)).sum
+      val si = vecs.map(_(i0)).sum
+      val sj = vecs.map(_(j0)).sum
+      (n * sij - si * sj).toDouble
+    }
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to 5) {
+      val u = Array.tabulate(dim) { i0 =>
+        var acc = 0.0
+        var j0 = 0
+        while (j0 < dim) { acc += m(i0)(j0) * v(j0); j0 += 1 }
+        acc
+      }
+      val nrm = u.map(math.abs).max
+      v = u.map(_ / nrm)
+    }
+    val sgn = if (v(0) < 0) -1.0 else 1.0
+    val expected = v.zipWithIndex
+      .map { case (x, i0) => (i0 + 1L, math.round(x * sgn * 1e6)) }.toSeq
+    assert(got == expected)
+    // max-norm contract: the dominant component is exactly ±1e6
+    assert(got.map(t => math.abs(t._2)).max == 1000000L)
+    // and it is an (approximate) eigenvector: Mv stays parallel to v
+    val mv = Array.tabulate(dim) { i0 =>
+      (0 until dim).map(j0 => m(i0)(j0) * v(j0)).sum
+    }
+    val cos = mv.zip(v).map(p => p._1 * p._2).sum /
+      (math.sqrt(mv.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    assert(cos > 0.99, s"Mv not parallel to v (cos=$cos)")
+  }
+
   test("dedup_sorted_neighbors matches a sort-and-scan recomputation") {
     val got = SparkEntry.queries("dedup_sorted_neighbors")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
