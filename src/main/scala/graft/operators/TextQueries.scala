@@ -561,6 +561,46 @@ object TextQueries {
     // term — the output is exact and oracle-paired even though the
     // sketch is approximate (MisraGriesSpec pins the guarantee
     // including across merges).
+    // Zipf-exponent fit (r9): least-squares slope of log freq vs log
+    // rank over the top-30 terms — the one-scalar corpus-health check
+    // (natural language ≈ −1; synthetic/templated corpora flatten).
+    // Rank via a bounded self-join over the VOCAB-sized count table
+    // (never a global window — at 100 TB the vocab side is the
+    // heavy-hitter artifact); the four regression sums are ORDERED
+    // folds over the rank-sorted list, so the transcendental ln terms
+    // accumulate in one fixed order on both engines before the single
+    // micro-round (the entropy playbook).
+    "text_zipf_fit" -> ((s, d) => {
+      val counts = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val ranked = counts.as("a").join(counts.as("b"),
+          col("b.cnt") > col("a.cnt") ||
+            (col("b.cnt") === col("a.cnt") && col("b.term") < col("a.term")),
+          "left")
+        .groupBy(col("a.term"), col("a.cnt"))
+        .agg((count(col("b.term")) + 1).as("rank"))
+        .filter(col("rank") <= 30)
+      def fold(e: String): org.apache.spark.sql.Column =
+        expr(s"aggregate(lst, cast(0.0 as double), (acc, p) -> acc + ($e))")
+      ranked
+        .agg(sort_array(collect_list(struct(col("rank"),
+          col("cnt")))).as("lst"))
+        .select(
+          expr("size(lst)").cast("long").as("n_terms"),
+          fold("ln(cast(p.rank as double))").as("sx"),
+          fold("ln(cast(p.cnt as double))").as("sy"),
+          fold("ln(cast(p.rank as double)) * ln(cast(p.cnt as double))")
+            .as("sxy"),
+          fold("ln(cast(p.rank as double)) * ln(cast(p.rank as double))")
+            .as("sxx"))
+        .select(col("n_terms"),
+          round((col("sxy") * col("n_terms") - col("sx") * col("sy")) /
+            (col("sxx") * col("n_terms") - col("sx") * col("sx")) * -1e6)
+            .cast("long").as("zipf_micro"))
+    }),
+
     "text_heavy_hitters" -> ((s, d) => {
       val toks = documents(s, d)
         .select(explode(split(col("text"), " ")).as("term"))
@@ -955,6 +995,40 @@ object TextQueries {
         |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN df USING (term)) t
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // same bounded-self-join rank, same rank-ordered ln folds — each
+    // regression sum accumulates in one fixed order on both engines
+    "text_zipf_fit" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE strlen(term) > 0 GROUP BY term
+        |), ranked AS (
+        |  SELECT a.term, a.cnt, count(b.term) + 1 AS rank
+        |  FROM counts a LEFT JOIN counts b
+        |    ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.term < a.term)
+        |  GROUP BY a.term, a.cnt
+        |), top AS (SELECT * FROM ranked WHERE rank <= 30),
+        |l AS (
+        |  SELECT count(*) AS n_terms,
+        |    list(ln(CAST(rank AS DOUBLE)) ORDER BY rank) AS lx,
+        |    list(ln(CAST(cnt AS DOUBLE)) ORDER BY rank) AS ly,
+        |    list(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+        |      ORDER BY rank) AS lxy,
+        |    list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+        |      ORDER BY rank) AS lxx
+        |  FROM top
+        |), s AS (
+        |  SELECT n_terms,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lx), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ly), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lxy), (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lxx), (a, x) -> a + x) AS sxx
+        |  FROM l
+        |)
+        |SELECT n_terms,
+        |  CAST(round((sxy * n_terms - sx * sy) /
+        |    (sxx * n_terms - sx * sx) * -1e6) AS BIGINT) AS zipf_micro
+        |FROM s""".stripMargin,
     // Exact 1%-frequency mirror: the MG sketch is recall-guaranteed
     // above this threshold and the recount is exact, so the plain
     // GROUP BY ... HAVING formulation matches row-for-row.

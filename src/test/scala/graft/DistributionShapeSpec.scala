@@ -89,6 +89,31 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("text_zipf_fit matches a plain-Scala least-squares fit") {
+    val got = SparkEntry.queries("text_zipf_fit")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val counts = Tables.documents(spark, sfDir)
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }.toSeq
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(30)
+      .zipWithIndex.map { case ((_, c), i) => (i + 1L, c) }
+    val xs = top.map(t => math.log(t._1.toDouble))
+    val ys = top.map(t => math.log(t._2.toDouble))
+    val n = top.length
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map(p => p._1 * p._2).sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (sxy * n - sx * sy) / (sxx * n - sx * sx)
+    assert(got._1 == n.toLong)
+    // the Scala mirror may differ in summation order — compare in
+    // real units with a tolerance instead of micro-exactly
+    assert(math.abs(got._2 - math.round(-slope * 1e6)) <= 2,
+      s"slope ${got._2} vs ${math.round(-slope * 1e6)}")
+    // a frequency-sorted corpus always fits a POSITIVE exponent
+    assert(got._2 > 0)
+  }
+
   test("emb_pca_power matches a plain-Scala power iteration") {
     val got = SparkEntry.queries("emb_pca_power")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

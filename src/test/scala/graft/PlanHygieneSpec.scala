@@ -37,6 +37,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "agg_pareto_share" -> "1-row p80-cut aggregate broadcast onto the revenue profile",
     "agg_benford" -> "1-row digit-total aggregate crossed onto the <=9 digit rows",
     "emb_pca_power" -> "1-row norm/sign aggregates crossed onto the 64-row vector",
+    "text_zipf_fit" -> "non-equi rank self-join over the vocab-bounded count table",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
 
