@@ -535,21 +535,34 @@ object SimilarityQueries {
     // iteration is arithmetic over 64² rows — corpus size only enters
     // pass one (the covariance aggregate).
     "emb_pca_power" -> ((s, d) => {
-      val q = embeddings(s, d)
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
-          .as("q"))
-        .select(col("vec_id"), posexplode(col("q")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("qv"))
-      val a = q.select(col("vec_id"), col("i"), col("qv").as("qi"))
-      val b = q.select(col("vec_id"), col("i").as("j"), col("qv").as("qj"))
-      val upper = a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
-        .groupBy(col("i"), col("j"))
-        .agg((count(lit(1)) * sum(col("qi") * col("qj")) -
-          sum(col("qi")) * sum(col("qj"))).cast("double").as("mv"))
-      val m = upper.unionByName(
-        upper.filter(col("i") < col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("mv")))
+      // The d×d matrix is a build-once parquet artifact (the gram
+      // table / IVF centroid pattern): the covariance pass joins
+      // N·d² rows (82 M at sf1), and a pure plan re-executes that
+      // join once per lineage reference — the union doubles it and
+      // each of the five matvec rounds re-expands it (measured 12.3 s
+      // at sf1; 10× the single covariance pass). Materialized, the
+      // fact table is touched exactly once and every round is a
+      // 4096-row scan.
+      val dir = graft.TempDirs.scoped("pca_cov", d)
+      graft.TempDirs.writeOnce("pca_cov" + d) {
+        val q = embeddings(s, d)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
+            .as("q"))
+          .select(col("vec_id"), posexplode(col("q")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("qv"))
+        val a = q.select(col("vec_id"), col("i"), col("qv").as("qi"))
+        val b = q.select(col("vec_id"), col("i").as("j"), col("qv").as("qj"))
+        val upper = a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+          .groupBy(col("i"), col("j"))
+          .agg((count(lit(1)) * sum(col("qi") * col("qj")) -
+            sum(col("qi")) * sum(col("qj"))).cast("double").as("mv"))
+        upper.unionByName(
+          upper.filter(col("i") < col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("mv")))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val m = s.read.parquet(dir)
       def step(v: DataFrame): DataFrame = {
         val u = m.join(v, "j")
           .groupBy(col("i"))
