@@ -467,7 +467,31 @@ object ScalarQueries {
             "sequence(cast(o_orderdate as date), " +
               "date_add(cast(o_orderdate as date), 3), interval 1 day)"))
             .as("cal_day"))
-        .orderBy(col("o_orderkey"), col("cal_day")))
+        .orderBy(col("o_orderkey"), col("cal_day"))),
+
+    // Rounding-mode semantics (r9): floor / ceil / HALF_UP round /
+    // HALF_EVEN (banker's) bround / cast-truncation, exercised on
+    // EXACT half-way doubles (k + 0.5 is exactly representable, so
+    // both engines see the identical tie) in both signs — the
+    // mode-mismatch class that silently skews financial aggregates.
+    // DuckDB spells banker's rounding round_even; semantics, not
+    // names, under test. Pure map stage collapsed to |k| rows.
+    "fn_round_modes" -> ((s, d) =>
+      orders(s, d)
+        .select((col("o_orderkey") % 7).as("k"),
+          (col("o_orderkey") % 7).cast("double").plus(lit(0.5)).as("v"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("v"),
+          min(floor(col("v"))).as("fl"),
+          min(ceil(col("v"))).as("ce"),
+          min(round(col("v"), 0)).cast("long").as("rd"),
+          min(bround(col("v"), 0)).cast("long").as("brd"),
+          min(round(-col("v"), 0)).cast("long").as("rd_neg"),
+          min(bround(-col("v"), 0)).cast("long").as("brd_neg"),
+          min(col("v").cast("long")).as("tr"),
+          min((-col("v")).cast("long")).as("tr_neg"))
+        .orderBy(col("k")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -676,6 +700,28 @@ object ScalarQueries {
         |    CAST(o_orderdate AS DATE) + INTERVAL 3 DAY,
         |    INTERVAL 1 DAY)) AS DATE) AS cal_day
         |FROM orders WHERE o_orderkey % 97 = 0
-        |ORDER BY o_orderkey, cal_day""".stripMargin
+        |ORDER BY o_orderkey, cal_day""".stripMargin,
+    // round = half away from zero on both engines' doubles (Spark
+    // HALF_UP on the exact binary value ≡ DuckDB half-away for ties);
+    // bround ≡ round_even. Spark's double→int CAST truncates toward
+    // zero but DuckDB's ROUNDS half-even (3.9→4, 2.5→2) — exactly the
+    // mode-mismatch class this operator pins, so the truncation legs
+    // mirror through explicit trunc()
+    "fn_round_modes" ->
+      """WITH v AS (
+        |  SELECT o_orderkey % 7 AS k,
+        |    CAST(o_orderkey % 7 AS DOUBLE) + 0.5 AS v
+        |  FROM orders
+        |)
+        |SELECT k, count(*) AS n, min(v) AS v,
+        |  CAST(min(floor(v)) AS BIGINT) AS fl,
+        |  CAST(min(ceil(v)) AS BIGINT) AS ce,
+        |  CAST(min(round(v, 0)) AS BIGINT) AS rd,
+        |  CAST(min(round_even(v, 0)) AS BIGINT) AS brd,
+        |  CAST(min(round(-v, 0)) AS BIGINT) AS rd_neg,
+        |  CAST(min(round_even(-v, 0)) AS BIGINT) AS brd_neg,
+        |  CAST(min(trunc(v)) AS BIGINT) AS tr,
+        |  CAST(min(trunc(-v)) AS BIGINT) AS tr_neg
+        |FROM v GROUP BY k ORDER BY k""".stripMargin
   )
 }

@@ -372,6 +372,24 @@ object SqlQueries {
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, rn""")
+    }),
+
+    // ORDER BY ALL (r9): the companion of GROUP BY ALL — sort by
+    // every select-list column left to right, the ad-hoc-analysis
+    // idiom that makes paged output deterministic without naming
+    // columns twice. SAME SQL text in both engines; all sorted
+    // columns are non-null (the engines disagree on default NULL
+    // placement, so a null would be an oracle trap, stated here so
+    // nobody "simplifies" the projection later).
+    "sql_order_by_all" -> ((s, d) => {
+      val v = views(s, d)
+      s.sql(s"""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n,
+          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+            AS bal_cents
+        FROM customer_v_$v
+        GROUP BY ALL
+        ORDER BY ALL""")
     })
   )
 
@@ -512,6 +530,14 @@ object SqlQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, rn""".stripMargin
+        |ORDER BY o_custkey, rn""".stripMargin,
+    // identical text — ALL expands to the same column list
+    "sql_order_by_all" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin
   )
 }

@@ -89,6 +89,22 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("fn_round_modes pins the five mode contracts on exact halves") {
+    val got = SparkEntry.queries("fn_round_modes")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9), r.getLong(10))).toSeq
+    assert(got.map(_._1) == (0L to 6L))
+    got.foreach { case (k, v, fl, ce, rd, brd, rdN, brdN, tr, trN) =>
+      assert(v == k + 0.5)
+      assert(fl == k && ce == k + 1)
+      assert(rd == k + 1, "HALF_UP rounds the tie away from zero")
+      assert(brd == (if (k % 2 == 0) k else k + 1), "HALF_EVEN to even")
+      assert(rdN == -(k + 1) && brdN == -brd)
+      assert(tr == k && trN == -k, "cast truncates toward zero")
+    }
+  }
+
   test("text_zipf_fit matches a plain-Scala least-squares fit") {
     val got = SparkEntry.queries("text_zipf_fit")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
