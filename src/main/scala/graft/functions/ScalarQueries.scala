@@ -491,7 +491,25 @@ object ScalarQueries {
           min(bround(-col("v"), 0)).cast("long").as("brd_neg"),
           min(col("v").cast("long")).as("tr"),
           min((-col("v")).cast("long")).as("tr_neg"))
-        .orderBy(col("k")))
+        .orderBy(col("k"))),
+
+    // Character-level string surgery (r9): translate (per-char map),
+    // overlay (splice a replacement into a position range), and
+    // mask (the PII-redaction builtin: upper→X, lower→x, digit→n) —
+    // the remaining string family the ETL surface lacked. DuckDB has
+    // translate but neither overlay nor mask, so those mirror through
+    // substring-concat and chained regexp_replace — semantics, not
+    // names, under test. Aggregated to |priority| rows.
+    "fn_string_surgery" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderpriority").as("p"))
+        .select(col("p"),
+          translate(col("p"), "-AEIOU", "_aeiou").as("translated"),
+          expr("overlay(p PLACING '##' FROM 2 FOR 1)").as("spliced"),
+          expr("mask(p)").as("masked"))
+        .groupBy(col("p"), col("translated"), col("spliced"), col("masked"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -722,6 +740,21 @@ object ScalarQueries {
         |  CAST(min(round_even(-v, 0)) AS BIGINT) AS brd_neg,
         |  CAST(min(trunc(v)) AS BIGINT) AS tr,
         |  CAST(min(trunc(-v)) AS BIGINT) AS tr_neg
-        |FROM v GROUP BY k ORDER BY k""".stripMargin
+        |FROM v GROUP BY k ORDER BY k""".stripMargin,
+    // overlay ≡ substring splice; mask ≡ three chained char-class
+    // regexp_replace passes (X/x/n)
+    "fn_string_surgery" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority AS p,
+        |    translate(o_orderpriority, '-AEIOU', '_aeiou') AS translated,
+        |    substring(o_orderpriority, 1, 1) || '##' ||
+        |      substring(o_orderpriority, 3) AS spliced,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      o_orderpriority, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+        |      '[0-9]', 'n', 'g') AS masked
+        |  FROM orders
+        |)
+        |SELECT p, translated, spliced, masked, count(*) AS n
+        |FROM t GROUP BY 1, 2, 3, 4 ORDER BY p""".stripMargin
   )
 }

@@ -105,6 +105,16 @@ class DistributionShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("fn_string_surgery pins translate/overlay/mask on a known value") {
+    val got = SparkEntry.queries("fn_string_surgery")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        r.getString(2), r.getString(3)))).toMap
+    assert(got("1-URGENT") == (("1_uRGeNT", "1##URGENT", "n-XXXXXX")),
+      s"got ${got.get("1-URGENT")}")
+    assert(got("4-NOT SPECIFIED") ==
+      (("4_NoT SPeCiFieD", "4##NOT SPECIFIED", "n-XXX XXXXXXXXX")))
+  }
+
   test("text_zipf_fit matches a plain-Scala least-squares fit") {
     val got = SparkEntry.queries("text_zipf_fit")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
