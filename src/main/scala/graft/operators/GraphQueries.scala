@@ -358,6 +358,43 @@ object GraphQueries {
         .limit(20)
     }),
 
+    // Partition modularity (r9): Newman's Q for the match-chain
+    // communities (the WCC labels of the 1-NN subgraph) evaluated
+    // over the FULL undirected top-K graph — the standard "was this
+    // clustering better than chance" score community pipelines report
+    // next to their labels. On the both-directions edge set E2
+    // (|E2| = 2m): Q = (|E2|·Σ within_c − Σ d_c²) / |E2|² — an exact
+    // integer numerator (DECIMAL sum for Σd²), one IEEE division,
+    // micro-units. Label and degree joins are all on node id over the
+    // bounded artifact; the 1-row |E2| aggregate broadcasts.
+    "graph_modularity" -> ((s, d) => {
+      val labels = wccLabels(s, d)
+      val e2 = undirected(edgesTopK(s, d))
+      val deg = e2.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+      val dC = deg.join(labels, col("x") === col("v"))
+        .groupBy(col("label")).agg(sum(col("dg")).as("d_c"))
+      val within = e2
+        .join(labels.select(col("v").as("x"), col("label").as("lx")), "x")
+        .join(labels.select(col("v").as("y"), col("label").as("ly")), "y")
+        .filter(col("lx") === col("ly"))
+        .groupBy(col("lx").as("label")).agg(count(lit(1)).as("e2_c"))
+      val perLabel = dC.join(within, Seq("label"), "left")
+        .select(col("label"), col("d_c"),
+          coalesce(col("e2_c"), lit(0L)).as("e2_c"))
+      val agg1 = perLabel.agg(count(lit(1)).as("n_components"),
+        sum(col("e2_c")).as("se2"),
+        sum((col("d_c") * col("d_c")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sd2"))
+      val m2 = e2.agg(count(lit(1)).as("m2"))
+      agg1.crossJoin(broadcast(m2))
+        .select(col("n_components"), expr("m2 div 2").as("m_edges"),
+          expr("se2 div 2").as("within_edges"),
+          round((col("m2").cast("double") * col("se2").cast("double") -
+            col("sd2").cast("double")) /
+            (col("m2").cast("double") * col("m2").cast("double")) * 1e6)
+            .cast("long").as("q_micro"))
+    }),
+
     // Per-node clustering coefficient (r9): 2·t / (deg·(deg−1)) — how
     // close each node's neighborhood is to a clique, the local
     // companion of the global triangle count and the feature
@@ -583,6 +620,47 @@ object GraphQueries {
         |  FROM r2 LEFT JOIN i3 ON r2.n = i3.n)
         |SELECT n AS supplier, rank AS pr_rank FROM r3
         |ORDER BY pr_rank DESC, supplier LIMIT 20""".stripMargin),
+
+    // labels from the same recursive closure as graph_wcc; modularity
+    // algebra over the full both-directions edge set, HUGEINT-exact
+    // numerator, one double division
+    "graph_modularity" -> (edgeCte.replaceFirst("WITH ps", "WITH RECURSIVE ps") +
+      """,
+        |nn1 AS (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, row_number() OVER (PARTITION BY u
+        |      ORDER BY shared_parts DESC, v ASC) AS rn1 FROM e) t
+        |  WHERE rn1 = 1),
+        |und AS MATERIALIZED (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM nn1),
+        |ed AS MATERIALIZED (
+        |  SELECT x AS src, y AS dst FROM und
+        |  UNION SELECT y, x FROM und
+        |  UNION SELECT x, x FROM und
+        |  UNION SELECT y, y FROM und),
+        |reach AS (
+        |  SELECT src AS v, src AS u FROM ed
+        |  UNION
+        |  SELECT r.v, ed.dst FROM reach r JOIN ed ON ed.src = r.u),
+        |lab AS MATERIALIZED (SELECT v, min(u) AS label FROM reach GROUP BY v),
+        |e2 AS MATERIALIZED (SELECT DISTINCT x, y FROM (
+        |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
+        |deg AS (SELECT x, count(*) AS dg FROM e2 GROUP BY x),
+        |dc AS (SELECT lab.label, CAST(sum(dg) AS BIGINT) AS d_c
+        |  FROM deg JOIN lab ON lab.v = deg.x GROUP BY lab.label),
+        |wi AS (SELECT lx.label AS label, count(*) AS e2_c
+        |  FROM e2 JOIN lab lx ON lx.v = e2.x JOIN lab ly ON ly.v = e2.y
+        |  WHERE lx.label = ly.label GROUP BY lx.label),
+        |pl AS (SELECT dc.label, d_c, coalesce(wi.e2_c, 0) AS e2_c
+        |  FROM dc LEFT JOIN wi ON wi.label = dc.label),
+        |a1 AS (SELECT count(*) AS n_components,
+        |  CAST(sum(e2_c) AS BIGINT) AS se2, sum(d_c * d_c) AS sd2 FROM pl),
+        |m2t AS (SELECT count(*) AS m2 FROM e2)
+        |SELECT n_components, m2 // 2 AS m_edges, se2 // 2 AS within_edges,
+        |  CAST(round((CAST(m2 AS DOUBLE) * CAST(se2 AS DOUBLE) -
+        |    CAST(sd2 AS DOUBLE)) /
+        |    (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) * 1e6) AS BIGINT)
+        |    AS q_micro
+        |FROM a1, m2t""".stripMargin),
 
     // same oriented triangle listing as graph_triangle_count, per-node
     // counts left-joined onto degrees, same milli-unit integer div

@@ -291,6 +291,52 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio resample through the batched plumbing (r9): decode
+    // the canonical PCM container (real RIFF walk + int16 extraction),
+    // then DECIMATE by keeping every other FRAME (all channels of
+    // even frame indices) — the 2:1 downsample leg of an
+    // audio-preprocessing pipeline, the audio analog of
+    // mm_image_resize. (Production decimation low-pass-filters first;
+    // the frame-selection plumbing — what Spark actually schedules —
+    // is identical and is what this operator pins.) Integer outputs
+    // (kept-sample count, Σ|s| over kept, halved rate) let the oracle
+    // mirror the synthesis arithmetic: sample i IS 256·(byte_i − 128)
+    // and frame index is i div channels. Narrow batched
+    // mapPartitions; binary never shuffles.
+    "mm_audio_resample" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          rows.grouped(32).flatMap { batch =>
+            batch.iterator.map { case (id, payload) =>
+              val sr = (8000L * (1 + id % 3)).toInt
+              val ch = (1 + id % 2).toInt
+              val pcm =
+                payload.map(b => (((b & 0xff) - 128) << 8).toShort)
+              val decoded =
+                WavDecoder.samples16(WavDecoder.synthesize(sr, ch, pcm))
+              var kept = 0L
+              var sumAbs = 0L
+              var i = 0
+              while (i < decoded.length) {
+                if ((i / ch) % 2 == 0) {
+                  kept += 1
+                  sumAbs += math.abs(decoded(i).toLong)
+                }
+                i += 1
+              }
+              (id, decoded.length.toLong, kept, sumAbs, sr / 2L)
+            }
+          }
+        }
+        .toDF("doc_id", "n_in_samples", "n_out_samples", "sum_abs_out",
+          "out_rate")
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling path (r6: frames now come from a real parsed
     // container layout, not a fixed byte stride): each doc's canonical
     // BMP is parsed, and every logical pixel row — boundaries derived
@@ -572,6 +618,29 @@ object MultimodalQueries {
         |    i -> (vals[i - 1] >= 128) <> (vals[i] >= 128))) AS BIGINT)
         |    AS zero_cross
         |FROM d ORDER BY doc_id""".stripMargin,
+    // synthesis mirror: kept payload positions are those whose
+    // 0-based frame index (i-1) // channels is even
+    "mm_audio_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split_regex(text, ''), c -> ascii(c)) AS vals,
+        |    octet_length(encode(text)) AS n,
+        |    1 + doc_id % 2 AS ch,
+        |    8000 * (1 + doc_id % 3) AS sr
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, n, sr,
+        |    list_filter(generate_series(1, n),
+        |      i -> ((i - 1) // ch) % 2 = 0) AS kept_idx, vals
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_in_samples,
+        |  CAST(len(kept_idx) AS BIGINT) AS n_out_samples,
+        |  CAST(256 * coalesce(list_sum(list_transform(kept_idx,
+        |    i -> abs(vals[CAST(i AS INT)] - 128))), 0) AS BIGINT)
+        |    AS sum_abs_out,
+        |  CAST(sr // 2 AS BIGINT) AS out_rate
+        |FROM k ORDER BY doc_id""".stripMargin,
     "mm_byte_stats" ->
       """WITH b AS (
         |  SELECT doc_id, string_split_regex(text, '') AS chs FROM documents

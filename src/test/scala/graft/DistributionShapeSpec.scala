@@ -217,6 +217,49 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("mm_audio_resample keeps exactly the even frames") {
+    val got = SparkEntry.queries("mm_audio_resample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    docs.foreach { case (id, payload) =>
+      val ch = (1 + id % 2).toInt
+      val samples = payload.map(b => (((b & 0xff) - 128) << 8).toLong)
+      val kept = samples.zipWithIndex.filter { case (_, i) => (i / ch) % 2 == 0 }
+      val expected = (samples.length.toLong, kept.length.toLong,
+        kept.map(p => math.abs(p._1)).sum, 8000L * (1 + id % 3) / 2)
+      assert(got(id) == expected, s"doc $id")
+    }
+  }
+
+  test("graph_modularity matches a set-based Newman Q recomputation") {
+    val got = SparkEntry.queries("graph_modularity")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).head
+    // labels from the op's own WCC output (itself closure-checked in
+    // its spec); edges from the top-K artifact
+    val lab = SparkEntry.queries("graph_wcc")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val edges = SparkEntry.queries("graph_edges_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e2 = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1))).toSet
+    val m2 = e2.size.toLong
+    val deg = e2.groupBy(_._1).map { case (x, es) => x -> es.size.toLong }
+    val dc = deg.groupBy(p => lab(p._1)).map { case (l, ds) =>
+      l -> ds.values.sum }
+    val within = e2.groupBy(p => lab(p._1))
+      .map { case (l, es) => l -> es.count(p => lab(p._2) == l).toLong }
+    val se2 = within.values.sum
+    val sd2 = dc.values.map(d => BigInt(d) * BigInt(d)).sum
+    val q = (m2.toDouble * se2.toDouble - sd2.toDouble) /
+      (m2.toDouble * m2.toDouble)
+    assert(got == ((dc.size.toLong, m2 / 2, se2 / 2, math.round(q * 1e6))))
+    // Q is bounded in [-0.5, 1]
+    assert(got._4 >= -500000L && got._4 <= 1000000L)
+  }
+
   test("graph_clustering_coef matches a neighbor-set recomputation") {
     val got = SparkEntry.queries("graph_clustering_coef")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

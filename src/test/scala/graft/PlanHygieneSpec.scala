@@ -38,6 +38,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "agg_benford" -> "1-row digit-total aggregate crossed onto the <=9 digit rows",
     "emb_pca_power" -> "1-row norm/sign aggregates crossed onto the 64-row vector",
     "text_zipf_fit" -> "non-equi rank self-join over the vocab-bounded count table",
+    "graph_modularity" -> "1-row |E2| aggregate crossed onto the 1-row stats aggregate",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
 
