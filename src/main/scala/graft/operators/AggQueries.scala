@@ -866,6 +866,46 @@ object AggQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Chi-square independence test (r9): is order priority
+    // distributed independently of order status? — the contingency
+    // screen data-quality and drift monitors run on categorical
+    // pairs. Observed/marginal counts are exact integers; each cell's
+    // (O·N − R·C)²/(N·R·C) term is IEEE on exact-int inputs (O·N
+    // squared overflows int64 at sf1, so the squaring happens in
+    // DOUBLE), summed in a BOUNDED (status, priority)-sorted fold so
+    // the 15-term order is pinned cross-engine. Cramér's V normalizes
+    // to [0,1]. All aggregates are map-combinable counts; the
+    // marginals broadcast.
+    "agg_chi2_contingency" -> ((s, d) => {
+      val o = orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("o_orderstatus")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("o_orderpriority")).agg(sum(col("o")).as("c"))
+      val cells = o.join(broadcast(r), "o_orderstatus")
+        .join(broadcast(c), "o_orderpriority")
+      cells
+        .agg(sum(col("o")).as("n"),
+          countDistinct(col("o_orderstatus")).as("nr"),
+          countDistinct(col("o_orderpriority")).as("nc"),
+          sort_array(collect_list(struct(col("o_orderstatus").as("s"),
+            col("o_orderpriority").as("p"), col("o"), col("r"),
+            col("c")))).as("lst"))
+        .select(col("n"), col("nr"), col("nc"),
+          expr("""aggregate(lst, cast(0.0 as double), (acc, x) ->
+                 acc + (cast(x.o as double) * cast(n as double) -
+                        cast(x.r as double) * cast(x.c as double)) *
+                       (cast(x.o as double) * cast(n as double) -
+                        cast(x.r as double) * cast(x.c as double)) /
+                       (cast(n as double) * cast(x.r as double) *
+                        cast(x.c as double)))""").as("chi2"))
+        .select(col("n"), col("nr"), col("nc"),
+          round(col("chi2") * 1e6).cast("long").as("chi2_micro"),
+          round(sqrt(col("chi2") / (col("n").cast("double") *
+            (least(col("nr"), col("nc")) - 1).cast("double"))) * 1e6)
+            .cast("long").as("cramers_v_micro"))
+    }),
+
     // Pareto concentration (r9): what share of total order revenue the
     // top-20%-by-revenue customers hold — the 80/20 health check of
     // any marketplace dashboard. The p80 cut is ONE exact
@@ -1281,6 +1321,41 @@ object AggQueries {
         |     CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE)) * 1e6)
         |    AS BIGINT) AS hhi_micro
         |FROM rev GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // same sorted 15-term fold, same per-cell double expression tree
+    "agg_chi2_contingency" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS o
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (SELECT s, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY s),
+        |c AS (SELECT p, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY p),
+        |cells AS (
+        |  SELECT o.s, o.p, o.o, r.r, c.c
+        |  FROM o JOIN r ON o.s = r.s JOIN c ON o.p = c.p
+        |), l AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    count(DISTINCT s) AS nr, count(DISTINCT p) AS nc,
+        |    list(struct_pack(s := s, p := p, o := o, r := r, c := c)
+        |      ORDER BY s, p) AS lst
+        |  FROM cells
+        |), x AS (
+        |  SELECT n, nr, nc,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(lst, e ->
+        |        (CAST(e.o AS DOUBLE) * CAST(n AS DOUBLE) -
+        |         CAST(e.r AS DOUBLE) * CAST(e.c AS DOUBLE)) *
+        |        (CAST(e.o AS DOUBLE) * CAST(n AS DOUBLE) -
+        |         CAST(e.r AS DOUBLE) * CAST(e.c AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * CAST(e.r AS DOUBLE) *
+        |         CAST(e.c AS DOUBLE)))),
+        |      (a, v) -> a + v) AS chi2
+        |  FROM l
+        |)
+        |SELECT n, nr, nc,
+        |  CAST(round(chi2 * 1e6) AS BIGINT) AS chi2_micro,
+        |  CAST(round(sqrt(chi2 / (CAST(n AS DOUBLE) *
+        |    CAST(least(nr, nc) - 1 AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS cramers_v_micro
+        |FROM x""".stripMargin,
     // same single quantile_disc cut, same strict-> membership
     "agg_pareto_share" ->
       """WITH rev AS (

@@ -846,6 +846,38 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Moving-average crossover signals (r9): the fast-vs-slow SMA
+    // cross count — the signal-generation primitive of every
+    // technical-analysis/alerting pipeline. Fully integer: with
+    // 3-frame sum F and 7-frame sum S (full frames only), the
+    // fast>slow comparison is the cross-multiplied sign of 7·F − 3·S,
+    // and a crossover is two consecutive scored rows whose signs
+    // multiply negative — no division, no float. Both window passes
+    // and the lag ride the family's one user_id shuffle.
+    "ts_sma_cross" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val w3 = w.rowsBetween(-2, 0)
+      val w7 = w.rowsBetween(-6, 0)
+      val scored = events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .withColumn("f3", sum(col("c")).over(w3))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .withColumn("s7", sum(col("c")).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("sgn", signum(col("f3") * 7 - col("s7") * 3)
+          .cast("long"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      scored.withColumn("prev_sgn", lag(col("sgn"), 1).over(w2))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("prev_sgn") * col("sgn") < 0, 1L).otherwise(0L))
+            .as("n_crossings"))
+        .orderBy(col("user_id"))
+    }),
+
     // Maximum drawdown (r9): per user, the largest peak-to-trough drop
     // of the event-value series in stored cents — the risk metric
     // every monitoring/finance series wants next to its running max.
@@ -1369,6 +1401,34 @@ object TimeSeriesQueries {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
         |    AND c < pv AND c < nv THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same cross-multiplied sign algebra; windowed HUGEINT sums cast
+    "ts_sma_cross" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, tus, event_id,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS f3,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS s7
+        |  FROM e
+        |), sc AS (
+        |  SELECT user_id, tus, event_id, sign(f3 * 7 - s7 * 3) AS sgn
+        |  FROM w WHERE n7 = 7
+        |), lg AS (
+        |  SELECT user_id, sgn,
+        |    lag(sgn) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS prev_sgn
+        |  FROM sc
+        |)
+        |SELECT user_id, count(*) AS n_scored,
+        |  CAST(sum(CASE WHEN prev_sgn * sgn < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_crossings
+        |FROM lg GROUP BY user_id ORDER BY user_id""".stripMargin,
     // windowed max of BIGINT is BIGINT in DuckDB too (no HUGEINT cast)
     "ts_max_drawdown" ->
       """WITH e AS (

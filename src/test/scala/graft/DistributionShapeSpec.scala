@@ -217,6 +217,52 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("ts_sma_cross matches a scan-based crossover recomputation") {
+    val got = SparkEntry.queries("ts_sma_cross")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = Tables.events(spark, sfDir)
+      .select("user_id", "ts_us", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        cents(r.getDouble(3))))
+      .groupBy(_._1).map { case (uid, rs) =>
+        val xs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+        val sgns = (6 until xs.length).map { i =>
+          val f3 = xs.slice(i - 2, i + 1).sum
+          val s7 = xs.slice(i - 6, i + 1).sum
+          (f3 * 7 - s7 * 3).sign.toLong
+        }
+        val crossings = sgns.sliding(2).count {
+          case Seq(a, b) => a * b < 0
+          case _ => false
+        }
+        (uid, sgns.length.toLong, crossings.toLong)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+  }
+
+  test("agg_chi2_contingency matches a contingency-table recomputation") {
+    val got = SparkEntry.queries("agg_chi2_contingency")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val o = rows.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val rM = o.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+    val cM = o.groupBy(_._1._2).map { case (p, g) => p -> g.values.sum }
+    val n = rows.length.toLong
+    val chi2 = o.toSeq.sortBy(_._1).map { case ((s, p), obs) =>
+      val (r0, c0) = (rM(s), cM(p))
+      val d = obs.toDouble * n - r0.toDouble * c0.toDouble
+      d * d / (n.toDouble * r0 * c0)
+    }.sum
+    val v = math.sqrt(chi2 / (n * (math.min(rM.size, cM.size) - 1).toDouble))
+    assert(got._1 == n && got._2 == rM.size.toLong && got._3 == cM.size.toLong)
+    // Scala's sum order differs from the pinned fold — compare with slack
+    assert(math.abs(got._4 - math.round(chi2 * 1e6)) <= 2)
+    assert(math.abs(got._5 - math.round(v * 1e6)) <= 2)
+  }
+
   test("mm_audio_resample keeps exactly the even frames") {
     val got = SparkEntry.queries("mm_audio_resample")(spark, sfDir)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
