@@ -906,6 +906,64 @@ object AggQueries {
             .cast("long").as("cramers_v_micro"))
     }),
 
+    // Two-sample Kolmogorov-Smirnov distance (r9): max CDF gap of the
+    // quantity distribution between returned ('R') and accepted ('A')
+    // line items — the drift-detection statistic feature monitors run
+    // between snapshots. EXACT: l_quantity has ≤ 50 distinct values,
+    // cumulative counts come from a bounded value-pair join over the
+    // 50-row counts table (never an unpartitioned window), and the
+    // max of |cumA·nR − cumR·nA| is pure int64; the single division
+    // to micro-units is IEEE on exact ints.
+    "agg_ks_test" -> ((s, d) => {
+      val counts = lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("f"),
+          expr("cast(round(l_quantity) as bigint)").as("q"))
+        .groupBy(col("q"))
+        .agg(sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"))
+      val cum = counts.as("a")
+        .join(counts.as("b"), col("b.q") <= col("a.q"))
+        .groupBy(col("a.q"))
+        .agg(sum(col("b.ca")).as("cum_a"), sum(col("b.cr")).as("cum_r"))
+      val tot = counts.agg(sum(col("ca")).as("n_a"), sum(col("cr")).as("n_r"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_r")).as("n_r"),
+          max(abs(col("cum_a") * col("n_r") - col("cum_r") * col("n_a")))
+            .as("max_gap"))
+        .select(col("n_a"), col("n_r"),
+          round(col("max_gap").cast("double") /
+            (col("n_a").cast("double") * col("n_r").cast("double")) * 1e6)
+            .cast("long").as("ks_micro"))
+    }),
+
+    // Mutual information of the (status, priority) pair (r9): the
+    // information-theoretic companion of agg_chi2_contingency —
+    // I = Σ (O/N)·log2(O·N/(R·C)) in micro-bits, the dependence
+    // measure feature-selection pipelines rank by. Same exact-integer
+    // contingency inputs, same BOUNDED cell-sorted fold pinning the
+    // transcendental terms' summation order (the entropy playbook).
+    "agg_mutual_info" -> ((s, d) => {
+      val o = orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy(col("o_orderstatus")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("o_orderpriority")).agg(sum(col("o")).as("c"))
+      o.join(broadcast(r), "o_orderstatus")
+        .join(broadcast(c), "o_orderpriority")
+        .agg(sum(col("o")).as("n"),
+          count(lit(1)).as("n_cells"),
+          sort_array(collect_list(struct(col("o_orderstatus").as("s"),
+            col("o_orderpriority").as("p"), col("o"), col("r"),
+            col("c")))).as("lst"))
+        .select(col("n"), col("n_cells"),
+          round(expr("""aggregate(lst, cast(0.0 as double), (acc, x) ->
+                 acc + cast(x.o as double) / cast(n as double) *
+                   log2(cast(x.o as double) * cast(n as double) /
+                     (cast(x.r as double) * cast(x.c as double))))""")
+            * 1e6).cast("long").as("mi_microbits"))
+    }),
+
     // Pareto concentration (r9): what share of total order revenue the
     // top-20%-by-revenue customers hold — the 80/20 health check of
     // any marketplace dashboard. The p80 cut is ONE exact
@@ -1356,6 +1414,52 @@ object AggQueries {
         |    CAST(least(nr, nc) - 1 AS DOUBLE))) * 1e6) AS BIGINT)
         |    AS cramers_v_micro
         |FROM x""".stripMargin,
+    // same bounded value-pair cumulatives, same integer gap algebra
+    "agg_ks_test" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+        |), cum AS (
+        |  SELECT a.q, CAST(sum(b.ca) AS BIGINT) AS cum_a,
+        |    CAST(sum(b.cr) AS BIGINT) AS cum_r
+        |  FROM counts a JOIN counts b ON b.q <= a.q GROUP BY a.q
+        |), tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cr) AS BIGINT) AS n_r FROM counts
+        |)
+        |SELECT max(n_a) AS n_a, max(n_r) AS n_r,
+        |  CAST(round(CAST(max(abs(cum_a * n_r - cum_r * n_a)) AS DOUBLE) /
+        |    (CAST(max(n_a) AS DOUBLE) * CAST(max(n_r) AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS ks_micro
+        |FROM cum, tot""".stripMargin,
+    // same sorted fold of (O/N)·log2(O·N/(R·C)) micro-bit terms
+    "agg_mutual_info" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS o
+        |  FROM orders GROUP BY 1, 2
+        |), r AS (SELECT s, CAST(sum(o) AS BIGINT) AS r FROM o GROUP BY s),
+        |c AS (SELECT p, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY p),
+        |cells AS (
+        |  SELECT o.s, o.p, o.o, r.r, c.c
+        |  FROM o JOIN r ON o.s = r.s JOIN c ON o.p = c.p
+        |), l AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS n_cells,
+        |    list(struct_pack(s := s, p := p, o := o, r := r, c := c)
+        |      ORDER BY s, p) AS lst
+        |  FROM cells
+        |)
+        |SELECT n, n_cells,
+        |  CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(lst, e ->
+        |      CAST(e.o AS DOUBLE) / CAST(n AS DOUBLE) *
+        |      log2(CAST(e.o AS DOUBLE) * CAST(n AS DOUBLE) /
+        |        (CAST(e.r AS DOUBLE) * CAST(e.c AS DOUBLE))))),
+        |    (a, v) -> a + v) * 1e6) AS BIGINT) AS mi_microbits
+        |FROM l""".stripMargin,
     // same single quantile_disc cut, same strict-> membership
     "agg_pareto_share" ->
       """WITH rev AS (

@@ -846,6 +846,24 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Day-of-week × hour-of-day activity matrix (r9): the punch-card
+    // heatmap every usage dashboard opens with — at most 168 cells
+    // regardless of corpus size. PURE integer epoch arithmetic: epoch
+    // day 0 (1970-01-01) was a Thursday, so dow = (days + 4) % 7 puts
+    // Monday at 0 with zero timezone/locale surface (both engines'
+    // date-part functions differ on week-start conventions; integer
+    // math cannot).
+    "ts_heatmap_dow_hour" -> ((s, d) => {
+      events(s, d)
+        .select(
+          expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+          expr("(ts_us div 3600000000) % 24").as("hr"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .groupBy(col("dow"), col("hr"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+        .orderBy(col("dow"), col("hr"))
+    }),
+
     // Moving-average crossover signals (r9): the fast-vs-slow SMA
     // cross count — the signal-generation primitive of every
     // technical-analysis/alerting pipeline. Fully integer: with
@@ -1401,6 +1419,14 @@ object TimeSeriesQueries {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
         |    AND c < pv AND c < nv THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // identical integer epoch algebra (// floors like div on the
+    // non-negative epoch)
+    "ts_heatmap_dow_hour" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
     // same cross-multiplied sign algebra; windowed HUGEINT sums cast
     "ts_sma_cross" ->
       """WITH e AS (

@@ -217,6 +217,61 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("agg_ks_test matches a CDF-gap recomputation") {
+    val got = SparkEntry.queries("agg_ks_test")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1))))
+      .filter(t => t._1 == "A" || t._1 == "R")
+    val a = rows.filter(_._1 == "A").map(_._2)
+    val b = rows.filter(_._1 == "R").map(_._2)
+    val qs = (a ++ b).distinct.sorted
+    val maxGap = qs.map { q =>
+      math.abs(a.count(_ <= q).toLong * b.length -
+        b.count(_ <= q).toLong * a.length)
+    }.max
+    val ks = math.round(maxGap.toDouble / (a.length.toDouble *
+      b.length.toDouble) * 1e6)
+    assert(got == ((a.length.toLong, b.length.toLong, ks)))
+    assert(got._3 >= 0 && got._3 <= 1000000L)
+  }
+
+  test("agg_mutual_info matches a contingency recomputation and is >= 0") {
+    val got = SparkEntry.queries("agg_mutual_info")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderstatus", "o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val o = rows.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val rM = o.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+    val cM = o.groupBy(_._1._2).map { case (p, g) => p -> g.values.sum }
+    val n = rows.length.toDouble
+    val mi = o.toSeq.sortBy(_._1).map { case ((s, p), obs) =>
+      obs / n * (math.log(obs * n / (rM(s).toDouble * cM(p))) /
+        math.log(2.0))
+    }.sum
+    assert(got._1 == rows.length.toLong && got._2 == o.size.toLong)
+    assert(math.abs(got._3 - math.round(mi * 1e6)) <= 2)
+    // mutual information is non-negative (up to micro rounding)
+    assert(got._3 >= -1)
+  }
+
+  test("ts_heatmap_dow_hour matches an epoch-arithmetic recomputation") {
+    val got = SparkEntry.queries("ts_heatmap_dow_hour")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val expected = Tables.events(spark, sfDir)
+      .select("ts_us", "value").collect()
+      .map(r => (r.getLong(0), cents(r.getDouble(1))))
+      .groupBy { case (ts, _) =>
+        ((ts / 86400000000L + 4) % 7, (ts / 3600000000L) % 24)
+      }
+      .map { case (k, g) => k -> ((g.length.toLong, g.map(_._2).sum)) }
+    assert(got == expected)
+    assert(got.keys.forall { case (d0, h) => d0 >= 0 && d0 < 7 && h >= 0 && h < 24 })
+  }
+
   test("ts_sma_cross matches a scan-based crossover recomputation") {
     val got = SparkEntry.queries("ts_sma_cross")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

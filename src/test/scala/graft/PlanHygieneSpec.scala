@@ -39,6 +39,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "emb_pca_power" -> "1-row norm/sign aggregates crossed onto the 64-row vector",
     "text_zipf_fit" -> "non-equi rank self-join over the vocab-bounded count table",
     "graph_modularity" -> "1-row |E2| aggregate crossed onto the 1-row stats aggregate",
+    "agg_ks_test" -> "1-row sample-sizes aggregate crossed onto the <=50 cum rows",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
 
