@@ -846,6 +846,44 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Seasonality strength (r9): how much of the value variance the
+    // hour-of-day profile explains — ANOVA's eta² = (SS_between /
+    // SS_total), THE one-scalar "is this series seasonal enough to
+    // model" gate before fitting any seasonal component. Sufficient
+    // statistics are exact integers (per-hour n_h and S_h, global Σc²
+    // as DECIMAL); the only doubles are a BOUNDED 24-term sorted fold
+    // of S_h²/n_h and the final ratio — micro-units out, zero-variance
+    // NULLed. Two map-combinable aggregates, no window.
+    "ts_seasonality_strength" -> ((s, d) => {
+      val e = events(s, d).select(
+        expr("(ts_us div 3600000000) % 24").as("h"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      val perHour = e.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_h"), sum(col("c")).as("s_h"))
+      perHour
+        .agg(sum(col("n_h")).as("n"), sum(col("s_h")).as("s"),
+          count(lit(1)).as("n_hours"),
+          sort_array(collect_list(struct(col("h"), col("n_h"),
+            col("s_h")))).as("lst"))
+        .crossJoin(broadcast(e.agg(
+          sum((col("c") * col("c")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("q"))))
+        .select(col("n"), col("n_hours"),
+          when(
+            col("q").cast("double") -
+              col("s").cast("double") * col("s").cast("double") /
+                col("n").cast("double") > 0,
+            round((expr("""aggregate(lst, cast(0.0 as double), (acc, x) ->
+                   acc + cast(x.s_h as double) * cast(x.s_h as double) /
+                     cast(x.n_h as double))""") -
+              col("s").cast("double") * col("s").cast("double") /
+                col("n").cast("double")) /
+              (col("q").cast("double") -
+                col("s").cast("double") * col("s").cast("double") /
+                  col("n").cast("double")) * 1e6))
+            .cast("long").as("eta2_micro"))
+    }),
+
     // Day-of-week × hour-of-day activity matrix (r9): the punch-card
     // heatmap every usage dashboard opens with — at most 168 cells
     // regardless of corpus size. PURE integer epoch arithmetic: epoch
@@ -1419,6 +1457,35 @@ object TimeSeriesQueries {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
         |    AND c < pv AND c < nv THEN 1 ELSE 0 END) AS BIGINT) AS n_valleys
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same exact sufficient stats, same 24-term sorted fold and ratio
+    "ts_seasonality_strength" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS h,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), ph AS (
+        |  SELECT h, count(*) AS n_h, CAST(sum(c) AS BIGINT) AS s_h
+        |  FROM e GROUP BY h
+        |), g AS (
+        |  SELECT CAST(sum(n_h) AS BIGINT) AS n, CAST(sum(s_h) AS BIGINT) AS s,
+        |    count(*) AS n_hours,
+        |    list(struct_pack(h := h, n_h := n_h, s_h := s_h) ORDER BY h)
+        |      AS lst
+        |  FROM ph
+        |), q AS (SELECT sum(c * c) AS q FROM e)
+        |SELECT n, n_hours,
+        |  CASE WHEN CAST(q AS DOUBLE) -
+        |       CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0
+        |  THEN CAST(round((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(lst, x ->
+        |      CAST(x.s_h AS DOUBLE) * CAST(x.s_h AS DOUBLE) /
+        |        CAST(x.n_h AS DOUBLE))), (a, v) -> a + v) -
+        |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |    (CAST(q AS DOUBLE) -
+        |     CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * 1e6) AS BIGINT)
+        |  END AS eta2_micro
+        |FROM g, q""".stripMargin,
     // identical integer epoch algebra (// floors like div on the
     // non-negative epoch)
     "ts_heatmap_dow_hour" ->

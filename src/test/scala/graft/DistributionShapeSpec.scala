@@ -257,6 +257,28 @@ class DistributionShapeSpec extends SparkSpecBase {
     assert(got._3 >= -1)
   }
 
+  test("ts_seasonality_strength matches an ANOVA eta2 recomputation") {
+    val got = SparkEntry.queries("ts_seasonality_strength")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val xs = Tables.events(spark, sfDir)
+      .select("ts_us", "value").collect()
+      .map(r => ((r.getLong(0) / 3600000000L) % 24, cents(r.getDouble(1))))
+    val n = xs.length.toDouble
+    val s = xs.map(_._2).sum.toDouble
+    val q = xs.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+    val between = xs.groupBy(_._1).values.map { g =>
+      val sh = g.map(_._2).sum.toDouble
+      sh * sh / g.length
+    }.sum
+    val eta2 = (between - s * s / n) / (q - s * s / n)
+    assert(got._1 == xs.length.toLong)
+    assert(got._2 == xs.map(_._1).distinct.length.toLong)
+    // Scala's group order differs from the pinned fold — tolerance
+    assert(math.abs(got._3 - math.round(eta2 * 1e6)) <= 2)
+    // eta2 is a variance fraction
+    assert(got._3 >= 0 && got._3 <= 1000000L)
+  }
+
   test("ts_heatmap_dow_hour matches an epoch-arithmetic recomputation") {
     val got = SparkEntry.queries("ts_heatmap_dow_hour")(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),

@@ -40,6 +40,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "text_zipf_fit" -> "non-equi rank self-join over the vocab-bounded count table",
     "graph_modularity" -> "1-row |E2| aggregate crossed onto the 1-row stats aggregate",
     "agg_ks_test" -> "1-row sample-sizes aggregate crossed onto the <=50 cum rows",
+    "ts_seasonality_strength" -> "1-row sum-of-squares aggregate crossed onto the 1-row hour stats",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
 
