@@ -740,8 +740,15 @@ object StreamingQueries {
             OutputMode.Update())
           .toDF("user_id", "top3")
       }
+      // Lexicographic MAX picks the final (complete) emission per user;
+      // the array is then flattened to a comma-joined string because the
+      // driver comparator hashes scalar columns only (r9 lesson: a raw
+      // ArrayType column kills the pandas sort/factorize path).
       out.groupBy(col("user_id"))
-        .agg(max(col("top3")).as("top3"))
+        .agg(max(col("top3")).as("top3_arr"))
+        .select(col("user_id"),
+          array_join(transform(col("top3_arr"),
+            x => x.cast("string")), ",").as("top3"))
         .orderBy(col("user_id"))
     }),
 
@@ -883,7 +890,8 @@ object StreamingQueries {
         |FROM o LEFT JOIN s USING (user_id)
         |ORDER BY user_id""".stripMargin,
     // per-user rank-3 window, flattened in the same (ts desc, id
-    // desc) order the processor emits
+    // desc) order the processor emits, comma-joined to a scalar string
+    // so the driver comparator can hash it (matches the engine side)
     "stream_tws_list_recent" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
@@ -894,8 +902,8 @@ object StreamingQueries {
         |  FROM e
         |)
         |SELECT user_id,
-        |  flatten(list([tus, event_id]
-        |    ORDER BY tus DESC, event_id DESC)) AS top3
+        |  array_to_string(flatten(list([tus, event_id]
+        |    ORDER BY tus DESC, event_id DESC)), ',') AS top3
         |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_tws_map_counts" ->
       """SELECT user_id, event_type, count(*) AS n_events FROM events

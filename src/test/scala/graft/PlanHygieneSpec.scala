@@ -107,6 +107,34 @@ class PlanHygieneSpec extends SparkSpecBase {
       s"unpartitioned Window (single-partition funnel) in: ${offenders.mkString(", ")}")
   }
 
+  // r9 VERDICT item 2: the driver's DuckDB comparator stringifies and
+  // hashes each result column via pandas sort_values/factorize — a
+  // nested column (array/map/struct) is unhashable there and the whole
+  // comparison hard-errors (exactly how stream_tws_list_recent shipped
+  // red in r9; the r2 Decimal episode was the same class). Every
+  // oracle-paired query must therefore emit scalar columns only;
+  // list-shaped results flatten through array_join (the
+  // agg_collect_list pattern). Declared-N queries (no oracleSql entry)
+  // are exempt — the driver only row-counts them.
+  test("every oracle-paired query emits scalar (non-nested) columns only") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = framesByQuery.collect {
+      case (name, Right(df)) if SparkEntry.oracleSql.contains(name) &&
+          df.schema.fields.exists(f => f.dataType match {
+            case _: ArrayType | _: MapType | _: StructType => true
+            case _ => false
+          }) =>
+        s"$name: ${df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"${f.name}:${f.dataType.simpleString}"
+        }.mkString(", ")}"
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      "nested output columns the driver comparator cannot hash:\n" +
+        offenders.mkString("\n"))
+  }
+
   // r5 VERDICT's last named scale-killer: ts_ewma once collected each
   // user's entire history into a single aggregate buffer. The r6 plan
   // is repartition + external sort + streaming fold — re-introducing a
