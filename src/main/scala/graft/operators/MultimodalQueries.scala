@@ -430,10 +430,20 @@ object MultimodalQueries {
           rows.map { case (id, payload) =>
             val w = (16 + id % 17).toInt
             val h = (payload.length + w - 1) / w
-            val jpeg = JpegDecoder.synthesize(w, h, payload)
-            val m = JpegDecoder.sofInfo(jpeg).get
-            (id, m.width.toLong, m.height.toLong, m.precision.toLong,
-              m.nComponents.toLong)
+            // empty payload → h=0, which no JPEG can encode (SOF
+            // height is 1..65535): emit the oracle's arithmetic
+            // directly, the mm_image_resize degenerate-case pattern.
+            // The 16-bit SOF ceiling (h <= 65535, payloads under
+            // ~1 MiB/doc here) is pinned by FixtureSchemaSpec.
+            if (h == 0) (id, w.toLong, 0L, 8L, 1L)
+            else {
+              val jpeg = JpegDecoder.synthesize(w, h, payload)
+              val m = JpegDecoder.sofInfo(jpeg).getOrElse(
+                throw new IllegalStateException(
+                  s"doc $id: no SOF marker in JDK-encoded JPEG"))
+              (id, m.width.toLong, m.height.toLong, m.precision.toLong,
+                m.nComponents.toLong)
+            }
           }
         }
         .toDF("doc_id", "width", "height", "precision", "n_components")

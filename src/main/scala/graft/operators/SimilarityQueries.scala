@@ -529,7 +529,7 @@ object SimilarityQueries {
     // embedding pipelines run for whitening/drift. Cross-engine
     // determinism: each matvec row is an ORDERED fold over the 64
     // j-terms (sorted struct list), normalization and sign are IEEE
-    // ops on identical doubles, so three rounds stay bit-identical
+    // ops on identical doubles, so five rounds stay bit-identical
     // and the micro-unit output hashes. Scale shape: the d×d matrix
     // (d=64) is a broadcast-sized artifact from ONE fact pass; every
     // iteration is arithmetic over 64² rows — corpus size only enters
@@ -574,10 +574,10 @@ object SimilarityQueries {
       }
       val dims = m.select(col("i")).distinct()
       val v0 = dims.select(col("i").as("j"), lit(1.0).as("v"))
-      val v3 = step(step(step(step(step(v0)))))
-      val sgn = v3.filter(col("j") === 1)
+      val v5 = step(step(step(step(step(v0)))))
+      val sgn = v5.filter(col("j") === 1)
         .select(when(col("v") < 0, -1.0).otherwise(1.0).as("sgn"))
-      v3.crossJoin(broadcast(sgn))
+      v5.crossJoin(broadcast(sgn))
         .select(col("j").cast("long").as("i"),
           round(col("v") * col("sgn") * 1e6).cast("long").as("eig_micro"))
         .orderBy(col("i"))

@@ -249,9 +249,22 @@ case class AsofJoinExec(
       // O(1) walk state: a COPY of the last consumed right row (the
       // sorter reuses row objects, so a reference would rot) plus its
       // key value — key equality with the current left row doubles as
-      // the has-match flag
+      // the has-match flag. The copy target is ONE reusable UnsafeRow
+      // buffer (copyFrom reuses its bytes, growing only when a wider
+      // row arrives), so consuming the whole right side costs O(1)
+      // allocations per partition, not one fresh UnsafeRow per
+      // consumed right row (ADVICE r9).
       var matchRow: InternalRow = null
       var matchKey: Any = null
+      var matchBuf: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+      @inline def stash(consumed: InternalRow): InternalRow =
+        consumed match {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+            if (matchBuf == null) matchBuf = u.copy()
+            else matchBuf.copyFrom(u)
+            matchBuf
+          case r => r.copy()
+        }
       lIter.map { lRow =>
         val lkV = lk(lRow)
         val ltV = lt(lRow)
@@ -268,8 +281,11 @@ case class AsofJoinExec(
             else {
               val c = cmpK(rkV, lkV)
               if (c < 0 || (c == 0 && cmpT(rtV, ltV) < 0)) {
-                matchRow = rBuf.next().copy()
-                matchKey = rkV
+                matchRow = stash(rBuf.next())
+                // re-read the key from the STASHED copy: for buffer-
+                // backed key types (UTF8String) the value extracted
+                // from the sorter's reused row rots at the next head()
+                matchKey = if (useLong) rkV else rk(matchRow)
               } else advance = false
             }
           }
@@ -321,6 +337,30 @@ object AsofJoinApi {
       s.experimental.extraStrategies = cur :+ AsofJoinStrategy
   }
 
+  /** One cached AQE-off child session per caller session. The exec's
+    * alignment guard (r9) requires the two shuffle stages to land on
+    * IDENTICAL partitionings; AQE coalesces each stage independently,
+    * so on a default-configured session (AQE on) the guard fires
+    * almost every run (ADVICE r9). Executing the as-of plan on an
+    * AQE-off child makes the public facade safe on any session —
+    * callers whose session already has AQE off (the fixture path) are
+    * returned as-is. WeakHashMap keyed by the parent so a stopped
+    * session's child is collectable.
+    */
+  private val execSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
+  private def aqeOffSession(s: SparkSession): SparkSession =
+    if (s.conf.get("spark.sql.adaptive.enabled", "true") == "false") s
+    else execSessions.synchronized {
+      var c = execSessions.get(s)
+      if (c == null) {
+        c = s.newSession()
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+        execSessions.put(s, c)
+      }
+      c
+    }
+
   /** As-of join `leftDf` to `rightDf`: every left row + the payload
     * columns of the matched right row (backward: latest right time
     * strictly before the left time; forward: earliest right time
@@ -333,7 +373,8 @@ object AsofJoinApi {
       leftTimeCol: String, rightTimeCol: String,
       rightTiebreak: Seq[String] = Nil,
       forward: Boolean = false): DataFrame = {
-    ensureStrategy(s)
+    val s2 = aqeOffSession(s)
+    ensureStrategy(s2)
     val lPlan = leftDf.queryExecution.analyzed
     val rPlan = rightDf.queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =
@@ -344,7 +385,7 @@ object AsofJoinApi {
       attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
       attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
       rightTiebreak.map(attr(rPlan, _)), forward)
-    org.apache.spark.sql.graft.DatasetBridge.ofRows(s, node)
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(s2, node)
   }
 
   /** Convenience for building output column refs. */

@@ -311,12 +311,22 @@ object SnapshotTable {
     // shallow clone's manifests reference the SOURCE table's files by
     // absolute path, and a clone's vacuum must never reach into the
     // source (the documented shallow-clone hazard, closed structurally)
-    val rootAbs = Paths.get(root).toAbsolutePath
+    // normalize() matches manifestFiles' normalized absolute strings —
+    // a root passed with '.'/'..' segments must not defeat the prefix
+    // check and silently sweep nothing (ADVICE r9); skipped foreign
+    // paths are counted so a no-op sweep is observable
+    val rootAbs = Paths.get(root).toAbsolutePath.normalize()
+    var skippedForeign = 0
     victims.foreach { f =>
-      val p = Paths.get(f)
-      if (p.toAbsolutePath.startsWith(rootAbs) && Files.deleteIfExists(p))
-        filesDeleted += 1
+      val p = Paths.get(f).toAbsolutePath.normalize()
+      if (p.startsWith(rootAbs)) {
+        if (Files.deleteIfExists(p)) filesDeleted += 1
+      } else skippedForeign += 1
     }
+    if (skippedForeign > 0)
+      System.err.println(
+        s"[snapshot] vacuum($root): skipped $skippedForeign foreign-path " +
+          "data files (shallow-clone references outside this root)")
     // sweep now-empty per-commit data dirs (cosmetic, keeps the table
     // dir from accumulating husks)
     val dataRoot = Paths.get(root, "data")

@@ -58,6 +58,31 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     assert(plan.contains("Sort ["), plan)
   }
 
+  // ADVICE r9 (medium): the PUBLIC facade must work on a
+  // default-configured session — AQE on (the Spark default) coalesces
+  // the two shuffle stages independently, so without the internal
+  // AQE-off execution session the alignment guard throws on most runs.
+  // Inputs are built on the AQE-on caller session on purpose.
+  test("GraftOps.asofJoin runs on a default AQE-on session") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "precondition: the base spec session must have AQE on")
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val sg = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user_id"),
+        col("ts_us").as("last_signup_us"),
+        col("event_id").as("signup_event_id"))
+    val got = graft.api.GraftOps.asofJoin(spark, ev, sg,
+        "user_id", "s_user_id", "ts_us", "last_signup_us",
+        rightTiebreak = Seq("signup_event_id"))
+      .select(col("event_id"), col("last_signup_us")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val win = asofTimes("join_asof", "last_signup_us")
+    assert(got.nonEmpty && got == win)
+  }
+
   test("downstream same-key aggregation reuses the join's partitioning") {
     // the exec advertises left.outputPartitioning, so a groupBy on the
     // same key must plan with exactly the join's two exchanges — a

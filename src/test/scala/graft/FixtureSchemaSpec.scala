@@ -42,6 +42,25 @@ class FixtureSchemaSpec extends SparkSpecBase {
     }
   }
 
+  // mm_jpeg_meta synthesizes a w x ceil(len/w) JPEG per document; the
+  // T.81 SOF height field is 16-bit, so a document longer than
+  // 65535 * 16 bytes (the minimum width is 16) would silently diverge
+  // from the oracle's unbounded (n + w - 1) // w arithmetic. Pin the
+  // fixture bound so a regenerated corpus that crosses it fails HERE
+  // by name instead of as an opaque hash mismatch (ADVICE r9).
+  test("document payloads stay inside the JPEG 16-bit SOF height bound") {
+    fixtureDirs.foreach { d =>
+      val maxLen = Tables.documents(spark, d)
+        .select(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.octet_length(
+            org.apache.spark.sql.functions.col("text"))))
+        .head().getInt(0)
+      assert(maxLen <= 65535 * 16,
+        s"$d: max document byte length $maxLen exceeds the JPEG SOF " +
+          "height ceiling for the narrowest synthesized frame (w=16)")
+    }
+  }
+
   test("nanos-int64 and micros-timestamp encodings decode identically") {
     import spark.implicits._
     val dir = TempDirs.scoped("fixture_canary", "unitflip")
