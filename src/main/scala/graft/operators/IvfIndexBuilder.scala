@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndexBuilder {
 
+  /** nlist for a corpus of `n` vectors: ~√N (the standard IVF sizing —
+    * balances |list| ≈ √N per inverted list against the probe-side
+    * centroid scan), floored at 4 so tiny fixtures still cluster and
+    * capped at 65536 so the broadcast centroid table stays ≤ ~32 MB at
+    * any corpus size (beyond that a hierarchical coarse quantizer, not
+    * a bigger flat nlist, is the right structure). This makes the
+    * SURVEY "nlist grows ~√N" note executable code: the builder and
+    * dedup_semantic both size from the corpus count (r9 verdict #5).
+    * ceil(IEEE sqrt) is engine-portable — DuckDB mirrors it exactly.
+    */
+  def nlistFor(n: Long): Int =
+    math.min(65536L,
+      math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
   /** One Lloyd round: assign to nearest centroid (by cosine over
     * pre-normalized vectors), then recompute each centroid as the
     * element-wise mean of its members (re-normalized).
@@ -87,7 +101,6 @@ object BuildIvfIndex {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse("/tmp/graft_ivf")
-    val k = args.lift(2).map(_.toInt).getOrElse(16)
     val rounds = args.lift(3).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -97,6 +110,10 @@ object BuildIvfIndex {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // default nlist scales ~sqrt(corpus) — pass an explicit k to pin
+    val k = args.lift(2).map(_.toInt).getOrElse(
+      IvfIndexBuilder.nlistFor(
+        graft.Tables.embeddings(spark, sfDir).count()))
     val (vecs, cents0) = IvfIndexBuilder.prepare(spark, sfDir, k)
     var cents = cents0
     println(f"round 0 objective ${IvfIndexBuilder.objective(vecs, cents)}%.4f")

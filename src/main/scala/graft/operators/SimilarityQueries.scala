@@ -869,17 +869,22 @@ object SimilarityQueries {
     // paper's sequential greedy has no order-free scalable
     // equivalent, and min-id-wins is the same convention as
     // dedup_keep_canonical). Scale shape: candidate volume is
-    // sum over clusters of |c|^2, not N^2; at corpus scale nlist
-    // grows ~sqrt(N) (bounded cluster sizes, skew handled by AQE on
-    // the cent_id-keyed pair join) and the centroids come from the
-    // offline k-means artifact (`ann_ivf_built_topk`'s build). The
-    // dup-id join-back is unhinted id-equi (AQE broadcasts at fixture
+    // sum over clusters of |c|^2, not N^2; nlist is SIZED FROM THE
+    // CORPUS as ~sqrt(N) via IvfIndexBuilder.nlistFor (r10 — the
+    // sqrt(N) scaling is code, not prose: bounded ~sqrt(N) cluster
+    // sizes, skew on the cent_id-keyed pair join handled by AQE). In
+    // production the centroids come from the offline k-means artifact
+    // (`ann_ivf_built_topk`'s build); here a deterministic id slice
+    // keeps the oracle exact — DuckDB computes the SAME
+    // greatest(4, ceil(sqrt(count))) in its cents CTE. The dup-id
+    // join-back is unhinted id-equi (AQE broadcasts at fixture
     // scale). Oracle-paired bit-exactly: the IVF assignment mirror +
     // the embedding-cosine ordered-fold gate, combined.
     "dedup_semantic" -> ((s, d) => {
       val nrm = embN(s, d)
+      val k = IvfIndexBuilder.nlistFor(embeddings(s, d).count())
       val cents = broadcast(
-        nrm.filter(col("vec_id").between(100, 115))
+        nrm.filter(col("vec_id") >= 100 && col("vec_id") < 100L + k)
           .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
       val assigned = centRanked(nrm, cents)
         .filter(col("rn") === 1)
@@ -1483,7 +1488,9 @@ object SimilarityQueries {
          |  $normSql
          |), cents AS (
          |  SELECT vec_id AS cent_id, emb_n AS cent_vec FROM nrm
-         |  WHERE vec_id BETWEEN 100 AND 115
+         |  WHERE vec_id >= 100 AND vec_id < 100 + (
+         |    SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT))
+         |    FROM embeddings)
          |), ac AS (
          |  SELECT c.cent_id, n.vec_id, n.emb_n,
          |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos

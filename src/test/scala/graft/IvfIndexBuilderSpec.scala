@@ -8,6 +8,20 @@ import graft.operators.IvfIndexBuilder
   */
 class IvfIndexBuilderSpec extends SparkSpecBase {
 
+  test("nlistFor scales ~sqrt(N) with floor 4 and cap 65536") {
+    assert(IvfIndexBuilder.nlistFor(0) == 4)
+    assert(IvfIndexBuilder.nlistFor(10) == 4)
+    assert(IvfIndexBuilder.nlistFor(16) == 4)
+    assert(IvfIndexBuilder.nlistFor(500) == 23)       // the fixture corpus
+    assert(IvfIndexBuilder.nlistFor(2000) == 45)      // sf0.1 fixture
+    assert(IvfIndexBuilder.nlistFor(1000000) == 1000) // exact square
+    assert(IvfIndexBuilder.nlistFor(Long.MaxValue / 4) == 65536) // cap
+    // monotone over four decades: more corpus never means fewer lists
+    val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+      .map(IvfIndexBuilder.nlistFor)
+    assert(pts == pts.sorted, s"non-monotone: $pts")
+  }
+
   test("two Lloyd rounds never decrease the objective") {
     val (vecs, c0) = IvfIndexBuilder.prepare(spark, sfDir, 8)
     val o0 = IvfIndexBuilder.objective(vecs, c0)

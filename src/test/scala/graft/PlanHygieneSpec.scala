@@ -21,7 +21,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "emb_mrl_topk" -> "coarse tier: bounded query side x corpus (8-dim prefix)",
     "sim_search_cosine" -> "brute-force baseline: bounded query side x corpus",
     "ann_ivf_topk" -> "16-centroid broadcast fan-out per vector",
-    "dedup_semantic" -> "16-centroid broadcast fan-out per vector (assignment)",
+    "dedup_semantic" -> "~sqrt(N)-centroid broadcast fan-out per vector (assignment)",
     "contamination_embedding" -> "bounded benchmark side broadcast, non-equi cosine gate",
     "ann_ivf_built_topk" -> "k=8-centroid broadcast fan-out per vector",
     "source_minhash_sim" -> "pairwise over |sources| = 20 sketch rows",
