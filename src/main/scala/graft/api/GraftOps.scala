@@ -182,27 +182,21 @@ object GraftOps {
     * components milli-quantized, upper-triangle n·ΣXᵢXⱼ − ΣXᵢ·ΣXⱼ as
     * BIGINT — associative, partitioning-invariant. Returns (i, j,
     * cov_num, n) with 1-based dims, i <= j. Divide by n² for the
-    * covariance itself.
+    * covariance itself. One scan + the mergeable GramCovAgg
+    * sufficient-stats buffer (~d²/2 longs per partition) — no N·d²
+    * row materialization (r10, matching `emb_covariance`). `idCol` is
+    * retained for source compatibility; the aggregate no longer needs
+    * a row id.
     */
   def covarianceNumerators(df: DataFrame, vecCol: String,
-      idCol: String): DataFrame = {
-    val q = df.select(col(idCol).as("__vid"), expr(
+      idCol: String): DataFrame =
+    df.select(expr(
         s"transform($vecCol, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
         .as("q"))
-      .select(col("__vid"), posexplode(col("q")))
-      .select(col("__vid"), (col("pos") + 1).as("i"), col("col").as("qv"))
-    val a = q.select(col("__vid"), col("i"), col("qv").as("qi"))
-    val b = q.select(col("__vid"), col("i").as("j"), col("qv").as("qj"))
-    a.join(b, Seq("__vid"))
-      .filter(col("i") <= col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("qi") * col("qj")).as("s_ij"),
-        sum(col("qi")).as("s_i"), sum(col("qj")).as("s_j"),
-        count(lit(1)).as("n"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num"),
-        col("n"))
-  }
+      .agg(graft.functions.GramCovAgg.gram(col("q")).as("st"))
+      .select(explode(col("st")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        col("e.cov_num").as("cov_num"), col("e.n").as("n"))
 
   /** Per-entity bucket cuts fitted as EXACT disc-quantiles over the
     * deterministic 25% content-hash sample — the scale-safe threshold

@@ -492,30 +492,20 @@ object SimilarityQueries {
     // the upper-triangle covariance NUMERATOR n·ΣXᵢXⱼ − ΣXᵢ·ΣXⱼ is
     // exact BIGINT arithmetic — associative, partitioning-invariant,
     // byte-identical cross-engine where a double accumulation would
-    // hash-diverge. Shape: posexplode to (vec, dim, q), equi
-    // self-join on vec_id (64×64 fan-out per vector), one map-combined
-    // aggregate to d(d+1)/2 = 2080 rows. At 100 TB this is the
-    // map-side-combine pattern: per-partition partial Gram matrices,
-    // one tiny final reduce — the join fan-out streams, never
-    // materializes.
+    // hash-diverge. Shape (r10, replacing the posexplode self-join
+    // that materialized N·d² rows — 82 M at sf1): ONE scan feeding the
+    // mergeable GramCovAgg sufficient-stats aggregate — per-partition
+    // partial Gram buffers (~17 KB each at d=64), a single tiny merge,
+    // and a 2080-struct explode. Corpus size enters only the scan.
     "emb_covariance" -> ((s, d) => {
-      val q = embeddings(s, d)
-        .select(col("vec_id"), expr(
+      embeddings(s, d)
+        .select(expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
           .as("q"))
-        .select(col("vec_id"), posexplode(col("q")))
-        .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("qv"))
-      val a = q.select(col("vec_id"), col("i"), col("qv").as("qi"))
-      val b = q.select(col("vec_id"), col("i").as("j"), col("qv").as("qj"))
-      a.join(b, Seq("vec_id"))
-        .filter(col("i") <= col("j"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("qi") * col("qj")).as("s_ij"),
-          sum(col("qi")).as("s_i"), sum(col("qj")).as("s_j"),
-          count(lit(1)).as("n"))
-        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-          (col("n") * col("s_ij") - col("s_i") * col("s_j")).as("cov_num"),
-          col("n"))
+        .agg(graft.functions.GramCovAgg.gram(col("q")).as("st"))
+        .select(explode(col("st")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"),
+          col("e.cov_num").as("cov_num"), col("e.n").as("n"))
         .orderBy(col("i"), col("j"))
     }),
 
@@ -536,27 +526,26 @@ object SimilarityQueries {
     // pass one (the covariance aggregate).
     "emb_pca_power" -> ((s, d) => {
       // The d×d matrix is a build-once parquet artifact (the gram
-      // table / IVF centroid pattern): the covariance pass joins
-      // N·d² rows (82 M at sf1), and a pure plan re-executes that
-      // join once per lineage reference — the union doubles it and
-      // each of the five matvec rounds re-expands it (measured 12.3 s
-      // at sf1; 10× the single covariance pass). Materialized, the
-      // fact table is touched exactly once and every round is a
-      // 4096-row scan.
+      // table / IVF centroid pattern): a pure plan re-executes the
+      // covariance pass once per lineage reference — the union doubles
+      // it and each of the five matvec rounds re-expands it (measured
+      // 12.3 s at sf1 in the r9 join formulation; 10× the single
+      // pass). Materialized, the fact table is touched exactly once
+      // and every round is a 4096-row scan.
       val dir = graft.TempDirs.scoped("pca_cov", d)
       graft.TempDirs.writeOnce("pca_cov" + d) {
-        val q = embeddings(s, d)
-          .select(col("vec_id"), expr(
+        // pass one = the emb_covariance GramCovAgg scan (r10): one
+        // fact pass, mergeable per-partition sufficient stats, no
+        // N·d² join; the DOUBLE image of the < 2^53 numerators is
+        // exact, so the matvec algebra is unchanged
+        val upper = embeddings(s, d)
+          .select(expr(
             "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
             .as("q"))
-          .select(col("vec_id"), posexplode(col("q")))
-          .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("qv"))
-        val a = q.select(col("vec_id"), col("i"), col("qv").as("qi"))
-        val b = q.select(col("vec_id"), col("i").as("j"), col("qv").as("qj"))
-        val upper = a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
-          .groupBy(col("i"), col("j"))
-          .agg((count(lit(1)) * sum(col("qi") * col("qj")) -
-            sum(col("qi")) * sum(col("qj"))).cast("double").as("mv"))
+          .agg(graft.functions.GramCovAgg.gram(col("q")).as("st"))
+          .select(explode(col("st")).as("e"))
+          .select(col("e.i").as("i"), col("e.j").as("j"),
+            col("e.cov_num").cast("double").as("mv"))
         upper.unionByName(
           upper.filter(col("i") < col("j"))
             .select(col("j").as("i"), col("i").as("j"), col("mv")))

@@ -67,4 +67,80 @@ class AggBufferSpec extends AnyFunSuite {
     // the empty buffer is the identity element
     assert(agg.merge(agg.createAggregationBuffer(), x.clone()).toSeq == x.toSeq)
   }
+
+  test("GramCovAgg buffer survives serialize/deserialize byte-exactly") {
+    val agg = graft.functions.GramCovAgg(null)
+    val buf = new graft.functions.GramCovAgg.Buf(-1, 0L, null, null)
+    buf.init(5)
+    buf.n = 7L
+    buf.s.indices.foreach(i => buf.s(i) = rnd.nextLong())
+    buf.g.indices.foreach(i => buf.g(i) = rnd.nextLong())
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.d == 5 && back.n == 7L)
+    assert(back.s.toSeq == buf.s.toSeq && back.g.toSeq == buf.g.toSeq)
+    // the empty (uninitialized) buffer round-trips too
+    val empty = agg.deserialize(agg.serialize(
+      agg.createAggregationBuffer()))
+    assert(empty.d == -1 && empty.n == 0L)
+  }
+
+  test("GramCovAgg merge is elementwise addition with empty identity") {
+    val agg = graft.functions.GramCovAgg(null)
+    def b(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      val x = new graft.functions.GramCovAgg.Buf(-1, 0L, null, null)
+      x.init(4)
+      x.n = r.nextInt(100).toLong
+      x.s.indices.foreach(i => x.s(i) = (r.nextInt(2000) - 1000).toLong)
+      x.g.indices.foreach(i => x.g(i) = (r.nextInt(2000) - 1000).toLong)
+      x
+    }
+    val xy = agg.merge(b(1), b(2))
+    val yx = agg.merge(b(2), b(1))
+    assert(xy.n == yx.n && xy.s.toSeq == yx.s.toSeq && xy.g.toSeq == yx.g.toSeq)
+    val m1 = agg.merge(agg.merge(b(1), b(2)), b(3))
+    val m2 = agg.merge(b(1), agg.merge(b(2), b(3)))
+    assert(m1.s.toSeq == m2.s.toSeq && m1.g.toSeq == m2.g.toSeq && m1.n == m2.n)
+    // empty is the identity in either position
+    val viaEmpty = agg.merge(agg.createAggregationBuffer(), b(4))
+    val ref = b(4)
+    assert(viaEmpty.n == ref.n && viaEmpty.s.toSeq == ref.s.toSeq)
+  }
+
+  test("GramCovAgg numerators match the brute-force covariance algebra") {
+    // drive update/merge/eval directly against a tiny corpus and check
+    // n·Σxᵢxⱼ − Σxᵢ·Σxⱼ for every (i, j) pair vs plain Scala sums,
+    // with the corpus split across two buffers (the map-side shape)
+    val vecs = Seq(
+      Array(3L, -1L, 4L), Array(1L, 5L, -9L),
+      Array(2L, 6L, 5L), Array(-3L, 5L, 8L), Array(9L, -7L, 9L))
+    val agg = graft.functions.GramCovAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType), nullable = true))
+    def rowOf(v: Array[Long]) =
+      org.apache.spark.sql.catalyst.InternalRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v))
+    val b1 = agg.createAggregationBuffer()
+    val b2 = agg.createAggregationBuffer()
+    vecs.take(2).foreach(v => agg.update(b1, rowOf(v)))
+    vecs.drop(2).foreach(v => agg.update(b2, rowOf(v)))
+    val merged = agg.merge(b1, b2)
+    val out = agg.eval(merged)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    val n = vecs.length.toLong
+    var idx = 0
+    for (i <- 0 until 3; j <- i until 3) {
+      val row = out.array(idx)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val sij = vecs.map(v => v(i) * v(j)).sum
+      val si = vecs.map(_(i)).sum
+      val sj = vecs.map(_(j)).sum
+      assert(row.getLong(0) == i + 1 && row.getLong(1) == j + 1)
+      assert(row.getLong(2) == n * sij - si * sj,
+        s"pair ($i,$j): got ${row.getLong(2)}, want ${n * sij - si * sj}")
+      assert(row.getLong(3) == n)
+      idx += 1
+    }
+  }
 }
