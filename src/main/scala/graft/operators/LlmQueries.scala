@@ -23,6 +23,54 @@ import org.apache.spark.sql.types._
   */
 object LlmQueries {
 
+  /** Exact substring-level dedup statistics over a (doc_id, text)
+    * frame: per doc, the overlapping-k-token-gram count, how many of
+    * those grams occur >= 2 times corpus-wide, the longest duplicated
+    * token span (a run of r consecutive duplicated gram starts is an
+    * r+k-1-token duplicated substring), and duplicated-gram coverage
+    * in basis points. See the `dedup_substring` registration for the
+    * full design note. Parameterized so the property spec can plant
+    * substrings at any k.
+    */
+  def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"gram width must be >= 2, got $k")
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (k - 1), lit(0))
+          .cast(LongType).as("n_grams"),
+        col("toks"))
+    val grams = base.filter(col("n_grams") > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as(Seq("p", "dig")))
+    // grams occurring >= 2 times anywhere (count, not distinct-doc
+    // count: in-doc repetition dedups too, and a plain count is one
+    // map-combined aggregate instead of a distinct expansion)
+    val dup = grams.groupBy(col("dig"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("dig"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val st = grams.join(dup, Seq("dig"))
+      .select(col("doc_id"), col("p"))
+      .withColumn("isl", col("p") - (row_number().over(w) - lit(1)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_dup"), max(col("run")).as("maxrun"))
+    base.join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+        when(col("maxrun").isNotNull, col("maxrun") + (k - 1))
+          .otherwise(0L).cast(LongType).as("max_dup_span"),
+        when(col("n_grams") > 0,
+          expr(s"coalesce(n_dup, 0L) * 10000L div n_grams"))
+          .otherwise(0L).as("dup_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 3-word shingles of the space-tokenized text. */
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
@@ -239,6 +287,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact SUBSTRING-level dedup stats (r10): the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // tier between chunk-global and semantic — duplicated spans at
+    // ANY alignment, not just chunk boundaries. Every overlapping
+    // k-token gram is digested; a gram occurring >= 2 times in the
+    // corpus (cross-doc boilerplate OR in-doc repetition — the paper
+    // dedups both) is duplicated; per doc the operator reports the
+    // gram count, duplicated-gram count, the MAXIMAL duplicated token
+    // span (gap-and-island over duplicated gram starts: a run of r
+    // consecutive duplicated k-gram starts certifies an r+k-1-token
+    // duplicated substring — the sorted-grams equivalent of the
+    // paper's suffix-array span merge), and the basis-point coverage
+    // gate. Scale shape: one explode (L grams/doc), ONE digest-keyed
+    // shuffle for the global occurrence count (the md5 digest rides
+    // the shuffle, never the gram text at production scale), an
+    // id+digest equi join back, and a doc_id-partitioned window whose
+    // state is bounded by document length — no suffix array, no
+    // per-task corpus state. Oracle-paired exactly: both engines
+    // compute identical md5 hex digests and integer span arithmetic.
+    "dedup_substring" -> ((s, d) =>
+      substringDupStats(documents(s, d), 10)),
+
     // Language routing + per-source quality gate.
     "text_lang_filter" -> ((s, d) =>
       documents(s, d)
@@ -441,6 +511,41 @@ object LlmQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // same overlapping 10-token md5 grams, same count>=2 duplicate
+    // rule, same gap-and-island span arithmetic — every stage integer
+    // or md5-hex, so the pairing is exact; multiply-referenced CTEs
+    // materialized (DuckDB would otherwise inline g into both the
+    // HAVING scan and the join probe)
+    "dedup_substring" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS p,
+        |    md5(array_to_string(toks[i:i+9], ' ')) AS dig
+        |  FROM t, unnest(generate_series(1, len(toks) - 9)) AS u(i)
+        |), dup AS MATERIALIZED (
+        |  SELECT dig FROM g GROUP BY dig HAVING count(*) >= 2
+        |), occ AS (
+        |  SELECT doc_id, p,
+        |    p - (row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1)
+        |      AS isl
+        |  FROM g JOIN dup USING (dig)
+        |), runs AS (
+        |  SELECT doc_id, isl, count(*) AS run FROM occ
+        |  GROUP BY doc_id, isl
+        |), st AS (
+        |  SELECT doc_id, sum(run) AS n_dup, max(run) AS maxrun
+        |  FROM runs GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(greatest(len(t.toks) - 9, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(st.n_dup, 0) AS BIGINT) AS n_dup_grams,
+        |  CAST(CASE WHEN st.maxrun IS NOT NULL THEN st.maxrun + 9
+        |    ELSE 0 END AS BIGINT) AS max_dup_span,
+        |  CAST(CASE WHEN len(t.toks) > 9
+        |    THEN coalesce(st.n_dup, 0) * 10000 // (len(t.toks) - 9)
+        |    ELSE 0 END AS BIGINT) AS dup_bp
+        |FROM t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_near_canonical" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, n_chars // 8 AS len_bkt, string_split(text, ' ') AS toks FROM documents

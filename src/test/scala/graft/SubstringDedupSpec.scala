@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmQueries
+
+/** Exact substring-level dedup (dedup_substring): planted duplicated
+  * spans must be recalled with the EXACT span length, unique text must
+  * report zero, and the stats must be invariant to input partitioning
+  * (the global gram count is one shuffle, not a per-partition guess).
+  */
+class SubstringDedupSpec extends SparkSpecBase {
+
+  // unique filler tokens: u<docid>x<idx> never collides across docs
+  private def filler(doc: Int, n: Int, from: Int = 0): Seq[String] =
+    (from until from + n).map(i => s"u${doc}x$i")
+
+  private def df(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("a planted cross-doc 12-token span is recalled with exact length") {
+    // docs 1 and 2 share exactly one 12-token span at different
+    // offsets; all other tokens are globally unique. With k=10 the
+    // span yields 3 consecutive duplicated gram starts in each doc:
+    // max_dup_span = 3 + 10 - 1 = 12, n_dup_grams = 3.
+    val span = (0 until 12).map(i => s"shared$i")
+    val d1 = (filler(1, 7) ++ span ++ filler(1, 9, from = 7)).mkString(" ")
+    val d2 = (filler(2, 3) ++ span ++ filler(2, 13, from = 3)).mkString(" ")
+    val d3 = filler(3, 30).mkString(" ")
+    val out = LlmQueries.substringDupStats(
+      df(Seq((1L, d1), (2L, d2), (3L, d3))), 10)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byId(1L) == (19L, 3L, 12L, 3L * 10000L / 19L),
+      s"doc 1: ${byId(1L)}")
+    assert(byId(2L) == (19L, 3L, 12L, 3L * 10000L / 19L),
+      s"doc 2: ${byId(2L)}")
+    assert(byId(3L) == (21L, 0L, 0L, 0L), s"doc 3: ${byId(3L)}")
+  }
+
+  test("in-doc repetition dedups too (the Lee et al. self-repeat rule)") {
+    // one doc repeats its own 10-token block back to back: both
+    // occurrences' gram digests collide, so n_dup_grams >= 2 and the
+    // span covers at least the block
+    val block = (0 until 10).map(i => s"rep$i")
+    val d1 = (block ++ block ++ filler(1, 10)).mkString(" ")
+    val out = LlmQueries.substringDupStats(df(Seq((1L, d1))), 10)
+      .collect().head
+    assert(out.getLong(2) >= 2L, s"n_dup_grams: ${out.getLong(2)}")
+    assert(out.getLong(3) >= 10L, s"max_dup_span: ${out.getLong(3)}")
+  }
+
+  test("docs shorter than k report zero grams, zero everything") {
+    val out = LlmQueries.substringDupStats(
+      df(Seq((1L, filler(1, 5).mkString(" ")), (2L, ""))), 10)
+      .orderBy(col("doc_id")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L && r.getLong(4) == 0L, r.toString)
+    }
+  }
+
+  test("stats are invariant to adversarial input partitioning") {
+    val span = (0 until 15).map(i => s"pp$i")
+    val rows = (1L to 20L).map { id =>
+      val mid = if (id % 3 == 0) span else filler(id.toInt, 15)
+      (id, (filler(id.toInt + 100, 5) ++ mid ++
+        filler(id.toInt + 200, 5)).mkString(" "))
+    }
+    val a = LlmQueries.substringDupStats(df(rows), 10)
+      .collect().map(_.toString).sorted.toSeq
+    val b = LlmQueries.substringDupStats(
+      df(rows).repartition(13, col("text")), 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+    // the six span-carrying docs all recall the full 15-token span
+    val spanDocs = LlmQueries.substringDupStats(df(rows), 10)
+      .filter(col("max_dup_span") === 15L).count()
+    assert(spanDocs == 6L, s"span docs: $spanDocs")
+  }
+}
