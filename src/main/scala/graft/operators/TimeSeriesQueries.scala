@@ -263,9 +263,13 @@ object TimeSeriesQueries {
     // user, keep first + last + one point per equal-count bucket, each
     // pick maximizing the triangle area against the PREVIOUS pick and
     // the NEXT bucket's centroid — the sequential dependence that makes
-    // this a per-key ordered fold, not a window (and not
-    // SQL-expressible: declared-N, LttbSpec recomputes it in plain
-    // Scala and pins the structural invariants). Same secondary-sort
+    // this a per-key ordered fold, not a window. ORACLE-PAIRED as of
+    // r10: the recurrence unrolls as a DuckDB recursive CTE (one
+    // bucket per iteration, argmax via correlated NOT EXISTS, HUGEINT
+    // areas mirroring the BigInt ones) — the r9 declared-N status was
+    // a failure of imagination, not of SQL; LttbSpec additionally
+    // recomputes it in plain Scala and pins the structural
+    // invariants. Same secondary-sort
     // shape as ts_ewma: hash repartition on user_id, external sort
     // within partitions, O(1)-state streaming fold — no per-key
     // buffering beyond one bucket. Integer-exact: times are rebased to
@@ -959,6 +963,109 @@ object TimeSeriesQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // r10: the r9 "declared-N" status is LIFTED — LTTB's sequential
+    // pick dependence IS SQL-expressible as a recursive CTE stepping
+    // one bucket per iteration: the state row carries the previous
+    // pick (rebased ts, cents), the candidate bucket joins on b+1,
+    // and the argmax is a correlated NOT EXISTS over the same bucket
+    // (strictly-greater area, or equal area at an earlier index — the
+    // engine's exact tie-break). Every quantity is integer
+    // (HUGEINT products mirror the engine's BigInt areas), so the
+    // pairing is bit-exact; verified 0-mismatch at sf0.001/0.01/0.1
+    // before wiring. Series are per-user bounded (<=~100 points), so
+    // the O(bucket^2) NOT EXISTS is trivial at the oracle's scale.
+    "ts_downsample_lttb" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), r AS MATERIALIZED (
+        |  SELECT user_id, ts_us, cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) - 1 AS idx,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM e
+        |), t0 AS MATERIALIZED (
+        |  SELECT user_id, ts_us AS t0 FROM r WHERE idx = 0
+        |), bk AS MATERIALIZED (
+        |  SELECT u.user_id, u.n, b.b,
+        |    1 + (b.b * (u.n - 2)) // 10 AS lo,
+        |    1 + ((b.b + 1) * (u.n - 2)) // 10 AS hi
+        |  FROM (SELECT DISTINCT user_id, n FROM r WHERE n > 12) u,
+        |       unnest(generate_series(0, 9)) AS b(b)
+        |), nxt AS MATERIALIZED (
+        |  SELECT k.user_id, k.b,
+        |    CAST(sum(rr.ts_us - t0.t0) AS HUGEINT) AS sx,
+        |    CAST(sum(rr.cents) AS HUGEINT) AS sy,
+        |    CAST(count(*) AS HUGEINT) AS c
+        |  FROM bk k
+        |  JOIN bk k2 ON k2.user_id = k.user_id AND k2.b = k.b + 1
+        |  JOIN t0 ON t0.user_id = k.user_id
+        |  JOIN r rr ON rr.user_id = k.user_id
+        |    AND rr.idx >= k2.lo AND rr.idx < k2.hi
+        |  WHERE k.b < 9
+        |  GROUP BY k.user_id, k.b
+        |  UNION ALL
+        |  SELECT rr.user_id, 9,
+        |    CAST(rr.ts_us - t0.t0 AS HUGEINT), CAST(rr.cents AS HUGEINT),
+        |    CAST(1 AS HUGEINT)
+        |  FROM r rr JOIN t0 ON t0.user_id = rr.user_id
+        |  WHERE rr.idx = rr.n - 1 AND rr.n > 12
+        |), rec AS (
+        |  SELECT r.user_id, -1 AS b, 0::BIGINT AS idx,
+        |    CAST(0 AS HUGEINT) AS px, CAST(r.cents AS HUGEINT) AS py,
+        |    r.ts_us AS ts_us, r.cents AS cents
+        |  FROM r WHERE r.idx = 0 AND r.n > 12
+        |  UNION ALL
+        |  SELECT cand.user_id, cand.b, cand.idx, cand.ax, cand.ay,
+        |    cand.ts_us, cand.cents
+        |  FROM (
+        |    SELECT rec.user_id, rec.b + 1 AS b, rr.idx, rr.ts_us, rr.cents,
+        |      CAST(rr.ts_us - t0.t0 AS HUGEINT) AS ax,
+        |      CAST(rr.cents AS HUGEINT) AS ay,
+        |      rec.px AS px, rec.py AS py,
+        |      abs((rec.px * nx.c - nx.sx)
+        |          * (CAST(rr.cents AS HUGEINT) - rec.py)
+        |        - (rec.px - CAST(rr.ts_us - t0.t0 AS HUGEINT))
+        |          * (nx.sy - rec.py * nx.c)) AS area
+        |    FROM rec
+        |    JOIN bk ON bk.user_id = rec.user_id AND bk.b = rec.b + 1
+        |    JOIN nxt nx ON nx.user_id = rec.user_id AND nx.b = rec.b + 1
+        |    JOIN t0 ON t0.user_id = rec.user_id
+        |    JOIN r rr ON rr.user_id = rec.user_id
+        |      AND rr.idx >= bk.lo AND rr.idx < bk.hi
+        |  ) cand
+        |  WHERE NOT EXISTS (
+        |    SELECT 1
+        |    FROM bk bk2
+        |    JOIN nxt nx2 ON nx2.user_id = cand.user_id AND nx2.b = cand.b
+        |    JOIN t0 t02 ON t02.user_id = cand.user_id
+        |    JOIN r rr2 ON rr2.user_id = cand.user_id
+        |      AND rr2.idx >= bk2.lo AND rr2.idx < bk2.hi
+        |    WHERE bk2.user_id = cand.user_id AND bk2.b = cand.b
+        |      AND (
+        |        abs((cand.px * nx2.c - nx2.sx)
+        |            * (CAST(rr2.cents AS HUGEINT) - cand.py)
+        |          - (cand.px - CAST(rr2.ts_us - t02.t0 AS HUGEINT))
+        |            * (nx2.sy - cand.py * nx2.c)) > cand.area
+        |        OR (abs((cand.px * nx2.c - nx2.sx)
+        |            * (CAST(rr2.cents AS HUGEINT) - cand.py)
+        |          - (cand.px - CAST(rr2.ts_us - t02.t0 AS HUGEINT))
+        |            * (nx2.sy - cand.py * nx2.c)) = cand.area
+        |          AND rr2.idx < cand.idx))
+        |  )
+        |), big AS (
+        |  SELECT user_id, b + 1 AS pick, ts_us, cents FROM rec
+        |  UNION ALL
+        |  SELECT rr.user_id, 11 AS pick, rr.ts_us, rr.cents
+        |  FROM r rr WHERE rr.idx = rr.n - 1 AND rr.n > 12
+        |), small AS (
+        |  SELECT user_id, idx AS pick, ts_us, cents FROM r WHERE n <= 12
+        |)
+        |SELECT user_id, CAST(pick AS INT) AS pick, ts_us,
+        |  CAST(cents AS BIGINT) AS cents
+        |FROM (SELECT * FROM big UNION ALL SELECT * FROM small)
+        |ORDER BY user_id, pick""".stripMargin,
     // quantile_disc picks the same actual data values as Spark's
     // percentile_disc (the agg_percentile_disc precedent); dev and
     // the 3-MAD gate are the same IEEE ops on those values.
