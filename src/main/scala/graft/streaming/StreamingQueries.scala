@@ -263,26 +263,66 @@ object StreamingQueries {
     dir
   }
 
-  /** Run a FILE-SOURCE streaming pipeline to completion: reads the
-    * parquet chunk files under `dir` as a stream (one file per
-    * micro-batch via maxFilesPerTrigger; Trigger.AvailableNow honors
-    * the limit and terminates when the backlog drains) into a memory
+  /** Run a FILE-SOURCE streaming pipeline to completion (Trigger
+    * .AvailableNow terminates when the backlog drains) into a memory
     * sink. Unlike the MemoryStream replays this never collects the
     * input to the driver — the scale path, where the "stream" is a
     * directory an upstream job appends to.
+    *
+    * NO maxFilesPerTrigger (r10): under AvailableNow in Spark 4.1 the
+    * option produced a dead EMPTY batch 0 followed by ALL files in
+    * batch 1 — an extra ~0.5 s of trigger/state-commit overhead per
+    * replay with zero actual file splitting (instrumented with a
+    * StreamingQueryListener; `durationMs` put ~0.45 s of addBatch on
+    * the 0-row batch). Every pipeline routed through here is
+    * chunking-independent by contract (monotone Update emissions or
+    * Complete mode), so batch granularity was never load-bearing;
+    * cross-batch state persistence is exercised by the two-pass
+    * checkpoint-resume queries and StatefulRestartSpec, which manage
+    * their own epochs.
     */
+  /** One cached replay child session per (parent, provider) — the
+    * asofSession pattern: the child is a fixed execution environment
+    * (2 shuffle partitions, optional RocksDB provider), so rebuilding
+    * SessionState per replay invocation was pure fixed cost. Memory
+    * sink table names are per-operator, so sharing one session across
+    * replays cannot collide.
+    */
+  private val replaySessions =
+    new java.util.WeakHashMap[(SparkSession, Boolean), SparkSession]
+  private def replaySession(s0: SparkSession,
+                            rocksDb: Boolean): SparkSession =
+    replaySessions.synchronized {
+      var s = replaySessions.get((s0, rocksDb))
+      if (s == null) {
+        s = s0.newSession()
+        // 2 shuffle partitions, not 4 (r10): state store instances are
+        // per (stateful operator, partition) and the replays' key
+        // counts need no more parallelism; results are key-grouped
+        // aggregates, partitioning-invariant by construction (the
+        // invariance the adversarial-repartition specs pin).
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        if (rocksDb) { // transformWithState requires RocksDB
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          // changelog checkpointing: each commit uploads the batch's
+          // delta instead of zipping the full RocksDB instance — the
+          // production default, and it shaves the per-batch commit
+          s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+            ".changelogCheckpointing.enabled", "true")
+        }
+        replaySessions.put((s0, rocksDb), s)
+      }
+      s
+    }
+
   private def runFileStream(s0: SparkSession, name: String, dir: String,
                             mode: OutputMode, rocksDb: Boolean = false)(
                              pipe: Dataset[Ev] => DataFrame): DataFrame = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    if (rocksDb) // transformWithState requires the RocksDB provider
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s = replaySession(s0, rocksDb)
     import s.implicits._
     val src = s.readStream
       .schema(Encoders.product[Ev].schema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .as[Ev]
     val q = pipe(src)
@@ -498,7 +538,10 @@ object StreamingQueries {
     // table formats commit. The per-key latest-wins merge is an
     // associative, commutative max, so the final table is provably
     // independent of file pickup order and micro-batch chunking
-    // (maxFilesPerTrigger=1 forces 4 real merge rounds). State
+    // (maxFilesPerTrigger=1 keeps MULTIPLE real merge rounds — the
+    // versioned-merge semantics this operator exists to exercise, so
+    // the option stays here even though the shared replay harness
+    // dropped it). State
     // versions are serving-table-sized (|keys| rows), not feed-sized;
     // at 100 TB the same loop lands on a MERGE-capable table format
     // (the §2.M boundary) instead of full-snapshot rewrites.
