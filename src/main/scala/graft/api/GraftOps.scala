@@ -150,6 +150,25 @@ object GraftOps {
       .distinct()
   }
 
+  /** Exact substring-level dedup statistics (Lee et al. 2022) over
+    * caller-named columns: per row, overlapping-`k`-token-gram count,
+    * grams occurring >= 2 times corpus-wide, longest duplicated token
+    * span, and basis-point coverage — the `dedup_substring` tree.
+    */
+  def substringDupStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame =
+    graft.operators.LlmQueries.substringDupStats(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+
+  /** Exact substring-level dedup REMOVAL over caller-named columns:
+    * canonical-first-survives span deletion + digest-proven reassembly
+    * — the `dedup_substring_remove` tree.
+    */
+  def substringRemove(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 10): DataFrame =
+    graft.operators.LlmQueries.substringRemove(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")), k)
+
   /** Interval×interval OVERLAP join via week tiling: each side
     * explodes to the 7-day tiles it touches, the join is an EQUI join
     * on tile with the exact overlap residual, and `distinct` collapses

@@ -71,6 +71,54 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact substring-level dedup REMOVAL over a (doc_id, text) frame —
+    * the materializing companion of [[substringDupStats]] (Lee et al.
+    * 2022 removes the duplicated spans, not just measures them). The
+    * globally FIRST occurrence of each k-gram (min (doc_id, start),
+    * the dedup_chunk_global total order) is canonical; every token
+    * covered by a NON-canonical occurrence of any gram is dropped;
+    * docs are rebuilt from surviving tokens in order and the output
+    * carries md5(rebuilt) — byte-exact reassembly proof without
+    * shipping corpus text. Scale shape: one digest-partitioned
+    * row_number window (per-gram state bounded by its occurrence
+    * count), a ×k span expansion of non-canonical occurrences only,
+    * one (doc, position) anti join, and a document-bounded regroup.
+    */
+  def substringRemove(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"gram width must be >= 2, got $k")
+    val base = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_toks"))
+    val grams = base.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as(Seq("p", "dig")))
+    val wg = Window.partitionBy(col("dig")).orderBy(col("doc_id"), col("p"))
+    // rn >= 2 IS the duplicated-and-not-canonical test: a unique gram
+    // has only rn = 1, and a duplicated gram's canonical occurrence
+    // is exactly its rn = 1 row — no separate duplicate table needed
+    val cov = grams.withColumn("rn", row_number().over(wg))
+      .filter(col("rn") >= 2)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p, p + ${k - 1})")).as("t"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("t", "tok")))
+    val st = toks.join(cov, Seq("doc_id", "t"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          x => x.getField("tok")), " ")).as("h"))
+    base.select(col("doc_id"), col("n_toks"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("h"), md5(lit(""))).as("h_rebuilt"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 3-word shingles of the space-tokenized text. */
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
@@ -309,6 +357,14 @@ object LlmQueries {
     "dedup_substring" -> ((s, d) =>
       substringDupStats(documents(s, d), 10)),
 
+    // The REMOVAL leg of substring dedup (r10): canonical-first-
+    // survives span deletion + digest-proven reassembly — see
+    // `substringRemove` for the design note. Oracle-paired exactly
+    // (same md5 grams, same (doc_id, p) canonical order, same
+    // reassembly digest).
+    "dedup_substring_remove" -> ((s, d) =>
+      substringRemove(documents(s, d), 10)),
+
     // Language routing + per-source quality gate.
     "text_lang_filter" -> ((s, d) =>
       documents(s, d)
@@ -545,6 +601,40 @@ object LlmQueries {
         |  CAST(CASE WHEN len(t.toks) > 9
         |    THEN coalesce(st.n_dup, 0) * 10000 // (len(t.toks) - 9)
         |    ELSE 0 END AS BIGINT) AS dup_bp
+        |FROM t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // same grams, same per-digest (doc_id, p) canonical order, same
+    // covered-position anti join and ordered reassembly digest
+    "dedup_substring_remove" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS p,
+        |    md5(array_to_string(toks[i:i+9], ' ')) AS dig
+        |  FROM t, unnest(generate_series(1, len(toks) - 9)) AS u(i)
+        |), r AS MATERIALIZED (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY dig ORDER BY doc_id, p) AS rn
+        |  FROM g
+        |), cov AS MATERIALIZED (
+        |  SELECT DISTINCT r.doc_id, u.tt
+        |  FROM r, unnest(generate_series(r.p, r.p + 9)) AS u(tt)
+        |  WHERE r.rn >= 2
+        |), tok AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS tt, toks[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.tt, tok.tok
+        |  FROM tok LEFT JOIN cov
+        |    ON cov.doc_id = tok.doc_id AND cov.tt = tok.tt
+        |  WHERE cov.tt IS NULL
+        |), st AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY tt)) AS h
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(st.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(st.h, md5('')) AS h_rebuilt
         |FROM t LEFT JOIN st USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_near_canonical" ->
       """WITH RECURSIVE t AS (

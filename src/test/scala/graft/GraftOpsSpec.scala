@@ -168,6 +168,23 @@ class GraftOpsSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("substringDupStats / substringRemove reproduce the fixture operators") {
+    val gotStats = GraftOps.substringDupStats(
+        docs.select(col("doc_id").as("rid"), col("text").as("body")),
+        "rid", "body")
+      .collect().toSeq
+    val wantStats = SparkEntry.queries("dedup_substring")(spark, sfDir)
+      .collect().toSeq
+    assert(gotStats.nonEmpty && gotStats == wantStats)
+    val gotRm = GraftOps.substringRemove(
+        docs.select(col("doc_id").as("rid"), col("text").as("body")),
+        "rid", "body")
+      .collect().toSeq
+    val wantRm = SparkEntry.queries("dedup_substring_remove")(spark, sfDir)
+      .collect().toSeq
+    assert(gotRm.nonEmpty && gotRm == wantRm)
+  }
+
   test("the facade works on a non-fixture schema (column names are real parameters)") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon"),

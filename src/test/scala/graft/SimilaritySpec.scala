@@ -240,8 +240,10 @@ class SimilaritySpec extends SparkSpecBase {
 
   test("dedup_semantic agrees with an independent driver recomputation") {
     // From-scratch Scala recomputation of the SemDeDup definition
-    // (normalize -> nearest-of-16-centroids -> same-cluster cos >= 0.45
-    // vs any smaller id) with the same left-to-right IEEE folds.
+    // (normalize -> nearest of the ~sqrt(N) corpus-sized centroid
+    // slice (r10: IvfIndexBuilder.nlistFor) -> same-cluster
+    // cos >= 0.45 vs any smaller id) with the same left-to-right
+    // IEEE folds.
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0),
@@ -254,7 +256,8 @@ class SimilaritySpec extends SparkSpecBase {
     val nv = vecs.map { case (id, v) =>
       val n = math.sqrt(dot(v, v)); id -> v.map(_ / n)
     }
-    val cents = nv.filter { case (id, _) => id >= 100 && id <= 115 }
+    val k = graft.operators.IvfIndexBuilder.nlistFor(nv.size.toLong)
+    val cents = nv.filter { case (id, _) => id >= 100 && id < 100 + k }
       .toSeq.sortBy(_._1)
     val assign = nv.map { case (id, v) =>
       id -> cents.minBy { case (cid, cv) => (-dot(v, cv), cid) }._1

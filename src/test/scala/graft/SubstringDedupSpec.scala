@@ -65,6 +65,40 @@ class SubstringDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("removal keeps the canonical occurrence and drops the later one") {
+    // doc 1 holds the canonical (min doc_id) copy of the planted
+    // 12-token span; doc 2's copy is non-canonical — doc 2 loses
+    // exactly the 12 covered tokens, doc 1 and the unique doc 3 keep
+    // everything, and the rebuilt digests prove it byte-exactly
+    val span = (0 until 12).map(i => s"shared$i")
+    val d1toks = filler(1, 7) ++ span ++ filler(1, 9, from = 7)
+    val d2toks = filler(2, 3) ++ span ++ filler(2, 13, from = 3)
+    val d3toks = filler(3, 30)
+    val out = LlmQueries.substringRemove(
+      df(Seq((1L, d1toks.mkString(" ")), (2L, d2toks.mkString(" ")),
+        (3L, d3toks.mkString(" ")))), 10)
+      .orderBy(col("doc_id")).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(1L) == (28L, 28L, md5hex(d1toks.mkString(" "))))
+    val d2kept = d2toks.take(3) ++ d2toks.drop(15)
+    assert(byId(2L) == (28L, 16L, md5hex(d2kept.mkString(" "))),
+      s"doc 2: ${byId(2L)}")
+    assert(byId(3L) == (30L, 30L, md5hex(d3toks.mkString(" "))))
+  }
+
+  test("in-doc repeated block: the second occurrence is removed") {
+    val block = (0 until 10).map(i => s"rep$i")
+    val tail = filler(1, 10)
+    val toks = block ++ block ++ tail
+    val out = LlmQueries.substringRemove(
+      df(Seq((1L, toks.mkString(" ")))), 10).collect().head
+    assert(out.getLong(1) == 30L && out.getLong(2) == 20L,
+      s"(n_toks, n_kept) = (${out.getLong(1)}, ${out.getLong(2)})")
+  }
+
   test("stats are invariant to adversarial input partitioning") {
     val span = (0 until 15).map(i => s"pp$i")
     val rows = (1L to 20L).map { id =>
