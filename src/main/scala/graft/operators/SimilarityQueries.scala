@@ -552,23 +552,64 @@ object SimilarityQueries {
           .write.mode("overwrite").parquet(dir)
       }
       val m = s.read.parquet(dir)
-      def step(v: DataFrame): DataFrame = {
-        val u = m.join(v, "j")
-          .groupBy(col("i"))
-          .agg(expr("aggregate(sort_array(collect_list(struct(j, mv * v))), " +
-            "cast(0.0 as double), (acc, x) -> acc + x.col2)").as("u"))
-        val nrm = u.agg(max(abs(col("u"))).as("nrm"))
-        u.crossJoin(broadcast(nrm))
-          .select(col("i").as("j"), (col("u") / col("nrm")).as("v"))
-      }
-      val dims = m.select(col("i")).distinct()
-      val v0 = dims.select(col("i").as("j"), lit(1.0).as("v"))
-      val v5 = step(step(step(step(step(v0)))))
-      val sgn = v5.filter(col("j") === 1)
-        .select(when(col("v") < 0, -1.0).otherwise(1.0).as("sgn"))
-      v5.crossJoin(broadcast(sgn))
-        .select(col("j").cast("long").as("i"),
-          round(col("v") * col("sgn") * 1e6).cast("long").as("eig_micro"))
+      // Five power-iteration rounds on ONE bounded task (r10): the
+      // matrix is d² rows BY CONSTRUCTION (corpus-independent), and
+      // the previous dataframe spelling launched ~15 tiny shuffle
+      // stages (join + fold-agg + norm cross per round) whose launch
+      // latency dominated the warm time (~1.2 s of 1.5 s). The local
+      // loop replicates the old expression tree bit-for-bit: the
+      // matvec is the same j-ascending left-to-right IEEE fold the
+      // sort_array(collect_list(struct)) aggregate performed, max-norm
+      // and sign are the same IEEE ops, and the micro rounding is the
+      // same Double.toString-exact HALF_UP BigDecimal Spark's round()
+      // uses — the DuckDB oracle is untouched and stays hash-green.
+      val ss = s
+      import ss.implicits._
+      m.select(col("i").cast("int"), col("j").cast("int"), col("mv"))
+        .as[(Int, Int, Double)]
+        .coalesce(1)
+        .mapPartitions { rows =>
+          val entries = rows.toArray
+          if (entries.isEmpty) Iterator.empty
+          else {
+            val dims = entries.map(_._1).distinct.sorted
+            val idx = dims.zipWithIndex.toMap
+            val n = dims.length
+            val mat = Array.fill(n, n)(0.0)
+            entries.foreach { case (i, j, mv) => mat(idx(i))(idx(j)) = mv }
+            var v = Array.fill(n)(1.0)
+            var r = 0
+            while (r < 5) {
+              val u = new Array[Double](n)
+              var a = 0
+              while (a < n) {
+                var acc = 0.0
+                var b = 0
+                while (b < n) { acc += mat(a)(b) * v(b); b += 1 }
+                u(a) = acc
+                a += 1
+              }
+              var nrm = 0.0
+              a = 0
+              while (a < n) {
+                val x = math.abs(u(a)); if (x > nrm) nrm = x; a += 1
+              }
+              a = 0
+              while (a < n) { u(a) = u(a) / nrm; a += 1 }
+              v = u
+              r += 1
+            }
+            val sgn =
+              if (idx.contains(1) && v(idx(1)) < 0) -1.0 else 1.0
+            dims.iterator.zipWithIndex.map { case (dim, k) =>
+              (dim.toLong,
+                java.math.BigDecimal.valueOf(v(k) * sgn * 1e6)
+                  .setScale(0, java.math.RoundingMode.HALF_UP)
+                  .longValue())
+            }
+          }
+        }
+        .toDF("i", "eig_micro")
         .orderBy(col("i"))
     }),
 

@@ -36,7 +36,6 @@ class PlanHygieneSpec extends SparkSpecBase {
     "ts_rfm_scores" -> "1-row quartile-cuts aggregate broadcast onto the profile",
     "agg_pareto_share" -> "1-row p80-cut aggregate broadcast onto the revenue profile",
     "agg_benford" -> "1-row digit-total aggregate crossed onto the <=9 digit rows",
-    "emb_pca_power" -> "1-row norm/sign aggregates crossed onto the 64-row vector",
     "text_zipf_fit" -> "non-equi rank self-join over the vocab-bounded count table",
     "graph_modularity" -> "1-row |E2| aggregate crossed onto the 1-row stats aggregate",
     "agg_ks_test" -> "1-row sample-sizes aggregate crossed onto the <=50 cum rows",
