@@ -288,12 +288,23 @@ object StreamingQueries {
     * sink table names are per-operator, so sharing one session across
     * replays cannot collide.
     */
+  // keyed by the PARENT session itself, value = (plain child, rocksdb
+  // child): a WeakHashMap key must be externally referenced to
+  // survive, and a (session, flag) tuple key is owned only by the map
+  // — it would be collected at the next GC and silently degrade the
+  // cache back to one session per call (caught in the r10 self-review)
   private val replaySessions =
-    new java.util.WeakHashMap[(SparkSession, Boolean), SparkSession]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[Boolean, SparkSession]]
   private def replaySession(s0: SparkSession,
                             rocksDb: Boolean): SparkSession =
     replaySessions.synchronized {
-      var s = replaySessions.get((s0, rocksDb))
+      var byFlag = replaySessions.get(s0)
+      if (byFlag == null) {
+        byFlag = scala.collection.mutable.Map.empty[Boolean, SparkSession]
+        replaySessions.put(s0, byFlag)
+      }
+      var s = byFlag.getOrElse(rocksDb, null)
       if (s == null) {
         s = s0.newSession()
         // 2 shuffle partitions, not 4 (r10): state store instances are
@@ -311,7 +322,7 @@ object StreamingQueries {
           s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
             ".changelogCheckpointing.enabled", "true")
         }
-        replaySessions.put((s0, rocksDb), s)
+        byFlag.put(rocksDb, s)
       }
       s
     }
