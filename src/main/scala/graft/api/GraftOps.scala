@@ -208,7 +208,10 @@ object GraftOps {
     * a row id.
     */
   def covarianceNumerators(df: DataFrame, vecCol: String,
-      idCol: String): DataFrame =
+      idCol: String): DataFrame = {
+    df(idCol) // validate eagerly: the aggregate no longer reads the id
+              // column, but a typo'd name must still fail analysis
+              // here instead of being silently accepted (r10 review)
     df.select(expr(
         s"transform($vecCol, x -> cast(round(cast(x as double) * 1000.0) as bigint))")
         .as("q"))
@@ -216,6 +219,7 @@ object GraftOps {
       .select(explode(col("st")).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"),
         col("e.cov_num").as("cov_num"), col("e.n").as("n"))
+  }
 
   /** Per-entity bucket cuts fitted as EXACT disc-quantiles over the
     * deterministic 25% content-hash sample — the scale-safe threshold

@@ -32,6 +32,19 @@ object LlmQueries {
     * full design note. Parameterized so the property spec can plant
     * substrings at any k.
     */
+  /** (doc_id, p, dig): the md5 digest of every overlapping k-token
+    * gram, 0-based start p — the ONE gram pipeline both substring
+    * operators (and both their DuckDB oracle mirrors) must stay in
+    * lockstep with, so it exists exactly once (r10 review). Input
+    * frame needs (doc_id, toks).
+    */
+  private def gramDigests(withToks: DataFrame, k: Int): DataFrame =
+    withToks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as(Seq("p", "dig")))
+
   def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"gram width must be >= 2, got $k")
     val base = docs
@@ -40,11 +53,7 @@ object LlmQueries {
         greatest(size(col("toks")) - (k - 1), lit(0))
           .cast(LongType).as("n_grams"),
         col("toks"))
-    val grams = base.filter(col("n_grams") > 0)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
-        .as(Seq("p", "dig")))
+    val grams = gramDigests(base, k)
     // grams occurring >= 2 times anywhere (count, not distinct-doc
     // count: in-doc repetition dedups too, and a plain count is one
     // map-combined aggregate instead of a distinct expansion)
@@ -89,11 +98,7 @@ object LlmQueries {
     val base = docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast(LongType).as("n_toks"))
-    val grams = base.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
-        .as(Seq("p", "dig")))
+    val grams = gramDigests(base, k)
     val wg = Window.partitionBy(col("dig")).orderBy(col("doc_id"), col("p"))
     // rn >= 2 IS the duplicated-and-not-canonical test: a unique gram
     // has only rn = 1, and a duplicated gram's canonical occurrence

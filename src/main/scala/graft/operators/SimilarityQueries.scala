@@ -1519,7 +1519,8 @@ object SimilarityQueries {
          |), cents AS (
          |  SELECT vec_id AS cent_id, emb_n AS cent_vec FROM nrm
          |  WHERE vec_id >= 100 AND vec_id < 100 + (
-         |    SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT))
+         |    SELECT least(65536, greatest(4,
+         |      CAST(ceil(sqrt(count(*))) AS BIGINT)))
          |    FROM embeddings)
          |), ac AS (
          |  SELECT c.cent_id, n.vec_id, n.emb_n,

@@ -323,6 +323,15 @@ case class AsofJoinExec(
   * `merge_asof`, the result carries every left column plus every
   * right column (null-extended on no match) — rename overlapping
   * right columns before the call.
+  *
+  * Execution-session note: on an AQE-enabled caller session the
+  * returned DataFrame is bound to a cached AQE-off CHILD session
+  * (the exec's partition-alignment guard requires it), with the
+  * caller's runtime confs snapshotted at child creation. Operations
+  * composed on the result therefore also run AQE-off; if downstream
+  * work should run under the caller's own session (AQE skew handling
+  * etc.), materialize the as-of result first (write it, or
+  * `.localCheckpoint()`) and continue from the materialized frame.
   */
 object AsofJoinApi {
 
@@ -355,6 +364,16 @@ object AsofJoinApi {
       var c = execSessions.get(s)
       if (c == null) {
         c = s.newSession()
+        // inherit the caller's RUNTIME confs (newSession() only copies
+        // builder-time conf, so e.g. a caller's spark.sql.shuffle
+        // .partitions or ANSI toggle would otherwise be silently
+        // dropped inside the as-of pipeline — r10 review), THEN pin
+        // AQE off. Snapshot is taken at child creation; conf changes
+        // the caller makes later are deliberately not tracked.
+        s.conf.getAll.foreach { case (k, v) =>
+          try c.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
         c.conf.set("spark.sql.adaptive.enabled", "false")
         execSessions.put(s, c)
       }

@@ -327,21 +327,30 @@ object StreamingQueries {
       s
     }
 
+  /** Memory-sink names must be unique per INVOCATION now that replays
+    * share a session: a fixed name would make two concurrent runs of
+    * one operator collide on the StreamingQueryManager ("query with
+    * that name is already active") or swap the memory table under an
+    * in-flight read (r10 review).
+    */
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def runFileStream(s0: SparkSession, name: String, dir: String,
                             mode: OutputMode, rocksDb: Boolean = false)(
                              pipe: Dataset[Ev] => DataFrame): DataFrame = {
     val s = replaySession(s0, rocksDb)
     import s.implicits._
+    val uname = s"${name}_${replaySeq.incrementAndGet()}"
     val src = s.readStream
       .schema(Encoders.product[Ev].schema)
       .parquet(dir)
       .as[Ev]
     val q = pipe(src)
-      .writeStream.format("memory").queryName(name).outputMode(mode)
+      .writeStream.format("memory").queryName(uname).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.table(name)
+    s.table(uname)
   }
 
   val queries: Map[String, Q] = Map(
