@@ -340,6 +340,46 @@ object MaintenanceQueries {
           sum(expr("h48 div 65536")).as("sum32"))
     }),
 
+    // Small-file compaction as a snapshot commit (r10): v1 lands the
+    // customer table fragmented across 16 files (a day of micro-batch
+    // appends in miniature), SnapshotTable.compact coalesces it into
+    // 2 files as v2 — shuffle-free (coalesce concatenates whole input
+    // partitions), old version still time-travelable, superseded
+    // files vacuum-reclaimable. The operator emits the
+    // order-independent checksum of BOTH versions (the table_checksum
+    // triple per phase): identical rows = the compaction rewrote
+    // layout, not content — the 100 TB nightly-maintenance contract.
+    // File-count assertions (16 -> 2) live in MaintenanceSpec; the
+    // oracle proves both phases equal the source-of-truth checksum.
+    "table_compact" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val root = graft.TempDirs.scoped("snapcomp", d)
+      graft.TempDirs.writeOnce("snapcomp" + d) {
+        SnapshotTable.commit(root,
+          customer(s, d).select(col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+            .repartition(16))
+        SnapshotTable.compact(s, root, 2)
+        ()
+      }
+      val rowStr = concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        coalesce(col("c_acctbal").cast(DecimalType(18, 2)).cast("string"),
+          lit("NULL")),
+        col("c_mktsegment"))
+      def phase(name: String, df: org.apache.spark.sql.DataFrame) = df
+        .select(conv(substring(md5(rowStr), 1, 12), 16, 10)
+          .cast("long").as("h48"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h48)").as("xor48"),
+          sum(expr("h48 div 65536")).as("sum32"))
+        .select(lit(name).as("phase"), col("n_rows"), col("xor48"),
+          col("sum32"))
+      phase("after", SnapshotTable.read(s, root))
+        .unionByName(phase("before", SnapshotTable.read(s, root, Some(1L))))
+        .orderBy(col("phase"))
+    }),
+
     // SCD2 dimension versioning from a change log: each customer's
     // order dates are version boundaries; every version carries
     // [valid_from, valid_to) with the final version open-ended
@@ -550,6 +590,28 @@ object MaintenanceQueries {
         |SELECT count(*) AS n_rows, bit_xor(h48) AS xor48,
         |  CAST(sum(h48 // 65536) AS BIGINT) AS sum32
         |FROM v""".stripMargin,
+    // both phases must equal the checksum of the source of truth:
+    // compaction rewrites layout, never content
+    "table_compact" ->
+      """WITH r AS (
+        |  SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+        |    COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), 'NULL'),
+        |    c_mktsegment)) AS h
+        |  FROM customer
+        |), v AS (
+        |  SELECT CAST(list_sum(list_transform(generate_series(1, 12),
+        |    i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16 ** (12 - i)))
+        |    AS BIGINT) AS h48
+        |  FROM r
+        |), c AS (
+        |  SELECT count(*) AS n_rows, bit_xor(h48) AS xor48,
+        |    CAST(sum(h48 // 65536) AS BIGINT) AS sum32
+        |  FROM v
+        |)
+        |SELECT 'after' AS phase, n_rows, xor48, sum32 FROM c
+        |UNION ALL
+        |SELECT 'before' AS phase, n_rows, xor48, sum32 FROM c
+        |ORDER BY phase""".stripMargin,
     // version 2's state recomputed from the same deterministic change
     // log (the v3 delete must NOT appear — that is the time-travel
     // property under test). NOT EXISTS, not NOT IN, for the same

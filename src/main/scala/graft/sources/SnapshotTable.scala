@@ -200,6 +200,23 @@ object SnapshotTable {
     * manifest references the old version's files verbatim, so the
     * operation is one metadata CAS regardless of table size.
     */
+  /** Small-file compaction: rewrite the LATEST version's content into
+    * `targetFiles` files and commit the rewrite as a NEW version —
+    * content-identical (the checksum contract `table_compact` proves),
+    * old versions untouched and still time-travelable, old data files
+    * reclaimed later by `vacuum` exactly like any other superseded
+    * version. `coalesce` (not repartition) keeps the rewrite
+    * shuffle-free: each output task concatenates whole input
+    * partitions — at 100 TB this is the nightly maintenance job that
+    * turns a day of micro-batch appends into scan-efficient files.
+    * Returns the new version.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+      targetFiles: Int): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    commit(root, read(spark, root).coalesce(targetFiles))
+  }
+
   def restore(root: String, v: Long): Long = {
     val files = manifestFiles(root, v)
       .map(abs => manifestEntry(root, abs))

@@ -215,6 +215,28 @@ class SnapshotCommitSpec extends SparkSpecBase {
     assert(SnapshotTable.read(spark, src).count() == 4L)
   }
 
+  test("compact shrinks the file set, preserves content, keeps history") {
+    import spark.implicits._
+    val root = freshRoot("compact")
+    val df = (1L to 500L).map(i => (i, s"row$i")).toDF("id", "payload")
+    SnapshotTable.commit(root, df.repartition(16))
+    assert(SnapshotTable.manifestFiles(root, 1L).size == 16)
+    val v2 = SnapshotTable.compact(spark, root, 2)
+    assert(v2 == 2L)
+    // fewer, bigger files; content identical set-wise; v1 untouched
+    assert(SnapshotTable.manifestFiles(root, 2L).size == 2)
+    val before = SnapshotTable.read(spark, root, Some(1L))
+      .collect().map(_.toString).sorted.toSeq
+    val after = SnapshotTable.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before && after.size == 500)
+    // superseded v1 files are vacuum-reclaimable, table stays readable
+    val (manifestsDropped, filesDeleted) = SnapshotTable.vacuum(root, 1)
+    assert(manifestsDropped == 1 && filesDeleted == 16,
+      s"vacuum swept ($manifestsDropped manifests, $filesDeleted files)")
+    assert(SnapshotTable.read(spark, root).count() == 500)
+  }
+
   test("an empty commit reads back as zero rows with the schema intact") {
     // Spark writes a schema-only part file for an empty df, so an
     // empty version is a first-class readable snapshot (a TRUNCATE),
