@@ -380,6 +380,29 @@ object MaintenanceQueries {
         .orderBy(col("phase"))
     }),
 
+    // Incremental (CDC-style) read between two versions (r10): a
+    // downstream consumer that processed up to v2 catches up by
+    // scanning ONLY the files v3 added — manifest(to) minus
+    // manifest(from), pure metadata arithmetic, zero data read outside
+    // the delta. The artifact is a 3-commit append lineage over
+    // deterministic doc_id slices, so the oracle recomputes the v3
+    // delta as its slice definition. At 100 TB this is how hourly
+    // consumers ride a continuously-appended table without rescans.
+    "table_incremental_read" -> ((s, d) => {
+      import graft.sources.SnapshotTable
+      val root = graft.TempDirs.scoped("snapinc", d)
+      graft.TempDirs.writeOnce("snapinc" + d) {
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        SnapshotTable.commit(root, docs.filter(col("doc_id") % 4 === 0))
+        SnapshotTable.append(root, docs.filter(col("doc_id") % 4 === 1))
+        SnapshotTable.append(root, docs.filter(col("doc_id") % 4 === 2))
+        ()
+      }
+      SnapshotTable.readIncremental(s, root, fromV = 2L, toV = 3L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SCD2 dimension versioning from a change log: each customer's
     // order dates are version boundaries; every version carries
     // [valid_from, valid_to) with the final version open-ended
@@ -590,6 +613,10 @@ object MaintenanceQueries {
         |SELECT count(*) AS n_rows, bit_xor(h48) AS xor48,
         |  CAST(sum(h48 // 65536) AS BIGINT) AS sum32
         |FROM v""".stripMargin,
+    // the v3 delta IS the third deterministic slice
+    "table_incremental_read" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id % 4 = 2 ORDER BY doc_id""".stripMargin,
     // both phases must equal the checksum of the source of truth:
     // compaction rewrites layout, never content
     "table_compact" ->

@@ -217,6 +217,35 @@ object SnapshotTable {
     commit(root, read(spark, root).coalesce(targetFiles))
   }
 
+  /** Files ADDED between two versions: manifest(to) minus
+    * manifest(from) — pure metadata arithmetic, no data read. On an
+    * append lineage this is exactly the incremental delta (each child
+    * manifest = parent files + new files); a REWRITE commit in the
+    * range surfaces its whole rewritten file set, the same caveat
+    * every manifest-diff CDC (Iceberg incremental scan, Delta CDF
+    * without the change log) carries — callers on mixed lineages
+    * should diff row-level checksums instead.
+    */
+  def incrementalFiles(root: String, fromV: Long, toV: Long): Seq[String] = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val base = manifestFiles(root, fromV).toSet
+    manifestFiles(root, toV).filterNot(base)
+  }
+
+  /** Read only the rows landed between `fromV` (exclusive) and `toV`
+    * (inclusive) — the downstream-consumer primitive: a job that ran
+    * at v_from catches up by scanning ONLY the delta files, never the
+    * table. Empty delta reads as an empty frame with the to-version's
+    * schema.
+    */
+  def readIncremental(spark: org.apache.spark.sql.SparkSession,
+      root: String, fromV: Long, toV: Long): DataFrame = {
+    val files = incrementalFiles(root, fromV, toV)
+    if (files.isEmpty)
+      spark.read.parquet(manifestFiles(root, toV): _*).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
   def restore(root: String, v: Long): Long = {
     val files = manifestFiles(root, v)
       .map(abs => manifestEntry(root, abs))

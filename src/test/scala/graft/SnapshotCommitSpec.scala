@@ -237,6 +237,29 @@ class SnapshotCommitSpec extends SparkSpecBase {
     assert(SnapshotTable.read(spark, root).count() == 500)
   }
 
+  test("incremental read returns exactly the appended delta; empty range is empty") {
+    import spark.implicits._
+    val root = freshRoot("incr")
+    SnapshotTable.commit(root, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    SnapshotTable.append(root, Seq((3L, "c")).toDF("id", "v"))
+    SnapshotTable.append(root, Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    val d23 = SnapshotTable.readIncremental(spark, root, 2L, 3L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(d23 == Seq(4L, 5L))
+    val d13 = SnapshotTable.readIncremental(spark, root, 1L, 3L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(d13 == Seq(3L, 4L, 5L))
+    // same-version range: empty frame, schema intact
+    val d33 = SnapshotTable.readIncremental(spark, root, 3L, 3L)
+    assert(d33.count() == 0 && d33.columns.toSeq == Seq("id", "v"))
+    // a REWRITE commit surfaces its whole file set (the documented
+    // manifest-diff CDC caveat)
+    SnapshotTable.commit(root,
+      SnapshotTable.read(spark, root).filter(col("id") =!= 1L))
+    val d34 = SnapshotTable.readIncremental(spark, root, 3L, 4L)
+    assert(d34.count() == 4)
+  }
+
   test("an empty commit reads back as zero rows with the schema intact") {
     // Spark writes a schema-only part file for an empty df, so an
     // empty version is a first-class readable snapshot (a TRUNCATE),
