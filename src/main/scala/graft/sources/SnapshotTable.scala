@@ -224,7 +224,9 @@ object SnapshotTable {
     * range surfaces its whole rewritten file set, the same caveat
     * every manifest-diff CDC (Iceberg incremental scan, Delta CDF
     * without the change log) carries — callers on mixed lineages
-    * should diff row-level checksums instead.
+    * should diff row-level checksums instead. Both versions must
+    * still be retained: a vacuumed `fromV` raises manifestFiles'
+    * versioned require rather than silently returning a full scan.
     */
   def incrementalFiles(root: String, fromV: Long, toV: Long): Seq[String] = {
     require(fromV <= toV, s"fromV $fromV > toV $toV")
