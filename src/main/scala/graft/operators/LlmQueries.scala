@@ -568,10 +568,80 @@ object LlmQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SUBSTRING-level decontamination (r10): the GPT-3 appendix-C
+    // method — flag a training document if any exact 13-token gram
+    // also appears in the benchmark set (same %97 eval slice as
+    // contamination_ngram), with the contaminated-span length
+    // recovered by the dedup_substring gap-and-island walk. This is
+    // the tier contamination_ngram's doc-level distinct-4-gram count
+    // can't express: a verbatim benchmark sentence inside an
+    // otherwise-clean document. Scale shape: eval digests are
+    // benchmark-sized (broadcast); the train side is one gramDigests
+    // scan + a digest equi join + a doc-bounded window.
+    "contamination_substring" -> ((s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          greatest(size(col("toks")) - 12, lit(0))
+            .cast(LongType).as("n_grams"),
+          col("toks"))
+      val grams = gramDigests(base, 13)
+      val evalDigs = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("dig")).distinct()
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val st = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalDigs), Seq("dig"))
+        .select(col("doc_id"), col("p"))
+        .withColumn("isl", col("p") - (row_number().over(w) - lit(1)))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("run")).as("n_hit"), max(col("run")).as("maxrun"))
+      base.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("n_grams"))
+        .join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit_grams"),
+          when(col("maxrun").isNotNull, col("maxrun") + 12)
+            .otherwise(0L).cast(LongType).as("max_hit_span"),
+          (coalesce(col("n_hit"), lit(0L)) > 0L).as("is_contaminated"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // same 13-token md5 grams, same eval slice, same island walk
+    "contamination_substring" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS p,
+        |    md5(array_to_string(toks[i:i+12], ' ')) AS dig
+        |  FROM t, unnest(generate_series(1, len(toks) - 12)) AS u(i)
+        |), ev AS MATERIALIZED (
+        |  SELECT DISTINCT dig FROM g WHERE doc_id % 97 = 0
+        |), h AS MATERIALIZED (
+        |  SELECT g.doc_id, g.p,
+        |    g.p - (row_number() OVER (PARTITION BY g.doc_id
+        |      ORDER BY g.p) - 1) AS isl
+        |  FROM g JOIN ev USING (dig) WHERE g.doc_id % 97 <> 0
+        |), runs AS (
+        |  SELECT doc_id, isl, count(*) AS run FROM h GROUP BY doc_id, isl
+        |), st AS (
+        |  SELECT doc_id, sum(run) AS n_hit, max(run) AS maxrun
+        |  FROM runs GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(greatest(len(t.toks) - 12, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(st.n_hit, 0) AS BIGINT) AS n_hit_grams,
+        |  CAST(CASE WHEN st.maxrun IS NOT NULL THEN st.maxrun + 12
+        |    ELSE 0 END AS BIGINT) AS max_hit_span,
+        |  coalesce(st.n_hit, 0) > 0 AS is_contaminated
+        |FROM t LEFT JOIN st USING (doc_id)
+        |WHERE t.doc_id % 97 <> 0
+        |ORDER BY t.doc_id""".stripMargin,
     // same overlapping 10-token md5 grams, same count>=2 duplicate
     // rule, same gap-and-island span arithmetic — every stage integer
     // or md5-hex, so the pairing is exact; multiply-referenced CTEs

@@ -99,6 +99,30 @@ class SubstringDedupSpec extends SparkSpecBase {
       s"(n_toks, n_kept) = (${out.getLong(1)}, ${out.getLong(2)})")
   }
 
+  test("contamination_substring agrees with a driver recomputation") {
+    // from-scratch Scala recomputation of the 13-gram decontamination
+    // over the fixture: eval slice = doc_id % 97 == 0, a train doc is
+    // contaminated iff it shares any exact 13-token gram with it
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    def grams(toks: Seq[String]): Seq[String] =
+      if (toks.length < 13) Seq.empty
+      else (0 to toks.length - 13).map(i => toks.slice(i, i + 13).mkString(" "))
+    val evalGrams = docs.collect {
+      case (id, t) if id % 97 == 0 => grams(t)
+    }.flatten.toSet
+    val got = SparkEntry.queries("contamination_substring")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4))).toSeq
+    assert(got.nonEmpty &&
+      got.map(_._1).toSet == docs.keySet.filter(_ % 97 != 0))
+    got.foreach { case (id, nHit, flagged) =>
+      val expHits = grams(docs(id)).count(evalGrams)
+      assert(nHit == expHits, s"doc $id: n_hit $nHit != $expHits")
+      assert(flagged == (expHits > 0), s"doc $id flag")
+    }
+  }
+
   test("stats are invariant to adversarial input partitioning") {
     val span = (0 until 15).map(i => s"pp$i")
     val rows = (1L to 20L).map { id =>
