@@ -88,10 +88,11 @@ object LlmQueries {
     * covered by a NON-canonical occurrence of any gram is dropped;
     * docs are rebuilt from surviving tokens in order and the output
     * carries md5(rebuilt) — byte-exact reassembly proof without
-    * shipping corpus text. Scale shape: one digest-partitioned
-    * row_number window (per-gram state bounded by its occurrence
-    * count), a ×k span expansion of non-canonical occurrences only,
-    * one (doc, position) anti join, and a document-bounded regroup.
+    * shipping corpus text. Scale shape: one min-struct aggregate per
+    * digest (map-combined — no per-digest window, so a stop-word-ish
+    * hot gram never funnels through one sort task), a ×k span
+    * expansion of non-canonical occurrences only, one (doc, position)
+    * anti join, and a document-bounded regroup.
     */
   def substringRemove(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"gram width must be >= 2, got $k")
@@ -99,12 +100,17 @@ object LlmQueries {
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast(LongType).as("n_toks"))
     val grams = gramDigests(base, k)
-    val wg = Window.partitionBy(col("dig")).orderBy(col("doc_id"), col("p"))
-    // rn >= 2 IS the duplicated-and-not-canonical test: a unique gram
-    // has only rn = 1, and a duplicated gram's canonical occurrence
-    // is exactly its rn = 1 row — no separate duplicate table needed
-    val cov = grams.withColumn("rn", row_number().over(wg))
-      .filter(col("rn") >= 2)
+    // "duplicated and not canonical" WITHOUT a per-digest window
+    // (r10): the canonical occurrence is min(struct(doc_id, p)) — a
+    // map-combined aggregate — and every occurrence that differs from
+    // it is exactly the window spelling's rn >= 2 set. A row_number
+    // over PARTITION BY dig funnels a stop-word-ish gram's thousands
+    // of occurrences through ONE sort task; the aggregate shuffles a
+    // single 16-byte struct per digest instead, at any skew.
+    val canon = grams.groupBy(col("dig"))
+      .agg(min(struct(col("doc_id"), col("p"))).as("c"))
+    val cov = grams.join(canon, Seq("dig"))
+      .filter(!(col("doc_id") === col("c.doc_id") && col("p") === col("c.p")))
       .select(col("doc_id"),
         explode(expr(s"sequence(p, p + ${k - 1})")).as("t"))
       .distinct()
