@@ -23,18 +23,9 @@ import org.apache.spark.sql.types._
   */
 object LlmQueries {
 
-  /** Exact substring-level dedup statistics over a (doc_id, text)
-    * frame: per doc, the overlapping-k-token-gram count, how many of
-    * those grams occur >= 2 times corpus-wide, the longest duplicated
-    * token span (a run of r consecutive duplicated gram starts is an
-    * r+k-1-token duplicated substring), and duplicated-gram coverage
-    * in basis points. See the `dedup_substring` registration for the
-    * full design note. Parameterized so the property spec can plant
-    * substrings at any k.
-    */
   /** (doc_id, p, dig): the md5 digest of every overlapping k-token
-    * gram, 0-based start p — the ONE gram pipeline both substring
-    * operators (and both their DuckDB oracle mirrors) must stay in
+    * gram, 0-based start p — the ONE gram pipeline all substring
+    * operators (and their DuckDB oracle mirrors) must stay in
     * lockstep with, so it exists exactly once (r10 review). Input
     * frame needs (doc_id, toks).
     */
@@ -45,6 +36,15 @@ object LlmQueries {
           s"i -> md5(concat_ws(' ', slice(toks, i + 1, $k))))"))
         .as(Seq("p", "dig")))
 
+  /** Exact substring-level dedup statistics over a (doc_id, text)
+    * frame: per doc, the overlapping-k-token-gram count, how many of
+    * those grams occur >= 2 times corpus-wide, the longest duplicated
+    * token span (a run of r consecutive duplicated gram starts is an
+    * r+k-1-token duplicated substring), and duplicated-gram coverage
+    * in basis points. See the `dedup_substring` registration for the
+    * full design note. Parameterized so the property spec can plant
+    * substrings at any k.
+    */
   def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"gram width must be >= 2, got $k")
     val base = docs
