@@ -45,6 +45,24 @@ object LlmQueries {
     * full design note. Parameterized so the property spec can plant
     * substrings at any k.
     */
+  /** Gap-and-island statistics of per-doc hit positions: given
+    * (doc_id, p) rows (each a flagged k-gram start, p unique per doc),
+    * returns (doc_id, n_hit, maxrun) where maxrun is the longest run
+    * of CONSECUTIVE starts — callers add k-1 for the token-span
+    * length. The one island walk `dedup_substring` and
+    * `contamination_substring` share (r10 review); the window
+    * partitions per doc, so its state is document-bounded.
+    */
+  private def islandSpans(hits: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    hits.select(col("doc_id"), col("p"))
+      .withColumn("isl", col("p") - (row_number().over(w) - lit(1)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("n_hit"), max(col("run")).as("maxrun"))
+  }
+
   def substringDupStats(docs: DataFrame, k: Int): DataFrame = {
     require(k >= 2, s"gram width must be >= 2, got $k")
     val base = docs
@@ -61,21 +79,14 @@ object LlmQueries {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("dig"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-    val st = grams.join(dup, Seq("dig"))
-      .select(col("doc_id"), col("p"))
-      .withColumn("isl", col("p") - (row_number().over(w) - lit(1)))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(count(lit(1)).as("run"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("run")).as("n_dup"), max(col("run")).as("maxrun"))
+    val st = islandSpans(grams.join(dup, Seq("dig")))
     base.join(st, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_dup_grams"),
         when(col("maxrun").isNotNull, col("maxrun") + (k - 1))
           .otherwise(0L).cast(LongType).as("max_dup_span"),
         when(col("n_grams") > 0,
-          expr(s"coalesce(n_dup, 0L) * 10000L div n_grams"))
+          expr(s"coalesce(n_hit, 0L) * 10000L div n_grams"))
           .otherwise(0L).as("dup_bp"))
       .orderBy(col("doc_id"))
   }
@@ -103,10 +114,13 @@ object LlmQueries {
     // "duplicated and not canonical" WITHOUT a per-digest window
     // (r10): the canonical occurrence is min(struct(doc_id, p)) — a
     // map-combined aggregate — and every occurrence that differs from
-    // it is exactly the window spelling's rn >= 2 set. A row_number
-    // over PARTITION BY dig funnels a stop-word-ish gram's thousands
-    // of occurrences through ONE sort task; the aggregate shuffles a
-    // single 16-byte struct per digest instead, at any skew.
+    // it is exactly the window spelling's rn >= 2 set. The CANONICAL
+    // SELECTION is now skew-free (one 16-byte struct per digest
+    // through the shuffle); the join back of occurrences to their
+    // digest's canonical row still concentrates a hot gram in one
+    // join partition, but a skewed equi-join partition is
+    // AQE-splittable where a window partition is not — that split is
+    // the actual win over row_number under skew.
     val canon = grams.groupBy(col("dig"))
       .agg(min(struct(col("doc_id"), col("p"))).as("c"))
     val cov = grams.join(canon, Seq("dig"))
@@ -596,15 +610,8 @@ object LlmQueries {
       val grams = gramDigests(base, 13)
       val evalDigs = grams.filter(col("doc_id") % 97 === 0)
         .select(col("dig")).distinct()
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      val st = grams.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(evalDigs), Seq("dig"))
-        .select(col("doc_id"), col("p"))
-        .withColumn("isl", col("p") - (row_number().over(w) - lit(1)))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(count(lit(1)).as("run"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("run")).as("n_hit"), max(col("run")).as("maxrun"))
+      val st = islandSpans(grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalDigs), Seq("dig")))
       base.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), col("n_grams"))
         .join(st, Seq("doc_id"), "left")

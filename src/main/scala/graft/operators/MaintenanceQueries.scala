@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -24,6 +24,36 @@ import org.apache.spark.sql.types._
 object MaintenanceQueries {
 
   private val farFuture = lit("9999-12-31").cast(DateType)
+
+  /** The customer-row canonical string + 48-bit checksum triple shared
+    * by `table_checksum` and `table_compact` (r10 review: one
+    * definition, not three — a serialization change must not be able
+    * to reach one operator and miss the other). `custChecksumSqlCte`
+    * is the DuckDB mirror both oracles embed.
+    */
+  private val custRowStr = concat_ws("|",
+    col("c_custkey"), col("c_name"), col("c_nationkey"),
+    coalesce(col("c_acctbal").cast(DecimalType(18, 2)).cast("string"),
+      lit("NULL")),
+    col("c_mktsegment"))
+  private def custChecksum(df: DataFrame): DataFrame = df
+    .select(conv(substring(md5(custRowStr), 1, 12), 16, 10)
+      .cast("long").as("h48"))
+    .agg(count(lit(1)).as("n_rows"),
+      expr("bit_xor(h48)").as("xor48"),
+      sum(expr("h48 div 65536")).as("sum32"))
+  private val custChecksumSqlCte =
+    """WITH r AS (
+      |  SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey,
+      |    COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), 'NULL'),
+      |    c_mktsegment)) AS h
+      |  FROM customer
+      |), v AS (
+      |  SELECT CAST(list_sum(list_transform(generate_series(1, 12),
+      |    i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16 ** (12 - i)))
+      |    AS BIGINT) AS h48
+      |  FROM r
+      |)""".stripMargin
 
   val queries: Map[String, Q] = Map(
     // MERGE INTO (SCD1 upsert): yesterday's snapshot (customers with
@@ -326,35 +356,29 @@ object MaintenanceQueries {
     // overflow at any plausible row count.) Doubles go through
     // DECIMAL(18,2) so the canonical string renders identically in
     // every engine.
-    "table_checksum" -> ((s, d) => {
-      val rowStr = concat_ws("|",
-        col("c_custkey"), col("c_name"), col("c_nationkey"),
-        coalesce(col("c_acctbal").cast(DecimalType(18, 2)).cast("string"),
-          lit("NULL")),
-        col("c_mktsegment"))
-      customer(s, d)
-        .select(conv(substring(md5(rowStr), 1, 12), 16, 10)
-          .cast("long").as("h48"))
-        .agg(count(lit(1)).as("n_rows"),
-          expr("bit_xor(h48)").as("xor48"),
-          sum(expr("h48 div 65536")).as("sum32"))
-    }),
+    "table_checksum" -> ((s, d) => custChecksum(customer(s, d))),
 
-    // Small-file compaction as a snapshot commit (r10): v1 lands the
-    // customer table fragmented across 16 files (a day of micro-batch
-    // appends in miniature), SnapshotTable.compact coalesces it into
-    // 2 files as v2 — shuffle-free (coalesce concatenates whole input
-    // partitions), old version still time-travelable, superseded
-    // files vacuum-reclaimable. The operator emits the
-    // order-independent checksum of BOTH versions (the table_checksum
-    // triple per phase): identical rows = the compaction rewrote
-    // layout, not content — the 100 TB nightly-maintenance contract.
-    // File-count assertions (16 -> 2) live in MaintenanceSpec; the
-    // oracle proves both phases equal the source-of-truth checksum.
+    // Small-file compaction through the PUBLIC library API (r10).
+    // Sibling of `compact_small_files` (r3/r8), deliberately not a
+    // replacement — the two cover complementary halves of the
+    // contract: compact_small_files hand-rolls a repartition rewrite
+    // and its oracle pins the FILE COUNTS (64->4); this operator
+    // exercises `SnapshotTable.compact` — the race-safe
+    // (commitIfParent-pinned: a concurrent append forces re-read, not
+    // stale re-land) shuffle-free (coalesce) maintenance entry point —
+    // and proves CONTENT identity via the order-independent
+    // table_checksum triple per phase. The file-count shrink on this
+    // operator's artifact root is pinned in SnapshotCommitSpec
+    // ("operator artifact" test) rather than the oracle: read-side
+    // partition packing makes exact counts conf-dependent.
     "table_compact" -> ((s, d) => {
       import graft.sources.SnapshotTable
       val root = graft.TempDirs.scoped("snapcomp", d)
       graft.TempDirs.writeOnce("snapcomp" + d) {
+        // a retried build after a partial failure must start from an
+        // empty root, or the re-run commits land at shifted versions
+        // (the clearDir retry contract)
+        graft.TempDirs.clearDir(root)
         SnapshotTable.commit(root,
           customer(s, d).select(col("c_custkey"), col("c_name"),
             col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -362,17 +386,7 @@ object MaintenanceQueries {
         SnapshotTable.compact(s, root, 2)
         ()
       }
-      val rowStr = concat_ws("|",
-        col("c_custkey"), col("c_name"), col("c_nationkey"),
-        coalesce(col("c_acctbal").cast(DecimalType(18, 2)).cast("string"),
-          lit("NULL")),
-        col("c_mktsegment"))
-      def phase(name: String, df: org.apache.spark.sql.DataFrame) = df
-        .select(conv(substring(md5(rowStr), 1, 12), 16, 10)
-          .cast("long").as("h48"))
-        .agg(count(lit(1)).as("n_rows"),
-          expr("bit_xor(h48)").as("xor48"),
-          sum(expr("h48 div 65536")).as("sum32"))
+      def phase(name: String, df: DataFrame) = custChecksum(df)
         .select(lit(name).as("phase"), col("n_rows"), col("xor48"),
           col("sum32"))
       phase("after", SnapshotTable.read(s, root))
@@ -392,6 +406,10 @@ object MaintenanceQueries {
       import graft.sources.SnapshotTable
       val root = graft.TempDirs.scoped("snapinc", d)
       graft.TempDirs.writeOnce("snapinc" + d) {
+        // retry-safety: a half-built root (crash between commits)
+        // would otherwise shift every re-run commit's version and
+        // silently change which slice v3's delta is (r10 review)
+        graft.TempDirs.clearDir(root)
         val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
         SnapshotTable.commit(root, docs.filter(col("doc_id") % 4 === 0))
         SnapshotTable.append(root, docs.filter(col("doc_id") % 4 === 1))
@@ -598,39 +616,19 @@ object MaintenanceQueries {
       """SELECT event_type, count(*) AS n,
         |  64 AS n_src_files, 4 AS n_out_files
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "table_checksum" ->
-      """WITH r AS (
-        |  SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey,
-        |    COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), 'NULL'),
-        |    c_mktsegment)) AS h
-        |  FROM customer
-        |), v AS (
-        |  SELECT CAST(list_sum(list_transform(generate_series(1, 12),
-        |    i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16 ** (12 - i)))
-        |    AS BIGINT) AS h48
-        |  FROM r
-        |)
+    "table_checksum" -> (custChecksumSqlCte +
+      """
         |SELECT count(*) AS n_rows, bit_xor(h48) AS xor48,
         |  CAST(sum(h48 // 65536) AS BIGINT) AS sum32
-        |FROM v""".stripMargin,
+        |FROM v""".stripMargin),
     // the v3 delta IS the third deterministic slice
     "table_incremental_read" ->
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id % 4 = 2 ORDER BY doc_id""".stripMargin,
     // both phases must equal the checksum of the source of truth:
     // compaction rewrites layout, never content
-    "table_compact" ->
-      """WITH r AS (
-        |  SELECT md5(concat_ws('|', c_custkey, c_name, c_nationkey,
-        |    COALESCE(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), 'NULL'),
-        |    c_mktsegment)) AS h
-        |  FROM customer
-        |), v AS (
-        |  SELECT CAST(list_sum(list_transform(generate_series(1, 12),
-        |    i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1) * 16 ** (12 - i)))
-        |    AS BIGINT) AS h48
-        |  FROM r
-        |), c AS (
+    "table_compact" -> (custChecksumSqlCte +
+      """, c AS (
         |  SELECT count(*) AS n_rows, bit_xor(h48) AS xor48,
         |    CAST(sum(h48 // 65536) AS BIGINT) AS sum32
         |  FROM v
@@ -638,7 +636,7 @@ object MaintenanceQueries {
         |SELECT 'after' AS phase, n_rows, xor48, sum32 FROM c
         |UNION ALL
         |SELECT 'before' AS phase, n_rows, xor48, sum32 FROM c
-        |ORDER BY phase""".stripMargin,
+        |ORDER BY phase""".stripMargin),
     // version 2's state recomputed from the same deterministic change
     // log (the v3 delete must NOT appear — that is the time-travel
     // property under test). NOT EXISTS, not NOT IN, for the same

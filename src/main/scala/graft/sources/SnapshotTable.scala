@@ -128,6 +128,47 @@ object SnapshotTable {
     v // unreachable
   }
 
+  /** Write `df`'s files and attempt to commit them as EXACTLY version
+    * `expectedParent + 1` — one CAS attempt, no version bumping. Some
+    * writers' content is a pure function of the parent version they
+    * read (compaction, any read-modify-write): for those, commit()'s
+    * bump-and-retry would re-land STALE content above a concurrent
+    * commit and silently drop its rows (r10 review). Returns the
+    * claimed version, or None if another writer won the slot — the
+    * caller must re-read and rebuild before retrying. The orphaned
+    * data files of a lost attempt are unreferenced by every manifest
+    * and reclaimed by the next vacuum.
+    */
+  def commitIfParent(root: String, df: DataFrame,
+      expectedParent: Long): Option[Long] = {
+    Files.createDirectories(manifestDir(root))
+    val uuid = java.util.UUID.randomUUID().toString
+    val dataDir = Paths.get(root, "data", uuid)
+    df.write.parquet(dataDir.toString)
+    val files = {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+        .map(name => s"data/$uuid/$name")
+      finally s.close()
+    }
+    require(files.nonEmpty,
+      s"refusing to commit an empty file set to $root (df had no output files)")
+    val v = expectedParent + 1
+    val tmp = Files.createTempFile(manifestDir(root), ".commit", ".tmp")
+    Files.writeString(tmp,
+      s"""{"version":$v,"files":[${files.map("\"" + _ + "\"").mkString(",")}]}""")
+    try {
+      Files.createLink(manifestPath(root, v), tmp)
+      Files.deleteIfExists(tmp)
+      Some(v)
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        None
+    }
+  }
+
   /** Read one table version (`VERSION AS OF v`); None = latest. */
   def read(spark: SparkSession, root: String,
       versionAsOf: Option[Long] = None): DataFrame = {
@@ -201,20 +242,39 @@ object SnapshotTable {
     * operation is one metadata CAS regardless of table size.
     */
   /** Small-file compaction: rewrite the LATEST version's content into
-    * `targetFiles` files and commit the rewrite as a NEW version —
-    * content-identical (the checksum contract `table_compact` proves),
-    * old versions untouched and still time-travelable, old data files
-    * reclaimed later by `vacuum` exactly like any other superseded
-    * version. `coalesce` (not repartition) keeps the rewrite
-    * shuffle-free: each output task concatenates whole input
-    * partitions — at 100 TB this is the nightly maintenance job that
-    * turns a day of micro-batch appends into scan-efficient files.
-    * Returns the new version.
+    * AT MOST `targetFiles` files (coalesce can only merge — the read's
+    * own partition packing is the floor, so a table that already reads
+    * as one partition compacts to one file) and commit the rewrite as
+    * a NEW version — content-identical (the checksum contract
+    * `table_compact` proves), old versions untouched and still
+    * time-travelable, old data files reclaimed later by `vacuum`
+    * exactly like any other superseded version. `coalesce` (not
+    * repartition) keeps the rewrite shuffle-free: each output task
+    * concatenates whole input partitions — at 100 TB this is the
+    * nightly maintenance job that turns a day of micro-batch appends
+    * into scan-efficient files. Commits through `commitIfParent`
+    * pinned to the version it read: a concurrent append winning the
+    * slot forces a re-read-and-rewrite retry rather than silently
+    * re-landing stale pre-append content (r10 review — commit()'s
+    * bump-and-retry is only safe for writers whose content doesn't
+    * depend on the parent). Returns the new version.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
-      targetFiles: Int): Long = {
+      targetFiles: Int, maxAttempts: Int = 10): Long = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    commit(root, read(spark, root).coalesce(targetFiles))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val parent = latestVersion(root).getOrElse(
+        throw new IllegalStateException(s"snapshot table $root has no commits"))
+      commitIfParent(root,
+        read(spark, root, Some(parent)).coalesce(targetFiles),
+        parent) match {
+        case Some(v) => return v
+        case None => attempt += 1 // lost the slot: re-read and rewrite
+      }
+    }
+    throw new IllegalStateException(
+      s"compact($root) lost the commit race $maxAttempts times")
   }
 
   /** Files ADDED between two versions: manifest(to) minus
