@@ -21,7 +21,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Tables.flagship(spark, "/root/testdata/sf0.001")
 
-  private val categories: Seq[(Map[String, Tables.Q], Map[String, String])] =
+  // a def: LlmQueries/SimilarityQueries build their oracle maps per
+  // evaluation (a few SQL strings splice in OracleDir-scoped durable
+  // artifact paths), so the category tuples must not be captured once
+  private def categories: Seq[(Map[String, Tables.Q], Map[String, String])] =
     Seq(
       (ScanQueries.queries, ScanQueries.oracle),
       (FilterQueries.queries, FilterQueries.oracle),
@@ -53,9 +56,12 @@ object SparkEntry {
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (driver records a weaker rows-only check for those).
+    * (driver records a weaker rows-only check for those). A `def`
+    * because a few entries reference `OracleDir.current`-scoped
+    * artifact paths — set `OracleDir.current` before evaluating when
+    * pairing against a non-default fixture dir.
     */
-  val oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = {
     val all = categories.flatMap(_._2)
     require(all.map(_._1).toSet.subsetOf(queries.keySet),
       "oracle declared for a key with no query")

@@ -39,6 +39,23 @@ object TempDirs {
     })
   }
 
+  /** Deterministic DURABLE path for artifacts the DuckDB oracle reads
+    * AFTER this JVM exits (the driver runs Verify, then the oracle
+    * compare in a separate process): no random suffix, no shutdown
+    * deletion hook. Writers must use `mode("overwrite")` so a later
+    * JVM against regenerated fixtures replaces stale content, and the
+    * harness runs one process per fixture dir at a time (driver and
+    * local iteration are both sequential), so cross-JVM write races
+    * don't arise. Scoped per input dir like `scoped` — different
+    * scale factors never share artifacts.
+    */
+  def durable(kind: String, d: String): String = {
+    val key = s"${kind}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    val p = java.nio.file.Paths.get("/tmp/graft_oracle", key)
+    Files.createDirectories(p)
+    p.toString
+  }
+
   /** Delete a directory's CONTENTS (keep the dir): build steps whose
     * failure can leave half-committed state (streaming checkpoints)
     * call this before a retry so `writeOnce`'s retry-on-failure never

@@ -399,12 +399,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     // MinHash + LSH near-dup candidates (4 bands x 4 rows), verified
-    // with exact Jaccard over distinct-shingle sets. N-operator: unit
-    // tests assert planted near-dups are recalled; no oracle (hash
-    // values are Spark-specific).
+    // with exact Jaccard over distinct-shingle sets. ORACLE-PAIRED
+    // (r11): the hashed-shingle sets land as a durable parquet
+    // artifact both engines consume — the one string-domain hash
+    // (xxhash64 over shingle text) is shared input, and EVERYTHING
+    // downstream (the 16-permutation MinHashSigExpr fold, band
+    // grouping, exact Jaccard, the 0.4 gate) is mirrored in DuckDB
+    // HUGEINT arithmetic via OracleXxh64, so the codegen'd signature
+    // expression itself is hash-checked. The oracle groups bands by
+    // the raw 4-minima tuple where the engine groups by their 64-bit
+    // digest — identical partitions up to a digest collision
+    // (negligible, same stance as the hashed-shingle Jaccard note
+    // below).
     "dedup_minhash" -> ((s, d) => {
-      val sig = shingled(documents(s, d))
-        .withColumn("hset", hashedShingles)
+      val hsetDir = graft.TempDirs.durable("minhash_hsets", d)
+      graft.TempDirs.writeOnce("minhash_hsets" + d) {
+        shingled(documents(s, d))
+          .withColumn("hset", hashedShingles)
+          .select(col("doc_id"), col("hset"))
+          .coalesce(1).write.mode("overwrite").parquet(hsetDir)
+      }
+      // schema-explicit read: both engines consume THIS artifact, so
+      // the oracle compare covers every step after the string hash
+      val sig = s.read.schema("doc_id BIGINT, hset ARRAY<BIGINT>")
+        .parquet(hsetDir)
         .withColumn("sig", minhashSig)
         .select(col("doc_id"), col("hset"), col("sig"))
       // LSH candidate discovery: explode each doc into 4 (band, 64-bit
@@ -443,10 +461,23 @@ object LlmQueries {
     // reduced to a 64-long mergeable sketch (map-side partial agg →
     // k longs per group through the shuffle, NEVER the token sets),
     // then pairwise Jaccard is estimated from position agreement.
-    // Deterministic but not DuckDB-expressible (seeded xxhash) —
-    // N-operator; MinHashSketchSpec checks the estimate against exact
+    // ORACLE-PAIRED (r11): the distinct (source, token-hash) pairs
+    // land as a durable artifact (min over duplicates == min over
+    // distincts, so the distinct set determines the sketch exactly);
+    // DuckDB mirrors the aggregate's 64 seeded XXH64.hashLong folds in
+    // HUGEINT and recomputes the positional-agreement counts.
+    // MinHashSketchSpec additionally checks the estimate against exact
     // Jaccard and the merge path against repartitioned runs.
     "source_minhash_sim" -> ((s, d) => {
+      val tokDir = graft.TempDirs.durable("srctok_hashes", d)
+      graft.TempDirs.writeOnce("srctok_hashes" + d) {
+        documents(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), xxhash64(col("tok")).as("h"))
+          .distinct()
+          .coalesce(1).write.mode("overwrite").parquet(tokDir)
+      }
       val sketches = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("source"))
@@ -624,7 +655,66 @@ object LlmQueries {
     })
   )
 
-  val oracle: Map[String, String] = Map(
+  /** A `def`, not a `val`: the MinHash oracles splice in durable
+    * artifact paths scoped to `OracleDir.current` (see its scaladoc),
+    * so the SQL text must be rebuilt per dump.
+    */
+  def oracle: Map[String, String] = Map(
+    // Hashed-shingle artifact in, then every engine step mirrored:
+    // hashLong(·,42) → 16x hashInt(j,·) minima (OracleXxh64 HUGEINT
+    // chains, bit-exact vs XXH64), band grouping by the 4-minima
+    // tuple, exact Jaccard over the shared hsets, 0.4 gate.
+    "dedup_minhash" -> {
+      import OracleXxh64._
+      val dir = graft.TempDirs.durable("minhash_hsets", graft.OracleDir.current)
+      val base = chain(
+        s"SELECT doc_id, ${toUnsigned("h")} AS u FROM " +
+          "(SELECT doc_id, unnest(hset) AS h FROM art)",
+        hashLongSteps("u", "42::HUGEINT", "a"))
+      val perm = chain(
+        s"SELECT doc_id, af5, j FROM ($base) CROSS JOIN " +
+          "generate_series(0, 15) g(j)",
+        hashIntSteps("CAST(j AS HUGEINT)", "af5", "b"))
+      s"""WITH art AS MATERIALIZED (
+         |  SELECT doc_id, hset FROM read_parquet('$dir/*.parquet')
+         |), sigv AS (
+         |  SELECT doc_id, j, min(${toSigned("bf5")}) AS sv
+         |  FROM ($perm) GROUP BY doc_id, j
+         |), bands AS (
+         |  SELECT doc_id, j // 4 AS band, list(sv ORDER BY j) AS bs
+         |  FROM sigv GROUP BY doc_id, j // 4
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b FROM cand
+         |JOIN art ha ON ha.doc_id = cand.doc_a
+         |JOIN art hb ON hb.doc_id = cand.doc_b
+         |WHERE CAST(len(list_intersect(ha.hset, hb.hset)) AS DOUBLE) /
+         |      len(list_distinct(ha.hset || hb.hset)) >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // Distinct (source, token-hash) artifact in, then the sketch's 64
+    // seeded hashLong minima and the positional-agreement counts.
+    "source_minhash_sim" -> {
+      import OracleXxh64._
+      val dir = graft.TempDirs.durable("srctok_hashes", graft.OracleDir.current)
+      val hashed = chain(
+        s"SELECT source, u, sd FROM (SELECT source, ${toUnsigned("h")} AS u" +
+          s" FROM art) CROSS JOIN generate_series(0, 63) g(sd)",
+        hashLongSteps("u", "CAST(sd AS HUGEINT)", "c"))
+      s"""WITH art AS MATERIALIZED (
+         |  SELECT source, h FROM read_parquet('$dir/*.parquet')
+         |), sig AS (
+         |  SELECT source, sd, min(${toSigned("cf5")}) AS m
+         |  FROM ($hashed) GROUP BY source, sd
+         |)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) FILTER (WHERE a.m = b.m) AS BIGINT) AS agree64
+         |FROM sig a JOIN sig b ON a.sd = b.sd AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // same 13-token md5 grams, same eval slice, same island walk
     "contamination_substring" ->
       """WITH t AS MATERIALIZED (

@@ -704,8 +704,23 @@ object SimilarityQueries {
 
     // SimHash near-dup: 4 x 16-bit band join guarantees recall of all
     // pairs with hamming distance <= 3 (pigeonhole), verified exactly
-    // via bit_count(xor). N-operator (hash values are Spark-specific).
+    // via bit_count(xor). ORACLE-PAIRED (r11): the per-document token
+    // hash histogram (doc_id, n_chars, token-hash, count) lands as a
+    // durable artifact — the SimHashAgg buffer is a pure function of
+    // it — and DuckDB recomputes the 64 sign counters, the per-band
+    // msb-first pack, the length-bucket blocking and the hamming <= 3
+    // gate from that artifact.
     "dedup_simhash" -> ((s, d) => {
+      val thDir = graft.TempDirs.durable("simhash_tok", d)
+      graft.TempDirs.writeOnce("simhash_tok" + d) {
+        documents(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            explode(split(col("text"), " ")).as("tok"))
+          .withColumn("h", xxhash64(col("tok")))
+          .groupBy(col("doc_id"), col("n_chars"), col("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .coalesce(1).write.mode("overwrite").parquet(thDir)
+      }
       // Term-frequency-weighted 64-bit SimHash via the custom
       // SimHashAgg TypedImperativeAggregate: explode tokens, one
       // aggregate column per doc whose buffer is the 64 sign counters
@@ -1013,15 +1028,17 @@ object SimilarityQueries {
 
     // Same IVF query shape, but the centroids come from the OFFLINE
     // k-means build (IvfIndexBuilder's Lloyd refinement) materialized
-    // once per (JVM, input dir) as a parquet artifact — the
+    // once per (JVM, input dir) as a DURABLE parquet artifact — the
     // production-shaped end-to-end ANN path (train index offline,
-    // serve lookups against the artifact). N-operator: the refined
-    // centroid means are float-summation-order dependent, so the
-    // result is deterministic per build but not DuckDB-mirrorable;
-    // IvfIndexBuilderSpec recomputes the lookup independently from
-    // the same artifact and requires exact agreement.
+    // serve lookups against the artifact). ORACLE-PAIRED (r11): the
+    // refined centroid means are float-summation-order dependent, so
+    // the oracle does NOT re-derive them — it reads the SAME centroid
+    // artifact as an input table and mirrors the serve path (the
+    // ann_ivf_topk assignment/probe/rank SQL, already proven
+    // bit-identical with literal centroids). IvfIndexBuilderSpec
+    // additionally recomputes the lookup independently.
     "ann_ivf_built_topk" -> ((s, d) => {
-      val centDir = graft.TempDirs.scoped("ivf_centroids", d)
+      val centDir = graft.TempDirs.durable("ivf_centroids", d)
       graft.TempDirs.writeOnce("ivf_centroids" + d) {
         val (vecs, cents0) = IvfIndexBuilder.prepare(s, d, 8)
         var cents = cents0
@@ -1153,7 +1170,97 @@ object SimilarityQueries {
       |      len(list_distinct(list_concat(a.grams, b.grams))) * 2
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** A `def`, not a `val`: the simhash / built-IVF oracles splice in
+    * durable artifact paths scoped to `OracleDir.current`.
+    */
+  def oracle: Map[String, String] = Map(
+    // Token-hash-histogram artifact in, then the SimHashAgg semantics
+    // replayed in SQL: 64 sign counters (count-weighted ±1 per hash
+    // bit), msb-first 16-bit band packs, (band, band_val, ±1 length
+    // bucket) blocking, hamming <= 3 via bit_count(xor) — the
+    // len-bucket probe fan-out collapses to abs(diff) <= 1.
+    "dedup_simhash" -> {
+      import OracleXxh64._
+      val dir = graft.TempDirs.durable("simhash_tok", graft.OracleDir.current)
+      s"""WITH RECURSIVE pw AS (
+         |  SELECT 0 AS b, 1::HUGEINT AS po
+         |  UNION ALL SELECT b + 1, po * 2 FROM pw WHERE b < 63
+         |), art AS MATERIALIZED (
+         |  SELECT doc_id, n_chars, h, cnt FROM read_parquet('$dir/*.parquet')
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (${toUnsigned("h")}) // po % 2 = 1
+         |        THEN cnt ELSE -cnt END) AS c
+         |  FROM art CROSS JOIN pw GROUP BY doc_id, b
+         |), bands AS MATERIALIZED (
+         |  SELECT doc_id, b // 16 AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list(CASE WHEN c >= 0 THEN CAST(1 AS BIGINT)
+         |           ELSE CAST(0 AS BIGINT) END ORDER BY b)),
+         |      (acc, x) -> acc * 2 + x) AS band_val
+         |  FROM bits GROUP BY doc_id, b // 16
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    max(CASE WHEN band = 0 THEN band_val END) * 65536 +
+         |      max(CASE WHEN band = 1 THEN band_val END) AS sim_lo,
+         |    max(CASE WHEN band = 2 THEN band_val END) * 65536 +
+         |      max(CASE WHEN band = 3 THEN band_val END) AS sim_hi
+         |  FROM bands GROUP BY doc_id
+         |), lb AS (
+         |  SELECT DISTINCT doc_id, n_chars // 32 AS len_bkt FROM art
+         |), fl AS MATERIALIZED (
+         |  SELECT bands.doc_id, band, band_val, len_bkt
+         |  FROM bands JOIN lb USING (doc_id)
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fl a JOIN fl b
+         |    ON a.band = b.band AND a.band_val = b.band_val
+         |    AND abs(a.len_bkt - b.len_bkt) <= 1 AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b FROM cand
+         |JOIN sig sa ON sa.doc_id = cand.doc_a
+         |JOIN sig sb ON sb.doc_id = cand.doc_b
+         |WHERE bit_count(xor(sa.sim_lo, sb.sim_lo)) +
+         |      bit_count(xor(sa.sim_hi, sb.sim_hi)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // The ann_ivf_topk serve-path SQL verbatim, with the cents CTE
+    // swapped from the literal vec_id slice to the SAME durable
+    // k-means centroid artifact the engine query reads.
+    "ann_ivf_built_topk" -> {
+      val dir = graft.TempDirs.durable("ivf_centroids", graft.OracleDir.current)
+      s"""WITH nrm AS (
+         |  $normSqlCte
+         |), cents AS (
+         |  SELECT cent_id, cent_vec FROM read_parquet('$dir/*.parquet')
+         |), ac AS (
+         |  SELECT c.cent_id, n.vec_id, n.emb_n,
+         |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos
+         |  FROM nrm n CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT cent_id, vec_id AS c_id, emb_n AS c_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cent_id ASC) AS rn FROM ac) t
+         |  WHERE rn = 1
+         |), pq AS (
+         |  SELECT n.vec_id AS q_id, n.emb_n AS q_n, c.cent_id,
+         |    ${duckDot("n.emb_n", "c.cent_vec")} AS cos
+         |  FROM nrm n CROSS JOIN cents c WHERE n.vec_id < 10
+         |), probes AS (
+         |  SELECT q_id, q_n, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, cent_id ASC) AS rn FROM pq) t
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.q_id, a.c_id, ${duckDot("p.q_n", "a.c_n")} AS qc_cos
+         |  FROM probes p JOIN assigned a USING (cent_id)
+         |  WHERE p.q_id <> a.c_id
+         |)
+         |SELECT q_id, c_id AS neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY qc_cos DESC, c_id ASC) AS rn FROM cand) t
+         |WHERE rn = 1 ORDER BY q_id""".stripMargin
+    },
     // same ordered-fold self-dot; min/max are exact picks
     "emb_norm_stats" ->
       s"""WITH s AS (

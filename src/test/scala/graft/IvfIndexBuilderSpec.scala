@@ -53,7 +53,7 @@ class IvfIndexBuilderSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // independent recomputation: read the SAME artifact, redo
     // assignment / nprobe=2 probing / exact top-1 with plain Scala
-    val centDir = graft.TempDirs.scoped("ivf_centroids", sfDir)
+    val centDir = graft.TempDirs.durable("ivf_centroids", sfDir)
     val cents = spark.read.parquet(centDir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
     assert(cents.size == 8)
