@@ -151,15 +151,27 @@ object Tables {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** DuckDB decimal→double must round-trip through VARCHAR: DuckDB's
+    * direct `CAST(DECIMAL AS DOUBLE)` converts the int128 unscaled
+    * value to double FIRST and divides by 10^scale SECOND — two
+    * roundings, observably off correct-nearest once the unscaled value
+    * exceeds 2^53 (sf1 sum_charge: 27864155010.941590 → ...941593).
+    * Spark's Decimal.toDouble is always correctly rounded (exact
+    * long-path division or parseDouble fallback), and so is DuckDB's
+    * string→double parse — hence the VARCHAR hop on every decimal sum.
+    */
+  private def decSumD(inner: String): String =
+    s"CAST(CAST(sum($inner) AS VARCHAR) AS DOUBLE)"
+
   val flagshipSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${decSumD("CAST(l_quantity AS DECIMAL(18,2))")} AS sum_qty,
+      |  ${decSumD("CAST(l_extendedprice AS DECIMAL(18,2))")} AS sum_base_price,
+      |  ${decSumD("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))")} AS sum_disc_price,
+      |  ${decSumD("CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1.00 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))")} AS sum_charge,
+      |  ${decSumD("CAST(l_quantity AS DECIMAL(18,2))")} / count(*) AS avg_qty,
+      |  ${decSumD("CAST(l_extendedprice AS DECIMAL(18,2))")} / count(*) AS avg_price,
+      |  ${decSumD("CAST(l_discount AS DECIMAL(18,2))")} / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

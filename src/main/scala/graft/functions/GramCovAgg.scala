@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * partitioning-invariant, byte-identical to the DuckDB mirror.
   * d is taken from the first vector seen; a mixed-width corpus is a
   * hard error, not a silent misalignment.
+  *
+  * Exactness BOUND (ADVICE r10): cov_num is computed in 64-bit longs,
+  * so it is exact only while n·Σxᵢxⱼ stays under 2^63 — with
+  * milli-quantized components |q| ≤ ~1000 (Σxᵢxⱼ ≤ n·10⁶) that is
+  * n ≲ 3×10⁶ rows. Beyond it, eval FAILS LOUDLY (multiplyExact /
+  * subtractExact) instead of wrapping like non-ANSI arithmetic would;
+  * a corpus past the bound needs a re-quantization or a HUGEINT-style
+  * widened finisher, not a silent wrong answer.
   */
 case class GramCovAgg(
     child: Expression,
@@ -110,7 +118,11 @@ case class GramCovAgg(
           val row = new GenericInternalRow(4)
           row.setLong(0, (i + 1).toLong)
           row.setLong(1, (j + 1).toLong)
-          row.setLong(2, buf.n * buf.g(idx) - buf.s(i) * buf.s(j))
+          // multiplyExact/subtractExact: past the ~3e6-row exactness
+          // bound (see scaladoc) this throws instead of wrapping
+          row.setLong(2, Math.subtractExact(
+            Math.multiplyExact(buf.n, buf.g(idx)),
+            Math.multiplyExact(buf.s(i), buf.s(j))))
           row.setLong(3, buf.n)
           out(idx) = row
           idx += 1

@@ -405,8 +405,19 @@ object SnapshotTable {
     * retained version (append lineage) survive — reference-counted by
     * the retained manifest set, exactly like a production format's
     * VACUUM walking its commit log.
+    *
+    * Also sweeps ORPHANS (r11, ADVICE): data files never referenced
+    * by ANY manifest — the leftovers of a `commitIfParent` attempt
+    * that lost its CAS slot, which the dropped-manifest walk above can
+    * never see (they were never committed). Orphans older than
+    * `orphanAgeMs` are deleted; younger ones are left alone because a
+    * commit writes its data files BEFORE linking the manifest, so a
+    * young unreferenced file may be an IN-FLIGHT commit, not garbage
+    * (the same age guard production formats use for their orphan
+    * sweeps). Counted in filesDeleted.
     */
-  def vacuum(root: String, retainLast: Int): (Int, Int) = {
+  def vacuum(root: String, retainLast: Int,
+             orphanAgeMs: Long = 600000L): (Int, Int) = {
     require(retainLast >= 1, s"must retain at least 1 version, got $retainLast")
     val vs = versions(root)
     val drop = vs.dropRight(retainLast)
@@ -435,13 +446,38 @@ object SnapshotTable {
       System.err.println(
         s"[snapshot] vacuum($root): skipped $skippedForeign foreign-path " +
           "data files (shallow-clone references outside this root)")
+    // orphan sweep: files under data/ that NO surviving manifest
+    // references and that are older than the age guard (see scaladoc)
+    val retainedFiles = versions(root)
+      .flatMap(v => manifestFiles(root, v)).toSet
+    val dataRootForOrphans = Paths.get(root, "data")
+    if (Files.isDirectory(dataRootForOrphans)) {
+      val cutoff = System.currentTimeMillis() - orphanAgeMs
+      val s = Files.walk(dataRootForOrphans)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => !retainedFiles.contains(
+          p.toAbsolutePath.normalize().toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach { p =>
+          if (Files.deleteIfExists(p)) filesDeleted += 1
+        }
+      finally s.close()
+    }
     // sweep now-empty per-commit data dirs (cosmetic, keeps the table
-    // dir from accumulating husks)
+    // dir from accumulating husks) — under the SAME age guard as the
+    // orphan sweep: a concurrent writer creates data/<uuid>/ EMPTY and
+    // only then streams files into it, so an unguarded husk sweep can
+    // delete the dir out from under the write mid-flight (found by
+    // SnapshotStressSpec seed 23, r11 — the writer dies on chmod of
+    // its vanished directory)
     val dataRoot = Paths.get(root, "data")
     if (Files.isDirectory(dataRoot)) {
+      val cutoff = System.currentTimeMillis() - orphanAgeMs
       val s = Files.list(dataRoot)
       try s.iterator().asScala.foreach { dir =>
-        if (Files.isDirectory(dir)) {
+        if (Files.isDirectory(dir) &&
+            Files.getLastModifiedTime(dir).toMillis < cutoff) {
           val ls = Files.list(dir)
           val empty = try !ls.iterator().hasNext finally ls.close()
           if (empty) Files.deleteIfExists(dir)

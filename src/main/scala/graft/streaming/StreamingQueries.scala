@@ -321,6 +321,12 @@ object StreamingQueries {
           // production default, and it shaves the per-batch commit
           s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
             ".changelogCheckpointing.enabled", "true")
+          // every commit otherwise COUNTS the whole store to report
+          // numTotalStateRows — an O(state) scan paid per batch for a
+          // progress metric none of these replays read (r11 floor cut;
+          // the standard production toggle for large stateful queries)
+          s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+            ".trackTotalNumberOfRows", "false")
         }
         byFlag.put(rocksDb, s)
       }
@@ -350,7 +356,17 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    s.table(uname)
+    // un-register the per-invocation memory table right away (ADVICE
+    // r10): the cached replay session outlives every invocation, so
+    // leaving name_N views behind accumulates every replay's result
+    // rows in driver memory for the parent session's lifetime. The
+    // returned DataFrame's plan already holds the resolved memory-sink
+    // relation, so dropping the catalog name doesn't invalidate it —
+    // it just stops the catalog pinning the rows once the caller lets
+    // the DataFrame go.
+    val out = s.table(uname)
+    s.catalog.dropTempView(uname)
+    out
   }
 
   val queries: Map[String, Q] = Map(
@@ -892,14 +908,21 @@ object StreamingQueries {
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events, range(4) t(i)
         |GROUP BY 1 ORDER BY win_start_us""".stripMargin,
+    // the event_id tiebreaker in both windows is load-bearing: with
+    // duplicate (user, ts) rows (the sf1 fixture replicates events 10x
+    // with ts kept), a bare ORDER BY tus leaves the tie group's order
+    // vs the boundary-flag row unspecified and DuckDB can split the
+    // ties across two sessions — Spark's session_window never does
+    // (same convention as the ts_sessionize / ts_session_window
+    // oracles; found by the r11 full-sf1 oracle sweep)
     "stream_session" ->
       """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v FROM events
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, CAST(value AS DECIMAL(18,2)) AS v FROM events
         |), l AS (
-        |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS pt FROM e
+        |  SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS pt FROM e
         |), s AS (
         |  SELECT *, sum(CASE WHEN pt IS NULL OR tus - pt >= 1800000000 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid
+        |    OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM l)
         |SELECT user_id, min(tus) AS sess_start_us, count(*) AS n, CAST(sum(v) AS DOUBLE) AS sum_val
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_us""".stripMargin,

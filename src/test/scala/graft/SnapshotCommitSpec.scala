@@ -134,6 +134,34 @@ class SnapshotCommitSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("vacuum sweeps aged never-referenced orphans but spares young ones") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val root = freshRoot("orphan")
+    SnapshotTable.commit(root, Seq((1L, "a")).toDF("k", "s"))
+    // simulate a lost commitIfParent attempt: a data/<uuid> file that
+    // no manifest has ever referenced
+    val orphanDir = Paths.get(root, "data", "deadbeef-lost-cas")
+    Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-00000.parquet")
+    Files.writeString(orphan, "stale")
+    // a YOUNG orphan may be an in-flight commit — spared by the guard
+    val (_, fDelYoung) = SnapshotTable.vacuum(root, 1)
+    assert(fDelYoung == 0 && Files.exists(orphan))
+    // aged past the guard (mtime backdated an hour), it is garbage —
+    // swept by a DEFAULT vacuum, table intact
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    val (_, fDelAged) = SnapshotTable.vacuum(root, 1)
+    assert(fDelAged == 1)
+    // (the dir husk survives THIS vacuum: deleting the file refreshed
+    // its mtime, and the husk sweep is age-guarded too — a later
+    // vacuum collects it)
+    assert(!Files.exists(orphan))
+    assert(SnapshotTable.read(spark, root).count() == 1L)
+  }
+
   test("restore rolls back as a new commit, preserving history, moving no data") {
     import spark.implicits._
     val root = freshRoot("restore")
