@@ -967,10 +967,6 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // ANN: same top-1-per-query shape, but candidates restricted to
-    // vectors sharing >= 1 LSH band with the query — the scale path
-    // (bucket join instead of query x corpus product). N-operator:
-    // recall vs brute force is probabilistic; unit-tested.
     // IVF (inverted-file) ANN: vectors are assigned to their nearest
     // coarse centroid (one inverted list per centroid); a query probes
     // its nprobe=2 nearest centroids and ranks only those lists — the
@@ -979,7 +975,8 @@ object SimilarityQueries {
     // would be an offline build step, not part of the query); the
     // assignment is one broadcast-nested-loop over 16 centroids + one
     // window, so the whole index build is two narrow passes.
-    // N-operator: unit tests recompute the IVF structure independently
+    // Oracle-paired (the full assignment/probe/rank SQL mirror); unit
+    // tests additionally recompute the IVF structure independently
     // and require exact agreement.
     "ann_ivf_topk" -> ((s, d) => {
       val nrm = embN(s, d)

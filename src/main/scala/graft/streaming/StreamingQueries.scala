@@ -167,10 +167,19 @@ object StreamingQueries {
         Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(user: Long, rows: Iterator[Ev],
                                  timers: TimerValues): Iterator[(Long, String, Long)] = {
+      // fold the batch locally FIRST, then touch MapState once per
+      // distinct type: the r11 probe put map_counts' addBatch at
+      // 1.3 s because the old per-row containsKey/getValue/updateValue
+      // triple paid 3 RocksDB ops per input row — state traffic should
+      // scale with |keys touched|, never with row count (the same
+      // map-side-combine principle as every batch aggregate here)
+      val local = scala.collection.mutable.Map.empty[String, Long]
       rows.foreach { e =>
-        val k = e.event_type
+        local.update(e.event_type, local.getOrElse(e.event_type, 0L) + 1L)
+      }
+      local.foreach { case (k, add) =>
         val cur = if (m.containsKey(k)) m.getValue(k) else 0L
-        m.updateValue(k, cur + 1)
+        m.updateValue(k, cur + add)
       }
       // snapshot + sort so the emission order is deterministic
       m.iterator().map { case (k, v) => (user, k, v) }
@@ -288,31 +297,39 @@ object StreamingQueries {
     * sink table names are per-operator, so sharing one session across
     * replays cannot collide.
     */
-  // keyed by the PARENT session itself, value = (plain child, rocksdb
-  // child): a WeakHashMap key must be externally referenced to
-  // survive, and a (session, flag) tuple key is owned only by the map
-  // — it would be collected at the next GC and silently degrade the
-  // cache back to one session per call (caught in the r10 self-review)
+  // keyed by the PARENT session itself, value = children keyed by
+  // (rocksdb?, shuffle partitions): a WeakHashMap key must be
+  // externally referenced to survive, and a (session, flag) tuple key
+  // is owned only by the map — it would be collected at the next GC
+  // and silently degrade the cache back to one session per call
+  // (caught in the r10 self-review). The partition count joined the
+  // key in r11: stream_stream_join's 4-store-per-partition join wants
+  // 4 partitions while the keyed replays' optimum is 2, and a shared
+  // session's conf cannot serve both without racing.
   private val replaySessions =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[Boolean, SparkSession]]
-  private def replaySession(s0: SparkSession,
-                            rocksDb: Boolean): SparkSession =
+      scala.collection.mutable.Map[(Boolean, Int), SparkSession]]
+  private def replaySession(s0: SparkSession, rocksDb: Boolean,
+                            partitions: Int = 2): SparkSession =
     replaySessions.synchronized {
       var byFlag = replaySessions.get(s0)
       if (byFlag == null) {
-        byFlag = scala.collection.mutable.Map.empty[Boolean, SparkSession]
+        byFlag = scala.collection.mutable.Map.empty[(Boolean, Int), SparkSession]
         replaySessions.put(s0, byFlag)
       }
-      var s = byFlag.getOrElse(rocksDb, null)
+      var s = byFlag.getOrElse((rocksDb, partitions), null)
       if (s == null) {
         s = s0.newSession()
         // 2 shuffle partitions, not 4 (r10): state store instances are
         // per (stateful operator, partition) and the replays' key
         // counts need no more parallelism; results are key-grouped
         // aggregates, partitioning-invariant by construction (the
-        // invariance the adversarial-repartition specs pin).
-        s.conf.set("spark.sql.shuffle.partitions", "2")
+        // invariance the adversarial-repartition specs pin). r11
+        // probed 1 partition: WORSE (replay-9 total 9.95 → 10.91 s —
+        // the data-proportional states, stream_dedup's 600k ids above
+        // all, lose more to serial execution than the saved state
+        // store open/commit returns). 2 is the measured optimum.
+        s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
         if (rocksDb) { // transformWithState requires RocksDB
           s.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -328,7 +345,7 @@ object StreamingQueries {
           s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
             ".trackTotalNumberOfRows", "false")
         }
-        byFlag.put(rocksDb, s)
+        byFlag.put((rocksDb, partitions), s)
       }
       s
     }
@@ -713,9 +730,15 @@ object StreamingQueries {
         ev.filter(col("event_type") === "purchase")
           .write.mode("overwrite").parquet(purchDir)
       }
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // the CACHED replay session (r11, was a fresh newSession per
+      // invocation): rebuilding SessionState each run was ~0.4 s of
+      // pure fixed cost, and 2 shuffle partitions halve the join's
+      // 4-stores-per-partition state lifecycle vs the old 4 — the
+      // probe showed the final watermark-eviction batch alone paying
+      // 0.5 s of store opens. Unique sink name + drop, as runFileStream.
+      val s = replaySession(s0, rocksDb = false, partitions = 4)
       import s.implicits._
+      val uname = s"graft_sink_ssj_${replaySeq.incrementAndGet()}"
       def side(dir: String): Dataset[Ev] = s.readStream
         .schema(Encoders.product[Ev].schema)
         .parquet(dir)
@@ -735,13 +758,15 @@ object StreamingQueries {
             col("p_ts") >= col("click_ts") &&
             col("p_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
         .select(col("user_id"), col("click_id"), col("purchase_id"))
-        .writeStream.format("memory").queryName("graft_sink_ssj")
+        .writeStream.format("memory").queryName(uname)
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      s.table("graft_sink_ssj")
+      val out = s.table(uname)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      s.catalog.dropTempView(uname)
+      out
     }),
 
     // Same running-aggregate shape on the MODERN stateful API:
