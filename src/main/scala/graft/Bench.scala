@@ -26,9 +26,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partition-sensitivity knob (r11, r10 verdict #7): override the
+    // shuffle partition count independently of the thread count to
+    // prove the plans survive a cluster-like topology (200) and not
+    // just the tuned local one — the driver never sets it, so driver
+    // runs are unchanged
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       // UTC like every other entry point (Verify/BenchOne/Plans/
       // specs): the NTZ timestamp reads and string->timestamp cutoff
       // literals are session-TZ-dependent, and an unpinned zone would

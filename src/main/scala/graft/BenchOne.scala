@@ -15,9 +15,12 @@ object BenchOne {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return
     }
+    // same partition-sensitivity knob as Bench (r11) — the tool must
+    // reproduce BOTH bench legs
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.broadcastTimeout", "1800")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
