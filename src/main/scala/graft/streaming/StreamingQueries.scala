@@ -308,16 +308,18 @@ object StreamingQueries {
   // session's conf cannot serve both without racing.
   private val replaySessions =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[(Boolean, Int), SparkSession]]
+      scala.collection.mutable.Map[(Boolean, Int, Boolean), SparkSession]]
   private def replaySession(s0: SparkSession, rocksDb: Boolean,
-                            partitions: Int = 2): SparkSession =
+                            partitions: Int = 2,
+                            noDataBatches: Boolean = true): SparkSession =
     replaySessions.synchronized {
       var byFlag = replaySessions.get(s0)
       if (byFlag == null) {
-        byFlag = scala.collection.mutable.Map.empty[(Boolean, Int), SparkSession]
+        byFlag = scala.collection.mutable.Map
+          .empty[(Boolean, Int, Boolean), SparkSession]
         replaySessions.put(s0, byFlag)
       }
-      var s = byFlag.getOrElse((rocksDb, partitions), null)
+      var s = byFlag.getOrElse((rocksDb, partitions, noDataBatches), null)
       if (s == null) {
         s = s0.newSession()
         // 2 shuffle partitions, not 4 (r10): state store instances are
@@ -330,6 +332,15 @@ object StreamingQueries {
         // all, lose more to serial execution than the saved state
         // store open/commit returns). 2 is the measured optimum.
         s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+        // most replays provably gain nothing from the trailing no-data
+        // micro-batch (Update/Complete modes, or append operators that
+        // emit on arrival — dedup, inner stream-stream join): it only
+        // advances the watermark and pays a full state-store
+        // open/commit cycle per stateful partition (probe: 0.2-0.7 s).
+        // Queries whose OUTPUT is produced by watermark movement
+        // (timer expiry, append-mode windowed aggs) must keep it.
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          noDataBatches.toString)
         if (rocksDb) { // transformWithState requires RocksDB
           s.conf.set("spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -345,7 +356,7 @@ object StreamingQueries {
           s.conf.set("spark.sql.streaming.stateStore.rocksdb" +
             ".trackTotalNumberOfRows", "false")
         }
-        byFlag.put((rocksDb, partitions), s)
+        byFlag.put((rocksDb, partitions, noDataBatches), s)
       }
       s
     }
@@ -359,9 +370,11 @@ object StreamingQueries {
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def runFileStream(s0: SparkSession, name: String, dir: String,
-                            mode: OutputMode, rocksDb: Boolean = false)(
+                            mode: OutputMode, rocksDb: Boolean = false,
+                            partitions: Int = 2,
+                            noDataBatches: Boolean = true)(
                              pipe: Dataset[Ev] => DataFrame): DataFrame = {
-    val s = replaySession(s0, rocksDb)
+    val s = replaySession(s0, rocksDb, partitions, noDataBatches)
     import s.implicits._
     val uname = s"${name}_${replaySeq.incrementAndGet()}"
     val src = s.readStream
@@ -501,7 +514,8 @@ object StreamingQueries {
           .repartition(2, pmod(col("event_id"), lit(2)))
           .write.mode("overwrite").parquet(dir)
       }
-      runFileStream(s, "graft_sink_dedup", dir, OutputMode.Append()) { ds =>
+      runFileStream(s, "graft_sink_dedup", dir, OutputMode.Append(),
+          noDataBatches = false) { ds =>
         ds.withColumn("ts", timestamp_micros(col("ts_us")))
           .withWatermark("ts", "240 hours")
           .dropDuplicatesWithinWatermark("event_id")
@@ -519,7 +533,7 @@ object StreamingQueries {
     // total regardless of which file a micro-batch picks first.
     "stream_stateful_count" -> ((s, d) => {
       val out = runFileStream(s, "graft_sink_state", plainEventsDir(s, d),
-        OutputMode.Update())(statefulCountPipe)
+        OutputMode.Update(), noDataBatches = false)(statefulCountPipe)
       out.groupBy(col("user_id"))
         .agg(max(col("n_running")).as("n_events"))
         .orderBy(col("user_id"))
@@ -538,7 +552,7 @@ object StreamingQueries {
     // rows) — the state is the aggregate itself, never the input.
     "stream_topk_complete" -> ((s, d) => {
       val out = runFileStream(s, "graft_sink_topk",
-        plainEventsDir(s, d), OutputMode.Complete()) { src =>
+        plainEventsDir(s, d), OutputMode.Complete(), noDataBatches = false) { src =>
         src.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(expr("cast(round(value * 100) as bigint)")).as("sum_cents"))
@@ -559,7 +573,7 @@ object StreamingQueries {
     // chunking-independent by construction.
     "stream_static_join" -> ((s, d) => {
       runFileStream(s, "graft_sink_enrich", plainEventsDir(s, d),
-        OutputMode.Append()) { ds =>
+        OutputMode.Append(), noDataBatches = false) { ds => // stateless
         val dim = nation(ds.sparkSession, d)
           .select(col("n_nationkey"), col("n_name"))
         ds.join(broadcast(dim),
@@ -736,7 +750,8 @@ object StreamingQueries {
       // 4-stores-per-partition state lifecycle vs the old 4 — the
       // probe showed the final watermark-eviction batch alone paying
       // 0.5 s of store opens. Unique sink name + drop, as runFileStream.
-      val s = replaySession(s0, rocksDb = false, partitions = 4)
+      val s = replaySession(s0, rocksDb = false, partitions = 4,
+        noDataBatches = false)
       import s.implicits._
       val uname = s"graft_sink_ssj_${replaySeq.incrementAndGet()}"
       def side(dir: String): Dataset[Ev] = s.readStream
@@ -779,7 +794,8 @@ object StreamingQueries {
     // monotone, so the max over emissions is chunking-independent.
     "stream_tws_running_sum" -> ((s, d) => {
       val out = runFileStream(s, "graft_sink_tws", plainEventsDir(s, d),
-        OutputMode.Update(), rocksDb = true)(twsRunningSumPipe)
+        OutputMode.Update(), rocksDb = true,
+        noDataBatches = false)(twsRunningSumPipe)
       out.groupBy(col("user_id"))
         .agg(max(col("cents_running")).as("total_cents"))
         .orderBy(col("user_id"))
@@ -807,7 +823,8 @@ object StreamingQueries {
           .write.mode("overwrite").parquet(srcDir)
       }
       val out = runFileStream(s0, "graft_sink_twsinit", srcDir,
-        OutputMode.Update(), rocksDb = true) { ds =>
+        OutputMode.Update(), rocksDb = true,
+        noDataBatches = false) { ds =>
         import ds.sparkSession.implicits._
         implicit val outEnc: Encoder[(Long, Long)] =
           Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -835,7 +852,8 @@ object StreamingQueries {
     // per-user rank-3 window.
     "stream_tws_list_recent" -> ((s, d) => {
       val out = runFileStream(s, "graft_sink_twslist", plainEventsDir(s, d),
-        OutputMode.Update(), rocksDb = true) { ds =>
+        OutputMode.Update(), rocksDb = true,
+        noDataBatches = false) { ds =>
         import ds.sparkSession.implicits._
         implicit val outEnc: Encoder[(Long, Seq[Long])] =
           Encoders.product[(Long, Seq[Long])]
@@ -864,7 +882,8 @@ object StreamingQueries {
     // final count (monotone), chunking-independent.
     "stream_tws_map_counts" -> ((s, d) => {
       val out = runFileStream(s, "graft_sink_twsmap", plainEventsDir(s, d),
-        OutputMode.Update(), rocksDb = true) { ds =>
+        OutputMode.Update(), rocksDb = true,
+        noDataBatches = false) { ds =>
         import ds.sparkSession.implicits._
         implicit val outEnc: Encoder[(Long, String, Long)] =
           Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
@@ -896,14 +915,17 @@ object StreamingQueries {
     // semantics a live pipeline has, and the oracle reproduces the
     // threshold in ms watermark arithmetic.
     "stream_tws_timers" -> ((s0, d) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // cached RocksDB replay session (r11, was a fresh newSession per
+      // invocation — a pure SessionState-rebuild cost); this is the
+      // one replay that MUST keep no-data micro-batches: its output is
+      // produced by the trailing batch's watermark advance firing the
+      // inactivity timers, not by rows arriving
+      val s = replaySession(s0, rocksDb = true, partitions = 4)
       import s.implicits._
       implicit val outEnc: Encoder[(Long, Long, Long)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaLong)
+      val uname = s"graft_sink_timers_${replaySeq.incrementAndGet()}"
       val src = s.readStream
         .schema(Encoders.product[Ev].schema)
         .parquet(plainEventsDir(s0, d))
@@ -914,12 +936,14 @@ object StreamingQueries {
         .transformWithState(new InactivityClose, TimeMode.EventTime(),
           OutputMode.Append())
         .toDF("user_id", "n_events", "sum_cents")
-        .writeStream.format("memory").queryName("graft_sink_timers")
+        .writeStream.format("memory").queryName(uname)
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
-      s.table("graft_sink_timers").orderBy(col("user_id"))
+      val out = s.table(uname).orderBy(col("user_id"))
+      s.catalog.dropTempView(uname)
+      out
     })
   )
 
