@@ -67,4 +67,17 @@ object SparkEntry {
       "oracle declared for a key with no query")
     all.toMap
   }
+
+  /** Parameterized form (r11 review): evaluate the oracle map FOR a
+    * given fixture dir without callers hand-mutating `OracleDir` —
+    * the dir-dependence is contained to one synchronized scope, so two
+    * callers building maps for different scales in one JVM can't
+    * cross-contaminate the artifact paths.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    OracleDir.synchronized {
+      val prev = OracleDir.current
+      OracleDir.current = sfDir
+      try oracleSql finally OracleDir.current = prev
+    }
 }

@@ -56,6 +56,56 @@ object TempDirs {
     p.toString
   }
 
+  /** Content fingerprint of a fixture file/dir (file count : total
+    * bytes : max mtime) — the staleness key for `durableOnce`.
+    */
+  def fingerprintOf(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (!Files.exists(p)) "missing"
+    else {
+      val s = Files.walk(p)
+      try {
+        var n = 0L; var sz = 0L; var mt = 0L
+        s.iterator().forEachRemaining { f =>
+          if (Files.isRegularFile(f)) {
+            n += 1; sz += Files.size(f)
+            mt = math.max(mt, Files.getLastModifiedTime(f).toMillis)
+          }
+        }
+        s"$n:$sz:$mt"
+      } finally s.close()
+    }
+  }
+
+  /** Cross-JVM write-once for a DURABLE artifact: build into
+    * `durable(kind, d)` only when the marker's recorded fingerprint
+    * differs from `fingerprint` (fixtures regenerated); otherwise the
+    * FIRST build is reused bit-identically by every later JVM. This is
+    * load-bearing for float-valued artifacts the oracle reads as input
+    * (the k-means centroids): their rebuild is deterministic per run
+    * but float-summation-order-sensitive, so a rebuild by any process
+    * between a Verify dump and its DuckDB compare would silently swap
+    * the oracle's input out from under the dumped result (r11 review).
+    * The marker is written AFTER a successful build (a parquet
+    * overwrite clears the dir, marker included, so a torn build can
+    * never present a valid marker); in-JVM mutual exclusion and
+    * build-failure retry come from `writeOnce`.
+    */
+  def durableOnce(kind: String, d: String, fingerprint: String)(
+      build: String => Unit): String = {
+    val dir = durable(kind, d)
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_FINGERPRINT")
+    writeOnce(s"durable_${kind}_$d") {
+      val current =
+        if (Files.exists(marker)) Files.readString(marker) else ""
+      if (current != fingerprint) {
+        build(dir)
+        Files.writeString(marker, fingerprint)
+      }
+    }
+    dir
+  }
+
   /** Delete a directory's CONTENTS (keep the dir): build steps whose
     * failure can leave half-committed state (streaming checkpoints)
     * call this before a retry so `writeOnce`'s retry-on-failure never

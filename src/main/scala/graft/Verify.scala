@@ -6,8 +6,6 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // artifact-reading oracle SQL must point at THIS run's fixtures
-    OracleDir.current = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +47,8 @@ object Verify {
     // entries too — otherwise oracle_check compares every skipped
     // query against stale or missing parquet (r7 review); the driver
     // sets no filter, so its runs always get the full map
-    val json = SparkEntry.oracleSql
+    // artifact-reading oracle SQL must point at THIS run's fixtures
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

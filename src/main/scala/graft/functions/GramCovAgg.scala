@@ -30,13 +30,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, S
   * d is taken from the first vector seen; a mixed-width corpus is a
   * hard error, not a silent misalignment.
   *
-  * Exactness BOUND (ADVICE r10): cov_num is computed in 64-bit longs,
-  * so it is exact only while n·Σxᵢxⱼ stays under 2^63 — with
-  * milli-quantized components |q| ≤ ~1000 (Σxᵢxⱼ ≤ n·10⁶) that is
-  * n ≲ 3×10⁶ rows. Beyond it, eval FAILS LOUDLY (multiplyExact /
-  * subtractExact) instead of wrapping like non-ANSI arithmetic would;
-  * a corpus past the bound needs a re-quantization or a HUGEINT-style
-  * widened finisher, not a silent wrong answer.
+  * Exactness BOUND (ADVICE r10, tightened r11 review): every
+  * arithmetic step — per-row products, running sums, partial-buffer
+  * merges, and the n·Σxᵢxⱼ − Σxᵢ·Σxⱼ finisher — runs through
+  * addExact/multiplyExact, so ANY 64-bit wrap anywhere on the path
+  * fails loudly instead of flowing into a confidently wrong answer
+  * (an accumulation that wrapped to a small value would otherwise
+  * pass the finisher's own check). With milli-quantized components
+  * |q| ≤ ~1000 (Σxᵢxⱼ ≤ n·10⁶) the finisher is the binding term at
+  * n ≲ 3×10⁶ rows; a corpus past the bound needs a re-quantization or
+  * a widened (HUGEINT-style) finisher, not a silent wrong answer.
   */
 case class GramCovAgg(
     child: Expression,
@@ -75,12 +78,20 @@ case class GramCovAgg(
       buf.n += 1
       var idx = 0
       i = 0
+      // exact ops end to end (r11 review): the finisher's
+      // multiplyExact alone could bless an ACCUMULATION that had
+      // already wrapped (e.g. per-row products of ±2^31 components
+      // summing to an exact multiple of 2^64 — eval would then return
+      // a confidently wrong 0). addExact/multiplyExact here cost one
+      // overflow branch per fused op, negligible next to the array
+      // reads, and make every wrap on the whole path loud.
       while (i < d) {
         val qi = vec.getLong(i)
-        buf.s(i) += qi
+        buf.s(i) = Math.addExact(buf.s(i), qi)
         var j = i
         while (j < d) {
-          buf.g(idx) += qi * vec.getLong(j)
+          buf.g(idx) =
+            Math.addExact(buf.g(idx), Math.multiplyExact(qi, vec.getLong(j)))
           idx += 1
           j += 1
         }
@@ -98,9 +109,13 @@ case class GramCovAgg(
         s"graft_gram_cov: merging widths ${a.d} and ${b.d}")
       a.n += b.n
       var i = 0
-      while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+      while (i < a.s.length) {
+        a.s(i) = Math.addExact(a.s(i), b.s(i)); i += 1
+      }
       i = 0
-      while (i < a.g.length) { a.g(i) += b.g(i); i += 1 }
+      while (i < a.g.length) {
+        a.g(i) = Math.addExact(a.g(i), b.g(i)); i += 1
+      }
       a
     }
   }

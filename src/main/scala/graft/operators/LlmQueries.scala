@@ -412,12 +412,12 @@ object LlmQueries {
     // (negligible, same stance as the hashed-shingle Jaccard note
     // below).
     "dedup_minhash" -> ((s, d) => {
-      val hsetDir = graft.TempDirs.durable("minhash_hsets", d)
-      graft.TempDirs.writeOnce("minhash_hsets" + d) {
+      val hsetDir = graft.TempDirs.durableOnce("minhash_hsets", d,
+        graft.TempDirs.fingerprintOf(s"$d/documents.parquet")) { dir =>
         shingled(documents(s, d))
           .withColumn("hset", hashedShingles)
           .select(col("doc_id"), col("hset"))
-          .coalesce(1).write.mode("overwrite").parquet(hsetDir)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
       }
       // schema-explicit read: both engines consume THIS artifact, so
       // the oracle compare covers every step after the string hash
@@ -469,14 +469,14 @@ object LlmQueries {
     // MinHashSketchSpec additionally checks the estimate against exact
     // Jaccard and the merge path against repartitioned runs.
     "source_minhash_sim" -> ((s, d) => {
-      val tokDir = graft.TempDirs.durable("srctok_hashes", d)
-      graft.TempDirs.writeOnce("srctok_hashes" + d) {
+      graft.TempDirs.durableOnce("srctok_hashes", d,
+        graft.TempDirs.fingerprintOf(s"$d/documents.parquet")) { dir =>
         documents(s, d)
           .select(col("source"),
             explode(split(col("text"), " ")).as("tok"))
           .select(col("source"), xxhash64(col("tok")).as("h"))
           .distinct()
-          .coalesce(1).write.mode("overwrite").parquet(tokDir)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
       }
       val sketches = documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))

@@ -711,15 +711,15 @@ object SimilarityQueries {
     // msb-first pack, the length-bucket blocking and the hamming <= 3
     // gate from that artifact.
     "dedup_simhash" -> ((s, d) => {
-      val thDir = graft.TempDirs.durable("simhash_tok", d)
-      graft.TempDirs.writeOnce("simhash_tok" + d) {
+      graft.TempDirs.durableOnce("simhash_tok", d,
+        graft.TempDirs.fingerprintOf(s"$d/documents.parquet")) { dir =>
         documents(s, d)
           .select(col("doc_id"), col("n_chars"),
             explode(split(col("text"), " ")).as("tok"))
           .withColumn("h", xxhash64(col("tok")))
           .groupBy(col("doc_id"), col("n_chars"), col("h"))
           .agg(count(lit(1)).as("cnt"))
-          .coalesce(1).write.mode("overwrite").parquet(thDir)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
       }
       // Term-frequency-weighted 64-bit SimHash via the custom
       // SimHashAgg TypedImperativeAggregate: explode tokens, one
@@ -1035,14 +1035,19 @@ object SimilarityQueries {
     // bit-identical with literal centroids). IvfIndexBuilderSpec
     // additionally recomputes the lookup independently.
     "ann_ivf_built_topk" -> ((s, d) => {
-      val centDir = graft.TempDirs.durable("ivf_centroids", d)
-      graft.TempDirs.writeOnce("ivf_centroids" + d) {
+      // fingerprint-guarded cross-JVM once (r11 review): the centroid
+      // means are float-summation-order sensitive, so a rebuild by any
+      // later JVM (a bench run between Verify and its oracle compare)
+      // must NOT overwrite the artifact the dumped results were
+      // computed from — the first build per fixture generation wins
+      val centDir = graft.TempDirs.durableOnce("ivf_centroids", d,
+        graft.TempDirs.fingerprintOf(s"$d/embeddings.parquet")) { dir =>
         val (vecs, cents0) = IvfIndexBuilder.prepare(s, d, 8)
         var cents = cents0
         // two Lloyd rounds; localCheckpoint cuts the per-round lineage
         for (_ <- 1 to 2)
           cents = IvfIndexBuilder.lloydRound(vecs, cents).localCheckpoint()
-        cents.coalesce(1).write.mode("overwrite").parquet(centDir)
+        cents.coalesce(1).write.mode("overwrite").parquet(dir)
       }
       // schema-explicit artifact read: a degenerate corpus with no
       // seed vectors builds an empty index, and the contract is an

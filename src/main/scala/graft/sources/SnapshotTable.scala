@@ -406,15 +406,16 @@ object SnapshotTable {
     * the retained manifest set, exactly like a production format's
     * VACUUM walking its commit log.
     *
-    * Also sweeps ORPHANS (r11, ADVICE): data files never referenced
-    * by ANY manifest — the leftovers of a `commitIfParent` attempt
-    * that lost its CAS slot, which the dropped-manifest walk above can
-    * never see (they were never committed). Orphans older than
-    * `orphanAgeMs` are deleted; younger ones are left alone because a
-    * commit writes its data files BEFORE linking the manifest, so a
-    * young unreferenced file may be an IN-FLIGHT commit, not garbage
-    * (the same age guard production formats use for their orphan
-    * sweeps). Counted in filesDeleted.
+    * Also sweeps ORPHANS (r11, ADVICE): whole data/<uuid> dirs never
+    * referenced by ANY manifest — the leftovers of a `commitIfParent`
+    * attempt that lost its CAS slot, which the dropped-manifest walk
+    * above can never see (they were never committed). The sweep unit
+    * is the DIRECTORY (a dir with any retained file is untouchable,
+    * which also protects retained commits' _SUCCESS/.crc sidecars that
+    * manifests don't list), and only dirs whose newest entry has aged
+    * past `orphanAgeMs` go — a young unreferenced dir may be an
+    * IN-FLIGHT commit, not garbage (the same age guard production
+    * formats use). Swept regular files count into filesDeleted.
     */
   def vacuum(root: String, retainLast: Int,
              orphanAgeMs: Long = 600000L): (Int, Int) = {
@@ -446,23 +447,49 @@ object SnapshotTable {
       System.err.println(
         s"[snapshot] vacuum($root): skipped $skippedForeign foreign-path " +
           "data files (shallow-clone references outside this root)")
-    // orphan sweep: files under data/ that NO surviving manifest
-    // references and that are older than the age guard (see scaladoc)
+    // orphan sweep, WHOLE-DIR rule (r11 review): a lost commitIfParent
+    // attempt leaves an entire data/<uuid> dir that no manifest has
+    // ever referenced, so the sweep unit is the directory — a dir goes
+    // only when NONE of its files are retained, it holds at least one
+    // file, and nothing in it (dir mtime included) is younger than the
+    // age guard. Two defect classes a per-FILE rule had: it deleted
+    // retained commits' _SUCCESS/.crc sidecars (manifests list only
+    // *.parquet, but a retained commit's dir contains referenced files
+    // so the dir rule never touches it), and an unguarded walk/stat
+    // threw on files a concurrent Hadoop committer deleted mid-walk —
+    // each dir's sweep now tolerates those races individually.
     val retainedFiles = versions(root)
       .flatMap(v => manifestFiles(root, v)).toSet
     val dataRootForOrphans = Paths.get(root, "data")
     if (Files.isDirectory(dataRootForOrphans)) {
       val cutoff = System.currentTimeMillis() - orphanAgeMs
-      val s = Files.walk(dataRootForOrphans)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filter(p => !retainedFiles.contains(
-          p.toAbsolutePath.normalize().toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .foreach { p =>
-          if (Files.deleteIfExists(p)) filesDeleted += 1
+      val dirs = Files.list(dataRootForOrphans)
+      try dirs.iterator().asScala.filter(p => Files.isDirectory(p))
+        .foreach { dir =>
+          try {
+            val w = Files.walk(dir)
+            val entries =
+              try w.iterator().asScala.toVector finally w.close()
+            val files = entries.filter(p => Files.isRegularFile(p))
+            val referenced = files.exists(p => retainedFiles.contains(
+              p.toAbsolutePath.normalize().toString))
+            val youngest = entries
+              .map(p => Files.getLastModifiedTime(p).toMillis).max
+            if (!referenced && files.nonEmpty && youngest < cutoff) {
+              files.foreach(p =>
+                if (Files.deleteIfExists(p)) filesDeleted += 1)
+              entries.filter(p => Files.isDirectory(p))
+                .sortBy(-_.getNameCount)
+                .foreach(p => Files.deleteIfExists(p))
+            }
+          } catch {
+            // a concurrent writer created/removed entries mid-walk:
+            // skip this dir, the next vacuum sees a settled state
+            case _: java.io.IOException => ()
+            case _: java.io.UncheckedIOException => ()
+          }
         }
-      finally s.close()
+      finally dirs.close()
     }
     // sweep now-empty per-commit data dirs (cosmetic, keeps the table
     // dir from accumulating husks) — under the SAME age guard as the
@@ -476,11 +503,16 @@ object SnapshotTable {
       val cutoff = System.currentTimeMillis() - orphanAgeMs
       val s = Files.list(dataRoot)
       try s.iterator().asScala.foreach { dir =>
-        if (Files.isDirectory(dir) &&
-            Files.getLastModifiedTime(dir).toMillis < cutoff) {
-          val ls = Files.list(dir)
-          val empty = try !ls.iterator().hasNext finally ls.close()
-          if (empty) Files.deleteIfExists(dir)
+        try {
+          if (Files.isDirectory(dir) &&
+              Files.getLastModifiedTime(dir).toMillis < cutoff) {
+            val ls = Files.list(dir)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) Files.deleteIfExists(dir)
+          }
+        } catch { // racing writer deleted it first: nothing to sweep
+          case _: java.io.IOException => ()
+          case _: java.io.UncheckedIOException => ()
         }
       }
       finally s.close()

@@ -746,10 +746,13 @@ object StreamingQueries {
       }
       // the CACHED replay session (r11, was a fresh newSession per
       // invocation): rebuilding SessionState each run was ~0.4 s of
-      // pure fixed cost, and 2 shuffle partitions halve the join's
-      // 4-stores-per-partition state lifecycle vs the old 4 — the
-      // probe showed the final watermark-eviction batch alone paying
-      // 0.5 s of store opens. Unique sink name + drop, as runFileStream.
+      // pure fixed cost. Partitions stay at 4 — an A/B at 2 measured
+      // WORSE (the 40 k-row join work loses more parallelism than the
+      // halved 4-stores-per-partition lifecycle returns) — and the
+      // trailing watermark-eviction batch (probe: ~0.5-0.7 s of pure
+      // store opens, zero output for an inner join that emits on
+      // match) is disabled via noDataBatches = false. Unique sink
+      // name + drop, as runFileStream.
       val s = replaySession(s0, rocksDb = false, partitions = 4,
         noDataBatches = false)
       import s.implicits._

@@ -148,17 +148,21 @@ class SnapshotCommitSpec extends SparkSpecBase {
     // a YOUNG orphan may be an in-flight commit — spared by the guard
     val (_, fDelYoung) = SnapshotTable.vacuum(root, 1)
     assert(fDelYoung == 0 && Files.exists(orphan))
-    // aged past the guard (mtime backdated an hour), it is garbage —
-    // swept by a DEFAULT vacuum, table intact
-    Files.setLastModifiedTime(orphan,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 3600000L))
+    // aged past the guard (dir AND file mtimes backdated an hour —
+    // the whole-dir rule ages on the newest entry), it is garbage:
+    // swept by a DEFAULT vacuum, dir and all, table intact
+    val anHourAgo = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600000L)
+    Files.setLastModifiedTime(orphan, anHourAgo)
+    Files.setLastModifiedTime(orphanDir, anHourAgo)
     val (_, fDelAged) = SnapshotTable.vacuum(root, 1)
     assert(fDelAged == 1)
-    // (the dir husk survives THIS vacuum: deleting the file refreshed
-    // its mtime, and the husk sweep is age-guarded too — a later
-    // vacuum collects it)
-    assert(!Files.exists(orphan))
+    assert(!Files.exists(orphan) && !Files.exists(orphanDir))
+    // retained commits keep their non-parquet sidecars: the live
+    // version's dir holds referenced files, so the dir rule skips it
+    val s = Files.list(Paths.get(root, "data"))
+    val keptDirs = try s.count() finally s.close()
+    assert(keptDirs > 0)
     assert(SnapshotTable.read(spark, root).count() == 1L)
   }
 

@@ -119,8 +119,19 @@ def main():
                 print(f"[{args.timeout:7.1f}s] TIMEOUT  {name}", flush=True)
                 running.pop(name)
             elif not proc.is_alive():
-                results[name] = (time.time() - t0, "ERROR: worker died")
-                print(f"WORKER DIED  {name}", flush=True)
+                # re-poll before declaring death: the child's send can
+                # land microseconds after a poll() that returned False,
+                # with the process already exited by the time is_alive
+                # is checked — a real harvest race, not a dead worker
+                if conn.poll():
+                    n, dt, verdict = conn.recv()
+                    results[n] = (dt, verdict)
+                    tag = "OK " if verdict == "OK" else verdict
+                    print(f"[{dt:7.1f}s] {tag}  {n}", flush=True)
+                    proc.join()
+                else:
+                    results[name] = (time.time() - t0, "ERROR: worker died")
+                    print(f"WORKER DIED  {name}", flush=True)
                 running.pop(name)
 
     while queue or running:
@@ -143,7 +154,13 @@ def main():
             print(f"FAIL {name}: {v}")
     print(f"\n{n_ok}/{len(oracle)} OK, {n_to} TIMEOUT (oracle-side), "
           f"{len(oracle) - n_ok - n_to} FAIL")
-    sys.exit(0 if n_ok + n_to == len(oracle) else 1)
+    # exit codes: 0 = everything compared green; 2 = no divergence but
+    # some oracles timed out (NOT a pass — a hung oracle can hide a
+    # regression as easily as a quadratic CTE; raise --timeout and
+    # re-run the timed-out names with --only); 1 = real divergence
+    if n_ok == len(oracle):
+        sys.exit(0)
+    sys.exit(2 if n_ok + n_to == len(oracle) else 1)
 
 
 if __name__ == "__main__":
