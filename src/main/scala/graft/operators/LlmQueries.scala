@@ -305,6 +305,79 @@ object LlmQueries {
           sum(size(split(col("text"), " "))).as("total_toks"))
         .orderBy(col("lang"))),
 
+    // N-gram NOVELTY profile (r11): per document, how many of its
+    // distinct 3-token grams are FIRST introduced by it (min doc_id
+    // over the corpus == this doc) — the curation signal behind
+    // "diminishing novelty" dedup ordering: near-duplicate and
+    // boilerplate-heavy docs score low, fresh content scores high.
+    // Scale shape: one distinct per (doc, digest), one min-per-digest
+    // map-combined aggregate on the digest key, one join back — all
+    // digest-keyed, raw text never shuffles; novel_bp is exact
+    // integer basis points.
+    "text_ngram_novelty" -> ((s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"))
+      val grams = gramDigests(base, 3)
+        .select(col("doc_id"), col("dig")).distinct()
+      val first = grams.groupBy(col("dig"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val st = grams.join(first, Seq("dig"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      base.select(col("doc_id"))
+        .join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_grams").isNotNull,
+            expr("n_novel * 10000L div n_grams")).otherwise(0L)
+            .as("novel_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Asymmetric near-dup via CONTAINMENT (r11): Jaccard misses
+    // quote-inclusion pairs (a short doc fully embedded in a long one
+    // scores low on union but 100% on containment), so curation
+    // pipelines run both. Candidates are blocked on shared RARE grams
+    // (corpus df in [2, 5]): rarity self-limits the pair volume — each
+    // qualifying gram contributes at most C(5,2) = 10 pairs at ANY
+    // corpus size, and common/boilerplate grams contribute none —
+    // then the exact distinct-gram sets ride the bounded candidate
+    // join (the dedup_minhash carry-through rationale) and
+    // containment_bp = |A∩B| · 10⁴ div min(|A|,|B|) gates at 80%.
+    "dedup_containment" -> ((s, d) => {
+      val base = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"))
+      val grams = gramDigests(base, 3)
+        .select(col("doc_id"), col("dig")).distinct()
+      val sets = grams.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("dig"))).as("gset"),
+          count(lit(1)).as("ng"))
+      val rare = grams.groupBy(col("dig"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5))
+        .select(col("dig"))
+      val cand = grams.join(rare, Seq("dig")).as("a")
+        .join(grams.join(rare, Seq("dig")).as("b"),
+          col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"),
+          col("gset").as("ga"), col("ng").as("na")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"),
+          col("gset").as("gb"), col("ng").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("size(array_intersect(ga, gb)) * 10000L div least(na, nb)")
+            .as("containment_bp"))
+        .filter(col("containment_bp") >= 8000)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Exact-duplicate groups via md5 digest.
     "dedup_exact_text" -> ((s, d) =>
       documents(s, d)
@@ -878,6 +951,58 @@ object LlmQueries {
     "dedup_exact_text" ->
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+    // same 3-token grams, same df-in-[2,5] rarity block, same exact
+    // integer containment gate
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(toks[i:i+2], ' ')) AS dig
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        |), sets AS MATERIALIZED (
+        |  SELECT doc_id, list_sort(list(dig)) AS gset, count(*) AS ng
+        |  FROM g GROUP BY doc_id
+        |), rare AS (
+        |  SELECT dig FROM g GROUP BY dig HAVING count(*) BETWEEN 2 AND 5
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM g a JOIN rare USING (dig)
+        |  JOIN g b ON a.dig = b.dig AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, containment_bp FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(sa.gset, sb.gset)) * 10000
+        |      // least(sa.ng, sb.ng) AS BIGINT) AS containment_bp
+        |  FROM cand
+        |  JOIN sets sa ON sa.doc_id = cand.doc_a
+        |  JOIN sets sb ON sb.doc_id = cand.doc_b) s
+        |WHERE containment_bp >= 8000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // same 3-token md5 grams (the gramDigests pipeline), same
+    // min-doc_id first-introduction rule, same integer basis points
+    "text_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(array_to_string(toks[i:i+2], ' ')) AS dig
+        |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        |), f AS (
+        |  SELECT dig, min(doc_id) AS first_doc FROM g GROUP BY dig
+        |), st AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM g JOIN f USING (dig) GROUP BY g.doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(st.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(st.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN st.n_grams IS NOT NULL
+        |       THEN st.n_novel * 10000 // st.n_grams ELSE 0 END AS BIGINT)
+        |    AS novel_bp
+        |FROM t LEFT JOIN st ON t.doc_id = st.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // global first-occurrence chunk dedup + per-doc reassembly; the
     // rebuilt-text digest proves byte-exact reassembly cross-engine
     "dedup_chunk_global" ->

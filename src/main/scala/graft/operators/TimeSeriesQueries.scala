@@ -258,6 +258,42 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Single change-point detection (r11): per user, the split k
+    // maximizing the CUSUM deviation |n·S_k − k·S_n| over the
+    // (ts, event_id)-ordered prefix sums S — the binary-segmentation
+    // first cut every telemetry/drift pipeline runs before fitting
+    // per-segment models. Multiplying through by n keeps the argmax
+    // criterion in EXACT integer arithmetic (no mean division, no
+    // doubles — n·S stays far under 2^63 at any per-user history the
+    // fixtures or a 100 TB keyspace produce, because groups are
+    // per-user bounded); ties break to the earliest (ts, event_id),
+    // mirroring the oracle's ORDER BY. One per-user window pass + one
+    // rank — two key-partitioned shuffles, no global funnel.
+    "ts_changepoint" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val m = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = ev.join(m, "user_id")
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("sk", sum(col("cents")).over(w))
+        .withColumn("dev",
+          abs(col("n_events") * col("sk") - col("k") * col("sum_cents")))
+      val pick = Window.partitionBy(col("user_id"))
+        .orderBy(col("dev").desc, col("ts_us").asc, col("event_id").asc)
+      scored.withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          col("ts_us").as("cp_ts_us"), col("k").as("n_before"),
+          col("dev").as("max_dev"))
+        .orderBy(col("user_id"))
+    }),
+
     // Largest-Triangle-Three-Buckets downsampling (r9, Steinarsson
     // 2013 — the standard time-series VISUALIZATION decimation): per
     // user, keep first + last + one point per equal-count bucket, each
@@ -1148,6 +1184,34 @@ object TimeSeriesQueries {
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     // all-integer CUSUM: cents, integer-div mean, ROWS-frame running
     // sum over the unique (ts, event_id) order, abs-max
+    // exact-integer argmax mirror: same n·S_k − k·S_n criterion, same
+    // (dev DESC, ts, event_id) pick order
+    "ts_changepoint" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM e GROUP BY user_id
+        |), sc AS (
+        |  SELECT e.user_id, m.n_events, e.ts_us, e.event_id,
+        |    count(*) OVER w AS k,
+        |    abs(m.n_events * (CAST(sum(e.cents) OVER w AS BIGINT))
+        |        - (count(*) OVER w) * m.sum_cents) AS dev
+        |  FROM e JOIN m ON e.user_id = m.user_id
+        |  WINDOW w AS (PARTITION BY e.user_id
+        |    ORDER BY e.ts_us, e.event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY dev DESC, ts_us ASC, event_id ASC) AS rn
+        |  FROM sc
+        |)
+        |SELECT user_id, n_events, ts_us AS cp_ts_us,
+        |  CAST(k AS BIGINT) AS n_before, CAST(dev AS BIGINT) AS max_dev
+        |FROM pick WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ts_cusum" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
