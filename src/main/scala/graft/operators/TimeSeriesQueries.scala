@@ -258,6 +258,39 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Mann-Kendall trend test (r11): per user, S = Σ_{i<j}
+    // sign(x_j − x_i) over the (ts, event_id)-ordered cents series —
+    // the standard non-parametric monotone-trend statistic
+    // (hydrology/telemetry drift), EXACT integers end to end. Pairs
+    // are O(n²) per key, so the statistic runs on each user's FIRST
+    // 128 events by the same total order (the sampled-threshold
+    // discipline of ts_outlier_sampled: a deterministic bounded slice
+    // is the production shape — trend tests run on windows, never
+    // unbounded histories). One window rank + one per-user pair
+    // self-join bounded at C(128,2); both shuffles user-keyed.
+    "ts_mk_trend" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 128)
+        .select(col("user_id"), col("rn"), col("cents"))
+      ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.rn") < col("b.rn"))
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(signum(col("b.cents") - col("a.cents")).cast("long"))
+            .as("mk_s"),
+          sum(when(col("b.cents") === col("a.cents"), 1L).otherwise(0L))
+            .as("n_ties"))
+        .orderBy(col("user_id"))
+    }),
+
     // Single change-point detection (r11): per user, the split k
     // maximizing the CUSUM deviation |n·S_k − k·S_n| over the
     // (ts, event_id)-ordered prefix sums S — the binary-segmentation
@@ -1184,6 +1217,26 @@ object TimeSeriesQueries {
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     // all-integer CUSUM: cents, integer-div mean, ROWS-frame running
     // sum over the unique (ts, event_id) order, abs-max
+    // same 128-event slice by the same total order, same integer
+    // sign sums
+    "ts_mk_trend" ->
+      """WITH e AS (
+        |  SELECT user_id, rn, cents FROM (
+        |    SELECT user_id,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS rn
+        |    FROM events) t
+        |  WHERE rn <= 128
+        |)
+        |SELECT a.user_id AS user_id, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+        |           WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+        |    AS mk_s,
+        |  CAST(sum(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ties
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.rn < b.rn
+        |GROUP BY a.user_id ORDER BY user_id""".stripMargin,
     // exact-integer argmax mirror: same n·S_k − k·S_n criterion, same
     // (dev DESC, ts, event_id) pick order
     "ts_changepoint" ->

@@ -41,6 +41,35 @@ class NoveltyContainmentSpec extends SparkSpecBase {
     }
   }
 
+  test("ts_mk_trend: S recomputes exactly from the sliced series and " +
+    "|S| is bounded by the untied pair count") {
+    val got = SparkEntry.queries("ts_mk_trend")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (pairs, s, ties) =>
+      assert(math.abs(s) <= pairs - ties)
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    got.keys.take(20).foreach { u =>
+      val xs = ev(u).sortBy(e => (e._2, e._3)).take(128).map(_._4)
+      var s = 0L; var ties = 0L; var pairs = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length) {
+        pairs += 1
+        val d = java.lang.Long.compare(xs(j), xs(i))
+        s += d.sign
+        if (d == 0) ties += 1
+      }
+      assert(got(u) == ((pairs, s, ties)),
+        s"user $u: got ${got(u)}, want ($pairs, $s, $ties)")
+    }
+  }
+
   test("text_ngram_novelty: novel counts are bounded by gram counts and " +
     "every gram's first doc claims it exactly once") {
     val rows = SparkEntry.queries("text_ngram_novelty")(spark, sfDir)
