@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Path}
 import java.util.Comparator
 
+import scala.jdk.CollectionConverters._
+
 /** Per-JVM scoped temp directories for queries that materialize an
   * intermediate layout (bucketed tables, multi-file scans, partitioned
   * sinks, stream source chunks).
@@ -98,7 +100,16 @@ object TempDirs {
     writeOnce(s"durable_${kind}_$d") {
       val current =
         if (Files.exists(marker)) Files.readString(marker) else ""
-      if (current != fingerprint) {
+      // self-heal guard (r11 review): a matching marker only counts if
+      // the artifact's parquet files actually exist — a tmp cleaner
+      // (or manual rm) that removes the data but spares the marker
+      // must trigger a rebuild, not serve an empty glob forever
+      val hasData = {
+        val s = Files.list(java.nio.file.Paths.get(dir))
+        try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      if (current != fingerprint || !hasData) {
         build(dir)
         Files.writeString(marker, fingerprint)
       }

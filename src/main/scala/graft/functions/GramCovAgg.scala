@@ -75,7 +75,7 @@ case class GramCovAgg(
           s"graft_gram_cov: null component at dim $i")
         i += 1
       }
-      buf.n += 1
+      buf.n = Math.addExact(buf.n, 1L)
       var idx = 0
       i = 0
       // exact ops end to end (r11 review): the finisher's
@@ -107,7 +107,7 @@ case class GramCovAgg(
     else {
       require(a.d == b.d,
         s"graft_gram_cov: merging widths ${a.d} and ${b.d}")
-      a.n += b.n
+      a.n = Math.addExact(a.n, b.n)
       var i = 0
       while (i < a.s.length) {
         a.s(i) = Math.addExact(a.s(i), b.s(i)); i += 1

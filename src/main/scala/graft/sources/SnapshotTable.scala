@@ -475,7 +475,11 @@ object SnapshotTable {
               p.toAbsolutePath.normalize().toString))
             val youngest = entries
               .map(p => Files.getLastModifiedTime(p).toMillis).max
-            if (!referenced && files.nonEmpty && youngest < cutoff) {
+            // file-LESS aged trees go too (r11 review): a writer
+            // killed after the committer creates _temporary/ but
+            // before any part file lands leaves a dir no file rule
+            // can ever match — without this branch it leaks forever
+            if (!referenced && youngest < cutoff) {
               files.foreach(p =>
                 if (Files.deleteIfExists(p)) filesDeleted += 1)
               entries.filter(p => Files.isDirectory(p))
@@ -491,32 +495,8 @@ object SnapshotTable {
         }
       finally dirs.close()
     }
-    // sweep now-empty per-commit data dirs (cosmetic, keeps the table
-    // dir from accumulating husks) — under the SAME age guard as the
-    // orphan sweep: a concurrent writer creates data/<uuid>/ EMPTY and
-    // only then streams files into it, so an unguarded husk sweep can
-    // delete the dir out from under the write mid-flight (found by
-    // SnapshotStressSpec seed 23, r11 — the writer dies on chmod of
-    // its vanished directory)
-    val dataRoot = Paths.get(root, "data")
-    if (Files.isDirectory(dataRoot)) {
-      val cutoff = System.currentTimeMillis() - orphanAgeMs
-      val s = Files.list(dataRoot)
-      try s.iterator().asScala.foreach { dir =>
-        try {
-          if (Files.isDirectory(dir) &&
-              Files.getLastModifiedTime(dir).toMillis < cutoff) {
-            val ls = Files.list(dir)
-            val empty = try !ls.iterator().hasNext finally ls.close()
-            if (empty) Files.deleteIfExists(dir)
-          }
-        } catch { // racing writer deleted it first: nothing to sweep
-          case _: java.io.IOException => ()
-          case _: java.io.UncheckedIOException => ()
-        }
-      }
-      finally s.close()
-    }
+    // (the whole-dir orphan rule above also collects empty and
+    // file-less husk dirs once aged — no separate sweep needed)
     (drop.length, filesDeleted)
   }
 }

@@ -112,13 +112,17 @@ class NoveltyContainmentSpec extends SparkSpecBase {
     val view = s"containment_plant_${System.nanoTime()}"
     df.createOrReplaceTempView(view)
     // drive the same pipeline shape inline (the operator is fixture-
-    // bound; the plant checks the math): 3-gram sets + containment
+    // bound; the plant checks the math), INCLUDING the operator's
+    // 60-bit conv-digest step so a drift in the cross-engine hex
+    // conversion fails here, not only in the slow oracle sweep
     val got = spark.sql(
       s"""WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM $view),
-         |g AS (SELECT DISTINCT doc_id, explode(transform(
+         |ge AS (SELECT doc_id, explode(transform(
          |  sequence(0, size(toks) - 3),
-         |  i -> md5(concat_ws(' ', slice(toks, i + 1, 3))))) AS dig
+         |  i -> md5(concat_ws(' ', slice(toks, i + 1, 3))))) AS m
          |  FROM t WHERE size(toks) >= 3),
+         |g AS (SELECT DISTINCT doc_id,
+         |  cast(conv(substring(m, 1, 15), 16, 10) as bigint) AS dig FROM ge),
          |sets AS (SELECT doc_id, sort_array(collect_list(dig)) AS gset,
          |  count(1) AS ng FROM g GROUP BY doc_id)
          |SELECT size(array_intersect(a.gset, b.gset)) * 10000L
@@ -126,6 +130,17 @@ class NoveltyContainmentSpec extends SparkSpecBase {
          |FROM sets a JOIN sets b ON a.doc_id = 1 AND b.doc_id = 2
          |""".stripMargin).head().getLong(0)
     assert(got == 10000L, s"planted inclusion scored $got")
+    // and the hex conversion itself matches an independent BigInt
+    // parse over the fixture's first grams (the exact cross-engine
+    // contract: value of the md5's first 15 hex chars)
+    val pairs = spark.sql(
+      s"""SELECT dig, cast(conv(substring(dig, 1, 15), 16, 10) as bigint)
+         |FROM (SELECT md5(text) AS dig FROM $view)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    pairs.foreach { case (hex, v) =>
+      assert(v == java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        s"conv drift on $hex")
+    }
     spark.catalog.dropTempView(view)
   }
 }

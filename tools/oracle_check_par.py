@@ -103,14 +103,27 @@ def main():
     queue = list(jobs)
     running = {}  # name -> (Process, conn, start_time)
 
+    def recv_result(name, proc, conn):
+        """Read one result; a dead-without-sending worker (OOM-killed
+        DuckDB) surfaces as EOFError from recv — poll() returns True on
+        a closed pipe too, so every recv must tolerate it."""
+        try:
+            n, dt, verdict = conn.recv()
+        except EOFError:
+            return False
+        results[n] = (dt, verdict)
+        tag = "OK " if verdict == "OK" else verdict
+        print(f"[{dt:7.1f}s] {tag}  {n}", flush=True)
+        proc.join()
+        return True
+
     def harvest():
         for name, (proc, conn, t0) in list(running.items()):
             if conn.poll():
-                n, dt, verdict = conn.recv()
-                results[n] = (dt, verdict)
-                tag = "OK " if verdict == "OK" else verdict
-                print(f"[{dt:7.1f}s] {tag}  {n}", flush=True)
-                proc.join()
+                if not recv_result(name, proc, conn):
+                    proc.join()
+                    results[name] = (time.time() - t0, "ERROR: worker died")
+                    print(f"WORKER DIED  {name}", flush=True)
                 running.pop(name)
             elif time.time() - t0 > args.timeout:
                 proc.kill()
@@ -123,13 +136,7 @@ def main():
                 # land microseconds after a poll() that returned False,
                 # with the process already exited by the time is_alive
                 # is checked — a real harvest race, not a dead worker
-                if conn.poll():
-                    n, dt, verdict = conn.recv()
-                    results[n] = (dt, verdict)
-                    tag = "OK " if verdict == "OK" else verdict
-                    print(f"[{dt:7.1f}s] {tag}  {n}", flush=True)
-                    proc.join()
-                else:
+                if not (conn.poll() and recv_result(name, proc, conn)):
                     results[name] = (time.time() - t0, "ERROR: worker died")
                     print(f"WORKER DIED  {name}", flush=True)
                 running.pop(name)
