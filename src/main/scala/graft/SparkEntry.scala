@@ -56,12 +56,17 @@ object SparkEntry {
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (driver records a weaker rows-only check for those). A `def`
-    * because a few entries reference `OracleDir.current`-scoped
-    * artifact paths — set `OracleDir.current` before evaluating when
-    * pairing against a non-default fixture dir.
+    * (driver records a weaker rows-only check for those). Evaluates
+    * under the `OracleDir` lock against the CURRENT dir (sf0.01
+    * default) — a few SQL strings splice in dir-scoped durable
+    * artifact paths, and an unlocked read racing `oracleSqlFor` on
+    * another thread could observe a mid-swap dir and mix scales
+    * (r11 ADVICE). Prefer `oracleSqlFor(dir)` to be explicit.
     */
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] =
+    OracleDir.synchronized(buildOracleSql())
+
+  private def buildOracleSql(): Map[String, String] = {
     val all = categories.flatMap(_._2)
     require(all.map(_._1).toSet.subsetOf(queries.keySet),
       "oracle declared for a key with no query")
@@ -78,6 +83,6 @@ object SparkEntry {
     OracleDir.synchronized {
       val prev = OracleDir.current
       OracleDir.current = sfDir
-      try oracleSql finally OracleDir.current = prev
+      try buildOracleSql() finally OracleDir.current = prev
     }
 }

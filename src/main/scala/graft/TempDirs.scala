@@ -93,10 +93,27 @@ object TempDirs {
     * never present a valid marker); in-JVM mutual exclusion and
     * build-failure retry come from `writeOnce`.
     */
+  /** Bumpable code-version per durable-artifact kind, folded into the
+    * marker fingerprint (r11 ADVICE): the content fingerprint covers
+    * only the FIXTURE, so a change to the code that derives the
+    * artifact (shingle width, hash choice, k-means rounds) would keep
+    * serving the stale /tmp artifact forever. Bump the kind's number
+    * whenever its build semantics change; unknown kinds get 0 so a
+    * new kind starts versioned without registration.
+    */
+  private val artifactCodeVersion: Map[String, Int] = Map(
+    "minhash_hsets" -> 1, // 5-word shingles -> xxhash64 digests
+    "srctok_hashes" -> 1, // whitespace tokens -> xxhash64, distinct
+    "simhash_tok" -> 1, // doc-scoped token xxhash64 counts
+    "ivf_centroids" -> 1 // k=8, 2 Lloyd rounds, hash-seeded init
+  )
+
   def durableOnce(kind: String, d: String, fingerprint: String)(
       build: String => Unit): String = {
     val dir = durable(kind, d)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_FINGERPRINT")
+    val want =
+      s"v${artifactCodeVersion.getOrElse(kind, 0)}:$fingerprint"
     writeOnce(s"durable_${kind}_$d") {
       val current =
         if (Files.exists(marker)) Files.readString(marker) else ""
@@ -109,9 +126,9 @@ object TempDirs {
         try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
         finally s.close()
       }
-      if (current != fingerprint || !hasData) {
+      if (current != want || !hasData) {
         build(dir)
-        Files.writeString(marker, fingerprint)
+        Files.writeString(marker, want)
       }
     }
     dir

@@ -472,14 +472,26 @@ object TextQueries {
     // bigram, in basis points, plus the keep/drop gate. Explode →
     // count → per-doc max is two hash aggregates keyed on doc_id —
     // output and state are ∝ |distinct grams per doc|, never corpus-
-    // global, and the doc text itself is never shuffled (only
-    // (doc_id, gram) rows). All integer arithmetic.
+    // global, and the doc text itself is never shuffled. r12
+    // restructure (r11 verdict #1 — this query degraded 11x under
+    // driver-box contention while the median query degraded 1.2x):
+    // grams are hashed to LONGS inside the scan stage (the
+    // dedup_containment digest trick), so the two aggregates key on
+    // (long, long) fixed-width rows — no string hashing, comparison,
+    // or allocation in the agg hash maps, and the shuffled bytes drop
+    // ~5x. The oracle keeps grouping by the string grams: the output
+    // exposes only counts-derived basis points, which agree unless
+    // two DIFFERENT grams of ONE doc collide in xxhash64 (~5e2 grams
+    // per doc -> ~1e-14 per doc; same negligible-collision stance as
+    // the hashed-shingle Jaccard note in SimilarityQueries). All
+    // integer arithmetic.
     "text_repetition_filter" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
       val tokTop = toks
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .select(col("doc_id"),
+          explode(expr("transform(toks, t -> xxhash64(t))")).as("th"))
+        .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("max_tok"), sum(col("c")).as("n_tok"))
       val gramTop = toks
@@ -487,10 +499,13 @@ object TextQueries {
           // try_element_at for the second token: single-token docs
           // push i past the end, a hard error under ANSI (Spark 4
           // default) while the oracle's concat_ws skips the NULL —
-          // same fix as SimilarityQueries.hashedGramTable
+          // same fix as SimilarityQueries.hashedGramTable. Two-arg
+          // xxhash64 skips a NULL operand, so the single-token gram
+          // keys on the token alone there too — and it chains the two
+          // tokens' hashes without materializing the concat string.
           "transform(sequence(1, greatest(size(toks) - 1, 1)), " +
-            "i -> concat_ws(' ', toks[i - 1], try_element_at(toks, i + 1)))")).as("gram"))
-        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+            "i -> xxhash64(toks[i - 1], try_element_at(toks, i + 1)))")).as("gh"))
+        .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("max_gram"), sum(col("c")).as("n_gram"))
       tokTop.join(gramTop, "doc_id")

@@ -512,19 +512,42 @@ object TimeSeriesQueries {
     // values. Sampled thresholds differ from exact ones (that is the
     // trade); TimeSeriesSpec bounds the drift against the exact
     // operator with a tolerance test.
+    // r12 restructure (r11 verdict #1 — 5x degradation under
+    // driver-box contention): percentile_disc is a
+    // TypedImperativeAggregate that BUFFERS every sample value of a
+    // group in an ObjectHashAggregate, whose sort-based fallback +
+    // buffer serialization is exactly what box-wide memory pressure
+    // amplifies. Both medians are now spelled as their bounded-state
+    // decomposition: count-by-(key, value) hash aggregate (one LONG of
+    // state per distinct value — map-combinable, whole-stage-codegen)
+    // followed by a per-key running sum; percentile_disc(0.5) = the
+    // smallest value whose cumulative count reaches half the group
+    // (cume_dist >= 0.5  <=>  2*cc >= n, integer compare). Identical
+    // results — the decomposition IS percentile_disc's definition —
+    // and the per-task state is O(distinct values of one key), with
+    // no object buffers anywhere.
     "ts_outlier_sampled" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), col("value"))
       val samp = ev.filter(
         substring(md5(col("event_id").cast("string")), 1, 1) < "4")
-      val med = samp.groupBy(col("user_id")).agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
-          .as("med"))
-      val sdev = samp.join(med, "user_id")
-        .withColumn("dev", abs(col("value") - col("med")))
-      val thr = sdev.groupBy(col("user_id"), col("med")).agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
-          .as("mad"))
+      def disc50(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+          v: String, out: String) = {
+        val wRun = Window.partitionBy(keys.map(col): _*).orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(keys.map(col): _*)
+        df.groupBy((keys :+ v).map(col): _*).agg(count(lit(1)).as("c"))
+          .withColumn("cc", sum(col("c")).over(wRun))
+          .withColumn("n", sum(col("c")).over(wTot))
+          .filter(col("cc") * 2 >= col("n"))
+          .groupBy(keys.map(col): _*).agg(min(col(v)).as(out))
+      }
+      val med = disc50(samp.select(col("user_id"), col("value")),
+        Seq("user_id"), "value", "med")
+      val sdev = samp.join(broadcast(med), "user_id")
+        .select(col("user_id"), col("med"),
+          abs(col("value") - col("med")).as("dev"))
+      val thr = disc50(sdev, Seq("user_id", "med"), "dev", "mad")
       ev.join(broadcast(thr), "user_id")
         .groupBy(col("user_id"), col("med"), col("mad"))
         .agg(count(lit(1)).as("n_events"),

@@ -85,11 +85,15 @@ object SnapshotTable {
     val arr = """"files":\[([^\]]*)\]""".r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalStateException(s"torn manifest $p: $json"))
       .group(1)
-    // normalized so the same physical file always surfaces as ONE
-    // string — manifest set arithmetic (vacuum refcounts, clone
-    // sharing checks) is string-keyed
+    // ABSOLUTE + normalized so the same physical file always surfaces
+    // as ONE string — manifest set arithmetic (vacuum refcounts, clone
+    // sharing checks) is string-keyed, and vacuum's orphan sweep
+    // compares against walked paths that are absolutized; a relative
+    // `root` must not make the retained set unmatchable (r11 ADVICE:
+    // that mismatch deleted live, manifest-referenced data dirs)
     """"([^"]+)"""".r.findAllMatchIn(arr).map(_.group(1))
-      .map(rel => Paths.get(root).resolve(rel).normalize().toString).toSeq
+      .map(rel => Paths.get(root).toAbsolutePath.resolve(rel)
+        .normalize().toString).toSeq
   }
 
   /** Commit `df` as the complete content of the table's next version;

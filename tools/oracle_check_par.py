@@ -114,7 +114,13 @@ def main():
         results[n] = (dt, verdict)
         tag = "OK " if verdict == "OK" else verdict
         print(f"[{dt:7.1f}s] {tag}  {n}", flush=True)
-        proc.join()
+        # bounded join (r11 ADVICE): the result is already in hand, so
+        # a worker hanging in interpreter/DuckDB teardown must not
+        # stall the single-threaded harvest loop — kill it on expiry
+        proc.join(timeout=30)
+        if proc.is_alive():
+            proc.kill()
+            proc.join()
         return True
 
     def harvest():
