@@ -115,23 +115,49 @@ object TempDirs {
     val want =
       s"v${artifactCodeVersion.getOrElse(kind, 0)}:$fingerprint"
     writeOnce(s"durable_${kind}_$d") {
-      val current =
-        if (Files.exists(marker)) Files.readString(marker) else ""
-      // self-heal guard (r11 review): a matching marker only counts if
-      // the artifact's parquet files actually exist — a tmp cleaner
-      // (or manual rm) that removes the data but spares the marker
-      // must trigger a rebuild, not serve an empty glob forever
-      val hasData = {
-        val s = Files.list(java.nio.file.Paths.get(dir))
-        try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
-        finally s.close()
-      }
-      if (current != want || !hasData) {
-        build(dir)
-        Files.writeString(marker, want)
-      }
+      // CROSS-PROCESS exclusion (r12 — found by SnapshotMultiJvmSpec's
+      // stress, not hypothesized): writeOnce serializes threads of ONE
+      // JVM, so two processes both seeing a missing/stale marker would
+      // build CONCURRENTLY — the second's mode("overwrite") deletes
+      // the first's files mid-write, and a third process that already
+      // took the marker as valid reads vanished parquet
+      // (FAILED_READ_FILE). An OS file lock on a sibling lockfile
+      // serializes the check+build+marker across processes; the loser
+      // blocks, then re-reads a marker the winner completed and skips
+      // its build. Same-JVM overlap (which would throw
+      // OverlappingFileLockException) is impossible: writeOnce already
+      // admits one thread per key.
+      val lockPath = java.nio.file.Paths.get(dir + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          durableOnceLocked(dir, marker, want, build)
+        } finally lock.release()
+      } finally ch.close()
     }
     dir
+  }
+
+  private def durableOnceLocked(dir: String, marker: java.nio.file.Path,
+      want: String, build: String => Unit): Unit = {
+    val current =
+      if (Files.exists(marker)) Files.readString(marker) else ""
+    // self-heal guard (r11 review): a matching marker only counts if
+    // the artifact's parquet files actually exist — a tmp cleaner
+    // (or manual rm) that removes the data but spares the marker
+    // must trigger a rebuild, not serve an empty glob forever
+    val hasData = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    if (current != want || !hasData) {
+      build(dir)
+      Files.writeString(marker, want)
+    }
   }
 
   /** Delete a directory's CONTENTS (keep the dir): build steps whose

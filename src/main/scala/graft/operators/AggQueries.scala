@@ -75,13 +75,27 @@ object AggQueries {
         .agg(expr("sum(bitmap_count(bm))").as("n_distinct_custs"))
         .orderBy(col("o_orderpriority"))),
 
-    // HLL++ approximate distinct — no oracle (approximate); unit test
-    // asserts |approx - exact| <= 2% of exact.
+    // HLL++ distinct estimate, oracle-paired via its accuracy envelope
+    // (r11 verdict #5 — closing the declared-N ledger). The estimate
+    // VALUE stays engine-specific by necessity: DuckDB ships an
+    // incompatible HLL estimator (the r8 cross-engine probe's
+    // documented negative), so the paired row gates what IS
+    // cross-engine checkable — (a) the exact distinct count, verified
+    // against DuckDB's count(DISTINCT), and (b) the sketch's accuracy
+    // envelope |est − exact| ≤ 10%·exact, which at rsd = 0.01 is ~10σ:
+    // deterministic given a fixture, far outside what any fixture
+    // regeneration plausibly crosses, and exactly where a genuine
+    // sketch regression (the failure a gate exists to catch) lands.
+    // The tight 5%-of-exact check on the raw estimate stays in
+    // OperatorSmokeSpec.
     "agg_approx_distinct" -> ((s, d) =>
       lineitem(s, d)
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.1).as("est_within_10pct"))),
 
     // Hierarchical subtotals; grouping_id() bit order matches DuckDB's
     // grouping_id(a,b). Null group keys disambiguated from real data
@@ -745,20 +759,72 @@ object AggQueries {
     // Approximate quantiles via percentile_approx (GK summaries):
     // mergeable map-side sketches, rank error bounded by n/accuracy —
     // the distributed-quantile shape (exact percentiles need a full
-    // sort; the sketch shuffles O(accuracy) per group). Summary merge
-    // order depends on partitioning, so N-operator: ApproxAggSpec
-    // bounds it between the exact p±0.02 quantiles.
+    // sort; the sketch shuffles O(accuracy) per group). Oracle-paired
+    // as of r12 (r11 verdict #5) by running the SAME machinery in its
+    // PROVABLY-EXACT parameter regime: GK answers rank queries within
+    // ε·n ranks (ε = 1/accuracy), merged partials' absolute rank
+    // errors ADD over disjoint inputs (Σε·nᵢ = ε·n), and an integer
+    // rank error < 0.5 is exactly 0 — so at accuracy = 10⁷ the sketch
+    // MUST return percentile_disc's element for any group under
+    // 5·10⁶ rows, under ANY partitioning/merge order (orders per
+    // priority ≤ 300k at sf1 — 16× inside the bound; the sketch holds
+    // ≤ n samples per group here, fixture-bounded).
+    // QuantileExactRegimeSpec pins the theorem against adversarial
+    // sizes/ties/partitionings AND keeps the estimate regime
+    // (accuracy ≪ n, the 100 TB production setting) property-covered;
+    // the estimate VALUES stay unpairable cross-engine by design —
+    // DuckDB's approx_quantile is t-digest, a different estimator
+    // (same documented-negative stance as the r8 HLL probe).
     "agg_approx_quantile" -> ((s, d) =>
       orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(expr(
-          "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
+          "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000000)")
           .as("q_approx"))
         .select(col("o_orderpriority"),
           element_at(col("q_approx"), 1).as("p50"),
           element_at(col("q_approx"), 2).as("p90"),
           element_at(col("q_approx"), 3).as("p99"))
         .orderBy(col("o_orderpriority"))),
+
+    // Winsorized mean (r12): per return flag, clamp l_quantity into
+    // its [p10, p90] disc-quantile cutoffs and average the clamped
+    // values — the robust location estimate outlier-heavy telemetry
+    // reports next to the raw mean (clamping beats trimming when row
+    // COUNT must stay meaningful). Built scale-first: the cutoffs come
+    // from the BOUNDED counts table (l_quantity has ≤ 50 distinct
+    // values, so cc ≥ q·n is an exact integer compare over ≤ 50 rows
+    // per flag — no percentile buffering of the fact table), broadcast
+    // back onto one map-combinable DECIMAL sum. The single IEEE
+    // division at the end runs on identical exact operands in both
+    // engines.
+    "agg_winsorized_mean" -> ((s, d) => {
+      val vc = lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val wRun = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy(col("l_returnflag"))
+      val cuts = vc
+        .withColumn("cc", sum(col("c")).over(wRun))
+        .withColumn("n", sum(col("c")).over(wTot))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("cc") * 10 >= col("n"), col("l_quantity")))
+            .as("lo"),
+          min(when(col("cc") * 10 >= col("n") * 9, col("l_quantity")))
+            .as("hi"))
+      lineitem(s, d).join(broadcast(cuts), "l_returnflag")
+        .select(col("l_returnflag"), col("lo"), col("hi"),
+          greatest(col("lo"), least(col("hi"), col("l_quantity")))
+            .cast("decimal(18,2)").as("wq"))
+        .groupBy(col("l_returnflag"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("wq")).cast("double") / count(lit(1)))
+            .as("wins_mean"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Discrete percentiles (SQL-standard percentile_disc picks actual
     // data values — deterministic across engines, unlike interpolating
@@ -1073,6 +1139,36 @@ object AggQueries {
         |  bool_or(o_orderstatus = 'P') AS any_pending,
         |  count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // exact side mirrored by count(DISTINCT); the envelope flag is the
+    // theorem side — see the query's scaladoc for why TRUE is the only
+    // fixture-independent value (10σ of an rsd-0.01 HLL)
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS est_within_10pct FROM lineitem""".stripMargin,
+    // the provably-exact GK regime returns percentile_disc's element
+    // (QuantileExactRegimeSpec) — quantile_disc is DuckDB's spelling
+    "agg_approx_quantile" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
+        |  quantile_disc(o_totalprice, 0.99) AS p99
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // quantile_disc cutoffs == the engine's integer-compare disc picks
+    // (established pairing); clamped DECIMAL sum, one final division
+    "agg_winsorized_mean" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag,
+        |    quantile_disc(l_quantity, 0.1) AS lo,
+        |    quantile_disc(l_quantity, 0.9) AS hi
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag, c.lo, c.hi, count(*) AS n,
+        |  CAST(sum(CAST(greatest(c.lo, least(c.hi, l.l_quantity))
+        |    AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS wins_mean
+        |FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+        |GROUP BY l.l_returnflag, c.lo, c.hi
+        |ORDER BY l.l_returnflag""".stripMargin,
     "agg_percentile_disc" ->
       """SELECT l_returnflag,
         |  quantile_disc(l_quantity, 0.25) AS p25_qty,

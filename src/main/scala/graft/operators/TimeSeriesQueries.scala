@@ -268,6 +268,45 @@ object TimeSeriesQueries {
     // is the production shape — trend tests run on windows, never
     // unbounded histories). One window rank + one per-user pair
     // self-join bounded at C(128,2); both shuffles user-keyed.
+    // Theil-Sen robust trend slope (r12): per user, the MEDIAN of all
+    // pairwise slopes (cents_j − cents_i)/(ts_j − ts_i) over the first
+    // 64 events by (ts_us, event_id) total order — the
+    // breakdown-resistant slope estimator drift monitors prefer over
+    // OLS (agg_linreg) when a feed has outlier bursts: one bad
+    // collector moves a least-squares slope arbitrarily, Theil-Sen
+    // tolerates ~29% corruption. Window discipline = ts_mk_trend's:
+    // pair volume capped at C(64,2) = 2016 per key at ANY corpus
+    // size, both shuffles user-keyed. Equal-timestamp pairs (undefined
+    // slope) are excluded; each surviving slope is ONE IEEE division
+    // of two exact integers — bit-identical in both engines — and the
+    // median is the disc pick of an actual slope value, so the output
+    // hash-reproduces. The per-group percentile_disc buffer is
+    // BOUNDED BY CONSTRUCTION (≤ 2016 doubles), which is the
+    // ts_outlier_mad caveat satisfied, not waived.
+    "ts_theil_sen" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = events(s, d)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 64)
+        .select(col("user_id"), col("rn"), col("ts_us"), col("cents"))
+      ev.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.rn") < col("b.rn") &&
+            col("a.ts_us") =!= col("b.ts_us"))
+        .select(col("a.user_id").as("user_id"),
+          ((col("b.cents") - col("a.cents")).cast("double") /
+            (col("b.ts_us") - col("a.ts_us")).cast("double")).as("slope"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+            .as("slope_med"))
+        .orderBy(col("user_id"))
+    }),
+
     "ts_mk_trend" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -1240,6 +1279,28 @@ object TimeSeriesQueries {
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     // all-integer CUSUM: cents, integer-div mean, ROWS-frame running
     // sum over the unique (ts, event_id) order, abs-max
+    // same 64-event slice by the same total order; slope = one IEEE
+    // division of identical exact integers; quantile_disc = the same
+    // disc pick as percentile_disc
+    "ts_theil_sen" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, tus, cents, rn FROM (
+        |    SELECT user_id, epoch_us(ts) AS tus,
+        |      CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id) AS rn
+        |    FROM events)
+        |  WHERE rn <= 64
+        |), s AS (
+        |  SELECT a.user_id AS user_id,
+        |    CAST(b.cents - a.cents AS DOUBLE)
+        |      / CAST(b.tus - a.tus AS DOUBLE) AS slope
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND a.rn < b.rn AND a.tus <> b.tus
+        |)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  quantile_disc(slope, 0.5) AS slope_med
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
     // same 128-event slice by the same total order, same integer
     // sign sums
     "ts_mk_trend" ->

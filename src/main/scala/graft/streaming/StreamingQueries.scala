@@ -43,14 +43,15 @@ object StreamingQueries {
     * Value is kept in exact cents (long) so the emitted running totals
     * are decimal-deterministic.
     */
-  private class RunningCents extends StatefulProcessor[Long, Ev, (Long, Long)] {
+  private class RunningCents
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long)] {
     @transient private var sum: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       sum = getHandle.getValueState[Long](
         "sum_cents", Encoders.scalaLong, TTLConfig.NONE)
-    override def handleInputRows(user: Long, rows: Iterator[Ev],
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
                                  timers: TimerValues): Iterator[(Long, Long)] = {
-      val add = rows.map(e => math.round(e.value * 100)).sum
+      val add = rows.map(e => math.round(e._2 * 100)).sum
       val s = (if (sum.exists()) sum.get() else 0L) + add
       sum.update(s)
       Iterator((user, s))
@@ -210,7 +211,15 @@ object StreamingQueries {
     import ds.sparkSession.implicits._
     implicit val outEnc: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    ds.groupByKey(_.user_id)
+    // project BEFORE groupByKey (r12): a typed groupByKey lambda is
+    // opaque to the optimizer, so grouping raw Ev rows scans, encodes
+    // and shuffles all 5 columns when the processor reads 2 — the
+    // relational select restores column pruning at the parquet scan
+    // and ~halves the bytes through the shuffle and the per-row
+    // encoder work. Same discipline as the batch side's "never
+    // shuffle what you don't aggregate".
+    ds.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
       .transformWithState(new RunningCents, TimeMode.None(),
         OutputMode.Update())
       .toDF("user_id", "cents_running")
@@ -369,6 +378,40 @@ object StreamingQueries {
     */
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Consolidated checkpoint root for the replay family (r11 verdict
+    * #2): one RAM-filesystem base instead of a per-query temp dir on
+    * the disk-backed /tmp. Every replay lifecycle pays an offset-log
+    * write, a commit-log write and (RocksDB) a changelog upload into
+    * its checkpoint — on ext4 those are fsync-bound, on tmpfs they are
+    * memory writes. Each invocation still gets its OWN subdir (offsets
+    * are per-query state; reusing one across runs would mark batch 0
+    * committed and starve the next run's memory sink), deleted in the
+    * same `finally` that stops the query, so the root never
+    * accumulates. Production checkpoints go to durable storage by
+    * definition — this root only serves the bench/verify replays,
+    * and the parquet-sink restart queries keep their durable-disk
+    * checkpoints (exactly-once across restart is their SEMANTICS).
+    * Falls back to Spark's temp-checkpoint path when /dev/shm is
+    * absent.
+    */
+  private val ckptBase: Option[String] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      Some("/dev/shm/graft_ckpt")
+    else None
+  }
+
+  private def deleteTree(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
+
   private def runFileStream(s0: SparkSession, name: String, dir: String,
                             mode: OutputMode, rocksDb: Boolean = false,
                             partitions: Int = 2,
@@ -381,11 +424,16 @@ object StreamingQueries {
       .schema(Encoders.product[Ev].schema)
       .parquet(dir)
       .as[Ev]
-    val q = pipe(src)
+    val writer = pipe(src)
       .writeStream.format("memory").queryName(uname).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    val ckpt = ckptBase.map(b => s"$b/$uname")
+    ckpt.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer.start()
+    try q.awaitTermination() finally {
+      q.stop()
+      ckpt.foreach(deleteTree)
+    }
     // un-register the per-invocation memory table right away (ADVICE
     // r10): the cached replay session outlives every invocation, so
     // leaving name_N views behind accumulates every replay's result
@@ -771,7 +819,7 @@ object StreamingQueries {
         .withWatermark("p_ts", "1 hour")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user"), col("p_ts"))
-      val q = clicks.join(purchases,
+      val w = clicks.join(purchases,
           col("user_id") === col("p_user") &&
             col("p_ts") >= col("click_ts") &&
             col("p_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
@@ -779,8 +827,10 @@ object StreamingQueries {
         .writeStream.format("memory").queryName(uname)
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      val ckpt = ckptBase.map(b => s"$b/$uname")
+      ckpt.foreach(c => w.option("checkpointLocation", c))
+      val q = w.start()
+      try q.awaitTermination() finally { q.stop(); ckpt.foreach(deleteTree) }
       val out = s.table(uname)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
       s.catalog.dropTempView(uname)
@@ -935,15 +985,17 @@ object StreamingQueries {
         .withColumn("ts_ts", timestamp_micros(col("ts_us")))
         .withWatermark("ts_ts", "10 minutes")
         .as[EvW]
-      val q = src.groupByKey(_.user_id)
+      val w = src.groupByKey(_.user_id)
         .transformWithState(new InactivityClose, TimeMode.EventTime(),
           OutputMode.Append())
         .toDF("user_id", "n_events", "sum_cents")
         .writeStream.format("memory").queryName(uname)
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      val ckpt = ckptBase.map(b => s"$b/$uname")
+      ckpt.foreach(c => w.option("checkpointLocation", c))
+      val q = w.start()
+      try q.awaitTermination() finally { q.stop(); ckpt.foreach(deleteTree) }
       val out = s.table(uname).orderBy(col("user_id"))
       s.catalog.dropTempView(uname)
       out
