@@ -95,17 +95,24 @@ object SnapshotStressWorker {
 
       // cross-JVM durableOnce: all workers pass the SAME fingerprint,
       // so exactly one process builds and everyone must read identical
-      // content (the artifact is deterministic, so the checksum is the
-      // identity witness)
+      // content. The build stamps its BUILDER'S identity (pid + nanos)
+      // into a column folded into the checksum (r12 review): a purely
+      // deterministic artifact would read identically even if every
+      // JVM silently rebuilt it, making the exactly-once assertion
+      // vacuous — the stamp makes a second build visibly diverge.
+      val stamp = ProcessHandle.current().pid() * 1000000000L +
+        (System.nanoTime() % 1000000000L)
       val artDir = TempDirs.durableOnce("stress_art",
         java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(root).toLong
             & 0xffffffffL), artFp) { d =>
         spark.range(1000).selectExpr("id", "id * 7 as v")
+          .withColumn("b", org.apache.spark.sql.functions.lit(stamp))
           .coalesce(1).write.mode("overwrite").parquet(d)
       }
       val artSum = spark.read.parquet(artDir)
-        .selectExpr("sum(v)").as[Long].head()
+        .selectExpr("concat(sum(v), '_', min(b), '_', max(b))")
+        .as[String].head()
       println(s"STRESS ARTSUM $artSum")
 
       if (!failures.isEmpty) {

@@ -21,7 +21,10 @@ object TempDirs {
   private val dirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def deleteRecursively(p: Path): Unit =
+  /** package-visible (r12 review): three near-identical recursive
+    * deletes had grown — this is THE one implementation.
+    */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(Comparator.reverseOrder[Path]())

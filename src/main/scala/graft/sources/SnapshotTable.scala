@@ -427,8 +427,24 @@ object SnapshotTable {
     val vs = versions(root)
     val drop = vs.dropRight(retainLast)
     val keep = vs.takeRight(retainLast)
-    val keptFiles = keep.flatMap(v => manifestFiles(root, v)).toSet
-    val victims = drop.flatMap(v => manifestFiles(root, v)).toSet -- keptFiles
+    // tolerate a CONCURRENT vacuum having already deleted a manifest
+    // between our versions() snapshot and this read (r12 multi-JVM
+    // review): production retention jobs overlap, and a vanished
+    // manifest means the other vacuum owned that version — its files
+    // are either already swept (drop side) or were retained by a
+    // NEWER snapshot than ours (keep side); both are skip-safe, and
+    // throwing here turned a benign overlap into a worker failure.
+    def filesIfManifestStillThere(v: Long): Seq[String] =
+      if (Files.exists(manifestPath(root, v))) {
+        try manifestFiles(root, v)
+        catch { // deleted between the exists check and the read
+          case _: IllegalArgumentException => Seq.empty
+          case _: java.nio.file.NoSuchFileException => Seq.empty
+        }
+      } else Seq.empty
+    val keptFiles = keep.flatMap(filesIfManifestStillThere).toSet
+    val victims =
+      drop.flatMap(filesIfManifestStillThere).toSet -- keptFiles
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     var filesDeleted = 0
     // containment guard (r9): only sweep files UNDER this root — a
@@ -463,7 +479,7 @@ object SnapshotTable {
     // threw on files a concurrent Hadoop committer deleted mid-walk —
     // each dir's sweep now tolerates those races individually.
     val retainedFiles = versions(root)
-      .flatMap(v => manifestFiles(root, v)).toSet
+      .flatMap(filesIfManifestStillThere).toSet
     val dataRootForOrphans = Paths.get(root, "data")
     if (Files.isDirectory(dataRootForOrphans)) {
       val cutoff = System.currentTimeMillis() - orphanAgeMs

@@ -397,20 +397,39 @@ object StreamingQueries {
   private val ckptBase: Option[String] = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm))
-      Some("/dev/shm/graft_ckpt")
-    else None
+        java.nio.file.Files.isWritable(shm)) {
+      // PER-PROCESS base (r12 review): replaySeq restarts at 1 in
+      // every JVM, so a fixed base would make a crashed run's leftover
+      // checkpoint (its finally-delete never ran) or a concurrent
+      // second JVM silently REUSE the same path — Spark would restore
+      // the stale offset/commit log and starve or corrupt the memory
+      // sink. pid + JVM start nanos make the base unique per process;
+      // stale siblings from crashed runs are swept once per JVM when
+      // older than 6h (best-effort — a concurrent sweep racing a
+      // live run older than that cannot happen inside one bench run).
+      val root = java.nio.file.Paths.get("/dev/shm/graft_ckpt")
+      try {
+        java.nio.file.Files.createDirectories(root)
+        val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+        val ls = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.foreach { p =>
+            try {
+              if (java.nio.file.Files
+                    .getLastModifiedTime(p).toMillis < cutoff)
+                graft.TempDirs.deleteRecursively(p)
+            } catch { case _: java.io.IOException => () }
+          }
+        } finally ls.close()
+      } catch { case _: java.io.IOException => () }
+      Some(s"/dev/shm/graft_ckpt/p${ProcessHandle.current().pid()}" +
+        s"_${java.lang.Long.toHexString(System.nanoTime())}")
+    } else None
   }
 
-  private def deleteTree(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      finally s.close()
-    }
-  }
+  private def deleteTree(dir: String): Unit =
+    graft.TempDirs.deleteRecursively(java.nio.file.Paths.get(dir))
 
   private def runFileStream(s0: SparkSession, name: String, dir: String,
                             mode: OutputMode, rocksDb: Boolean = false,

@@ -53,12 +53,20 @@ class SnapshotMultiJvmSpec extends SparkSpecBase {
         root, seed.toString, "3", artFp)).asJava
       val pb = new ProcessBuilder(cmd)
       pb.redirectErrorStream(true)
-      (seed, pb.start())
+      // stdout goes to a FILE, not a pipe read before waitFor (r12
+      // review): a blocking readAllBytes on a wedged worker would hang
+      // the suite unboundedly — with a file sink, waitFor's 300 s is
+      // the only wait, and a killed worker's partial output is still
+      // readable for the failure message
+      val outFile = Files.createTempFile(s"graft_mjvm_w$seed", ".log")
+      pb.redirectOutput(outFile.toFile)
+      (seed, pb.start(), outFile)
     }
-    val outputs = procs.map { case (seed, p) =>
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val outputs = procs.map { case (seed, p, outFile) =>
       val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
       if (!finished) p.destroyForcibly()
+      val out = Files.readString(outFile)
+      Files.deleteIfExists(outFile)
       assert(finished, s"worker $seed timed out.\n$out")
       assert(p.exitValue() == 0,
         s"worker $seed exited ${p.exitValue()}.\n$out")
@@ -94,10 +102,6 @@ class SnapshotMultiJvmSpec extends SparkSpecBase {
       .map(_.stripPrefix("STRESS ARTSUM ").trim)).distinct
     assert(sums.size == 1, s"durableOnce served divergent artifacts: $sums")
 
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(Paths.get(root).toFile)
+    TempDirs.deleteRecursively(Paths.get(root))
   }
 }

@@ -17,7 +17,7 @@
 # Env passthrough: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
 # SPARK_GRAFT_SHUFFLE, SPARK_GRAFT_ONLY, SPARK_DRIVER_MEM.
 set -euo pipefail
-NSPIN=24
+NSPIN="${NSPIN:-24}" # env override works as the header documents
 if [[ "${1:-}" == "-n" ]]; then NSPIN="$2"; shift 2; fi
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CLASSES="$REPO/target/scala-2.13/classes"
