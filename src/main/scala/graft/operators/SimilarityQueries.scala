@@ -472,6 +472,31 @@ object SimilarityQueries {
     // the DuckDB mirror); min/max are exact value PICKS, so the
     // double outputs hash cleanly where a mean's summation order
     // would not. One narrow scan + map-combined aggregate.
+    // Embedding-diversity audit (r12): histogram of pairwise cosines
+    // over a deterministic hash sample — the corpus-level "are my
+    // embeddings collapsing onto a few directions?" check run before
+    // choosing dedup/similarity thresholds (a distribution massed near
+    // 1.0 says the encoder or the dedup threshold is wrong). Sample =
+    // vec_ids whose md5 first hex digit is '0' (1/16 — the
+    // ts_outlier_sampled hash-sample trick, so the pair volume is
+    // SAMPLE-bounded, not corpus-bounded; at 100 TB the rate becomes a
+    // fixed-size reservoir and the all-pairs stage stays ~10⁴ rows).
+    // Both engines compute the identical IEEE cosine (ordered-fold dot
+    // over identically normalized lists — the proven ann_ivf mirror),
+    // so floor-of-cos×10 bucket membership is exact; the top bucket
+    // clamps cos = 1.0 into [0.9, 1.0].
+    "emb_diversity_histogram" -> ((s, d) => {
+      val samp = embN(s, d).filter(
+        substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+      samp.as("a").crossJoin(samp.as("b"))
+        .filter(col("a.vec_id") < col("b.vec_id"))
+        .select(dotN(col("a.emb_n"), col("b.emb_n")).as("cos"))
+        .select(greatest(lit(-10),
+          least(lit(9), floor(col("cos") * 10).cast("int"))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
     "emb_norm_stats" -> ((s, d) => {
       val selfDot = graft.functions.DotProductExpr.dot(
         col("embedding").cast(ArrayType(DoubleType)),
@@ -1263,6 +1288,23 @@ object SimilarityQueries {
          |    ORDER BY qc_cos DESC, c_id ASC) AS rn FROM cand) t
          |WHERE rn = 1 ORDER BY q_id""".stripMargin
     },
+    // same hash sample, same ordered-fold normalized dot, same
+    // clamped floor bucketing — bucket membership is exact IEEE both
+    // sides
+    "emb_diversity_histogram" ->
+      s"""WITH nrm AS (
+         |$normSqlCte
+         |), samp AS (
+         |  SELECT vec_id, emb_n FROM nrm
+         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+         |), p AS (
+         |  SELECT greatest(-10, least(9,
+         |    CAST(floor(${duckDot("a.emb_n", "b.emb_n")} * 10) AS INTEGER)))
+         |    AS bucket
+         |  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+         |)
+         |SELECT bucket, count(*) AS n
+         |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
     // same ordered-fold self-dot; min/max are exact picks
     "emb_norm_stats" ->
       s"""WITH s AS (
