@@ -1003,6 +1003,59 @@ object AggQueries {
             .cast("long").as("ks_micro"))
     }),
 
+    // Welch's unequal-variance t-test (r12): is mean order value
+    // different between URGENT and LOW priority orders? — the
+    // two-sample location test A/B and cohort monitors run where
+    // pooled-variance Student's t is invalid (no equal-variance
+    // assumption). Completes the inference family: agg_ks_test
+    // (distribution shape), agg_chi2_contingency (categorical
+    // independence), this (means). Per group three exact integer
+    // moments — n, Σcents, Σcents² (the squares summed in
+    // DECIMAL(38,0): cents² ~ 10¹⁴ × 10⁶ rows overflows int64 at sf1
+    // — the hhi playbook) — through ONE map-combined aggregate over
+    // the filtered fact table, pivoted to a single row, then t and
+    // the Welch–Satterthwaite df are a fixed double expression tree
+    // on identical exact inputs in both engines (micro/milli units
+    // out). Scale: partial-agg shuffle of 2 groups × 3 counters;
+    // the fact side never sorts, never buffers.
+    "agg_welch_ttest" -> ((s, d) => {
+      val g = orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+          when(col("o_orderpriority") === "1-URGENT", 1).otherwise(2)
+            .as("grp"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("q"))
+      g.agg(
+        max(when(col("grp") === 1, col("n"))).as("n1"),
+        max(when(col("grp") === 1, col("s"))).as("s1"),
+        max(when(col("grp") === 1, col("q"))).as("q1"),
+        max(when(col("grp") === 2, col("n"))).as("n2"),
+        max(when(col("grp") === 2, col("s"))).as("s2"),
+        max(when(col("grp") === 2, col("q"))).as("q2"))
+        .withColumn("vn1", expr(
+          "(cast(n1 as double) * cast(q1 as double) - " +
+            "cast(s1 as double) * cast(s1 as double)) / " +
+            "(cast(n1 as double) * (cast(n1 as double) - 1.0d) * " +
+            "cast(n1 as double))"))
+        .withColumn("vn2", expr(
+          "(cast(n2 as double) * cast(q2 as double) - " +
+            "cast(s2 as double) * cast(s2 as double)) / " +
+            "(cast(n2 as double) * (cast(n2 as double) - 1.0d) * " +
+            "cast(n2 as double))"))
+        .select(col("n1"), col("n2"),
+          expr("cast(round((cast(s1 as double) / cast(n1 as double) - " +
+            "cast(s2 as double) / cast(n2 as double)) / " +
+            "sqrt(vn1 + vn2) * 1e6) as bigint)").as("t_micro"),
+          expr("cast(round((vn1 + vn2) * (vn1 + vn2) / " +
+            "(vn1 * vn1 / (cast(n1 as double) - 1.0d) + " +
+            "vn2 * vn2 / (cast(n2 as double) - 1.0d)) * 1e3) as bigint)")
+            .as("df_milli"))
+    }),
+
     // Mutual information of the (status, priority) pair (r9): the
     // information-theoretic companion of agg_chi2_contingency —
     // I = Σ (O/N)·log2(O·N/(R·C)) in micro-bits, the dependence
@@ -1532,6 +1585,48 @@ object AggQueries {
         |    (CAST(max(n_a) AS DOUBLE) * CAST(max(n_r) AS DOUBLE)) * 1e6)
         |    AS BIGINT) AS ks_micro
         |FROM cum, tot""".stripMargin,
+    // same exact integer moments (DuckDB's HUGEINT sums mirror the
+    // engine's DECIMAL(38,0) squares), same fixed double tree
+    "agg_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 2 END
+        |      AS grp,
+        |    count(*) AS n,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT) *
+        |        CAST(round(o_totalprice * 100) AS BIGINT)) AS q
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |  GROUP BY 1
+        |), wide AS (
+        |  SELECT
+        |    max(CASE WHEN grp = 1 THEN n END) AS n1,
+        |    max(CASE WHEN grp = 1 THEN s END) AS s1,
+        |    max(CASE WHEN grp = 1 THEN q END) AS q1,
+        |    max(CASE WHEN grp = 2 THEN n END) AS n2,
+        |    max(CASE WHEN grp = 2 THEN s END) AS s2,
+        |    max(CASE WHEN grp = 2 THEN q END) AS q2
+        |  FROM g
+        |), v AS (
+        |  SELECT n1, n2, s1, s2,
+        |    (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) -
+        |     CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+        |    (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0) *
+        |     CAST(n1 AS DOUBLE)) AS vn1,
+        |    (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE) -
+        |     CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) /
+        |    (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0) *
+        |     CAST(n2 AS DOUBLE)) AS vn2
+        |  FROM wide
+        |)
+        |SELECT n1, n2,
+        |  CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+        |    sqrt(vn1 + vn2) * 1e6) AS BIGINT) AS t_micro,
+        |  CAST(round((vn1 + vn2) * (vn1 + vn2) /
+        |    (vn1 * vn1 / (CAST(n1 AS DOUBLE) - 1.0) +
+        |     vn2 * vn2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1e3) AS BIGINT)
+        |    AS df_milli
+        |FROM v""".stripMargin,
     // same sorted fold of (O/N)·log2(O·N/(R·C)) micro-bit terms
     "agg_mutual_info" ->
       """WITH o AS MATERIALIZED (

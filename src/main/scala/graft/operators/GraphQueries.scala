@@ -190,6 +190,39 @@ object GraphQueries {
     s.read.parquet(dir)
   }
 
+  /** Peel rounds / threshold of the k-core build (see `graph_kcore`). */
+  private val KcoreRounds = 8
+  private val KcoreK = 3
+
+  /** Surviving 3-core nodes with their in-core degrees, after exactly
+    * `KcoreRounds` peels of the undirected top-K graph. Build-once
+    * parquet artifact; per-round persist keeps lineage linear.
+    */
+  private def kcoreNodes(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.TempDirs.scoped("graph_kcore", d)
+    graft.TempDirs.writeOnce("graph_kcore" + d) {
+      // localCheckpoint per round, NOT persist: each round references
+      // und twice (degree count + edge filter), so without lineage
+      // truncation the LOGICAL plan doubles per round — 2^rounds
+      // subtrees that wedge the optimizer/plan-stringify long before
+      // execution (persist only caches execution results; analysis
+      // still walks the full tree). The eager checkpoint pins each
+      // round to a LogicalRDD: 8 tiny jobs, linear plans.
+      var und = undirected(edgesTopK(s, d)).localCheckpoint()
+      for (_ <- 1 to KcoreRounds) {
+        val keep = und.groupBy(col("x")).agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= KcoreK).select(col("x"))
+        und = und.join(keep, Seq("x"), "left_semi")
+          .join(keep.withColumnRenamed("x", "y"), Seq("y"), "left_semi")
+          .select(col("x"), col("y"))
+          .localCheckpoint()
+      }
+      und.groupBy(col("x")).agg(count(lit(1)).as("core_degree"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
   val queries: Map[String, Q] = Map(
     // Weakly connected components (r9): min-label propagation to
     // FIXPOINT over the undirected BEST-MATCH (1-NN) subgraph — the
@@ -258,6 +291,27 @@ object GraphQueries {
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("degree"))
     }),
+
+    // k-core decomposition (r12): iteratively peel nodes of
+    // undirected degree < k (k = 3) until the remaining subgraph —
+    // the 3-core, the standard dense-nucleus extraction (Seidman
+    // 1983; community seeds, spam rings, influence cores) — is
+    // stable. FIXED 8 peel rounds, the pagerank/BFS fixed-iteration
+    // playbook: the plan is static, the oracle unrolls the identical
+    // 8 rounds, and KcoreConvergenceSpec pins that the fixture
+    // graphs converge well inside the budget (a round past fixpoint
+    // is a no-op, so extra rounds never change the answer). Built
+    // once as a parquet artifact (the wcc playbook): per round one
+    // map-combined degree count + two semi joins on node id over the
+    // O(N·K) edge set, with per-round persist so lineage stays
+    // LINEAR (re-deriving round i-1 twice per round would square the
+    // subtree each iteration). At 100 TB the peel loop is the same
+    // shape with a convergence-delta check per round — shuffle volume
+    // ∝ surviving edges, monotonically shrinking.
+    "graph_kcore" -> ((s, d) =>
+      kcoreNodes(s, d)
+        .select(col("x").as("supplier"), col("core_degree"))
+        .orderBy(col("supplier"))),
 
     // Bounded-depth BFS: minimum hop distance from supplier 0 over
     // the undirected top-K graph, depth ≤ 4 (fixed rounds keep the
@@ -550,6 +604,24 @@ object GraphQueries {
         |deg AS (SELECT x, count(*) AS degree FROM und GROUP BY x)
         |SELECT degree, count(*) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
+
+    // identical 8 unrolled peel rounds over the same symmetric edge
+    // set; a round past fixpoint is a no-op in both engines
+    "graph_kcore" -> (edgeCte +
+      s""",
+        |und0 AS MATERIALIZED (SELECT DISTINCT x, y FROM (
+        |  SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e) t),
+        |""".stripMargin +
+      (1 to KcoreRounds).map { i =>
+        s"""k$i AS (SELECT x FROM und${i - 1} GROUP BY x HAVING count(*) >= $KcoreK),
+           |und$i AS MATERIALIZED (
+           |  SELECT a.x, a.y FROM und${i - 1} a
+           |  JOIN k$i kx ON a.x = kx.x
+           |  JOIN k$i ky ON a.y = ky.x)""".stripMargin
+      }.mkString(",\n") +
+      s"""
+        |SELECT x AS supplier, count(*) AS core_degree
+        |FROM und$KcoreRounds GROUP BY x ORDER BY supplier""".stripMargin),
 
     "graph_bfs_hops" -> (edgeCte +
       """,

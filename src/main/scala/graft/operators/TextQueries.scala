@@ -393,6 +393,59 @@ object TextQueries {
             (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Winnowing fingerprint selection (r12; Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03 — the MOSS algorithm): hash every 5-char gram with the
+    // text_fingerprint modular polynomial, then keep only each
+    // 4-window's MINIMUM hash, rightmost gram on ties (the combined
+    // (hash, -pos) integer key makes min() implement exactly that).
+    // The classic guarantees follow: any shared substring of length
+    // >= w + k - 1 = 8 chars between two documents shares a selected
+    // fingerprint, and expected selected density is 2/(w+1) of the
+    // grams — the sub-linear fingerprint INDEX plagiarism / overlap
+    // pipelines build at corpus scale instead of indexing every gram
+    // (text_fingerprint's whole-doc hash only catches exact dups).
+    // All integer arithmetic (hash < 2^30 shifted by 2^20 stays well
+    // under 2^63; doc positions < 2^20 by the fixture's doc lengths,
+    // loudly violated otherwise since density would break first).
+    // Scale: gram hashing is a narrow map; the per-doc ROWS-frame
+    // window min shuffles once on doc_id (state = 4-row frame); the
+    // distinct + agg are doc_id-keyed and map-combined. Output per
+    // doc: gram count, selected-set size, and the selected-set sum
+    // digest — the thing a fingerprint index would store.
+    "text_winnowing" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("text"),
+          greatest(length(col("text")) - 4, lit(0)).cast("long")
+            .as("n_grams"))
+      val grams = docs
+        .filter(col("n_grams") >= 1L)
+        .select(col("doc_id"), col("n_grams"), col("text"),
+          explode(sequence(lit(1), col("n_grams").cast("int"))).as("pos"))
+        .select(col("doc_id"), col("n_grams"), col("pos"),
+          aggregate(
+            transform(sequence(col("pos"), col("pos") + 4),
+              i => ascii(substring(col("text"), i, lit(1))).cast("long")),
+            lit(0L),
+            (acc, c) => (acc * 31 + c) % 1000000007L).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 3)
+      val sel = grams
+        .withColumn("mn",
+          min(col("h") * 1048576L + (lit(1048576L) - col("pos"))).over(w))
+        .filter(col("pos") <= col("n_grams") - 3)
+        .select(col("doc_id"), shiftright(col("mn"), 20).as("h"))
+        .distinct()
+      val fps = sel.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fingerprints"),
+          sum(col("h")).as("fp_digest"))
+      docs.select(col("doc_id"), col("n_grams"))
+        .join(fps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_fingerprints"), lit(0L)).as("n_fingerprints"),
+          coalesce(col("fp_digest"), lit(0L)).as("fp_digest"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Edit distance between near-dup candidates: the character-level
     // second opinion on the Jaccard pair graph (an exact dup has
     // lev = 0; a template edit has small lev). Bounded cost: the
@@ -1183,6 +1236,42 @@ object TextQueries {
         |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same gram hash, same combined (hash, -pos) window-min key, same
+    // rightmost-tie decode; the ROWS frame is the Spark frame verbatim
+    "text_winnowing" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST(greatest(len(text) - 4, 0) AS BIGINT) AS n_grams
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, n_grams, text,
+        |    unnest(generate_series(1, CAST(n_grams AS INT))) AS pos
+        |  FROM d WHERE n_grams >= 1
+        |), hh AS (
+        |  SELECT doc_id, n_grams, pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(pos, pos + 4),
+        |        j -> CAST(ascii(substring(text, j, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+        |  FROM g
+        |), m AS (
+        |  SELECT doc_id, n_grams, pos,
+        |    min(h * 1048576 + (1048576 - pos)) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn
+        |  FROM hh
+        |), s AS (
+        |  SELECT DISTINCT doc_id, mn // 1048576 AS h
+        |  FROM m WHERE pos <= n_grams - 3
+        |), a AS (
+        |  SELECT doc_id, count(*) AS n_fingerprints,
+        |    CAST(sum(h) AS BIGINT) AS fp_digest
+        |  FROM s GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.n_grams,
+        |  coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+        |  coalesce(a.fp_digest, 0) AS fp_digest
+        |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "text_edit_distance" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars // 8 AS len_bkt, string_split(text, ' ') AS toks,

@@ -623,6 +623,46 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Inter-event burstiness (r12; Goh & Barabási 2008): per user,
+    // B = (σ − μ)/(σ + μ) of the inter-event gap distribution —
+    // B → −1 for metronome traffic, ≈ 0 for Poisson, → +1 for
+    // extreme bursts; the standard human-activity/bot discriminator
+    // telemetry curation filters on. Gaps are exact integer seconds
+    // (µs diff by total (ts_us, event_id) order, floor-divided), the
+    // per-user moments are three map-combined integer sums (n, Σg,
+    // Σg²), and B reduces to (√(nQ−S²) − S)/(√(nQ−S²) + S) — the
+    // radicand computed in DECIMAL(38,0) (nQ ~ 10²⁰ at sf1 would
+    // overflow int64), ONE double sqrt per user on an identical
+    // exact input in both engines, micro-units out (the hhi/chi2
+    // playbook). Users need ≥ 2 gaps and a positive gap sum (σ and μ
+    // both defined, denominator > 0). Scale: one user-keyed window
+    // for the lag + one partial-agg shuffle — state O(1) per row,
+    // shuffled bytes ∝ users, the hot-key cost is a sort not memory.
+    "ts_burstiness" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, d)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"),
+          expr("(ts_us - prev_us) div 1000000").as("gap_s"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap_s")).as("s"),
+          sum(col("gap_s") * col("gap_s")).as("q"))
+        .filter(col("n_gaps") >= 2L && col("s") > 0L)
+        .withColumn("rad",
+          (col("n_gaps").cast("decimal(38,0)") *
+            col("q").cast("decimal(38,0)") -
+            col("s").cast("decimal(38,0)") *
+              col("s").cast("decimal(38,0)")).cast("double"))
+        .select(col("user_id"), col("n_gaps"),
+          round((sqrt(col("rad")) - col("s").cast("double")) /
+            (sqrt(col("rad")) + col("s").cast("double")) * 1e6)
+            .cast("long").as("burst_micro"))
+        .orderBy(col("user_id"))
+    }),
+
     // Running DISTINCT count per key (r8): how many distinct event
     // types each user has seen up to each event — the windowed
     // count(DISTINCT) SQL forbids, spelled as the standard
@@ -1571,6 +1611,28 @@ object TimeSeriesQueries {
         |SELECT user_id, event_type, max(len) AS max_streak
         |FROM runs GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // same integer gap seconds, same exact radicand (DuckDB's
+    // HUGEINT sums mirror the engine's DECIMAL(38,0)), one double
+    // sqrt on an identical input, micro-units out
+    "ts_burstiness" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |    (ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id
+        |       ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+        |  FROM ev
+        |), a AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    sum(gap_s) AS s, sum(gap_s * gap_s) AS q
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, n_gaps,
+        |  CAST(round(
+        |    (sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - CAST(s AS DOUBLE)) /
+        |    (sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + CAST(s AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS burst_micro
+        |FROM a WHERE n_gaps >= 2 AND s > 0 ORDER BY user_id""".stripMargin,
     "ts_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr FROM events

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** r12 operators: plain-Scala recomputes + the structural guarantees
+  * each algorithm advertises (SURVEY §5.2: every operator gets an
+  * independent check beyond the DuckDB oracle).
+  */
+class R12NewOpsSpec extends SparkSpecBase {
+
+  /** Spark's round(): HALF_UP, i.e. ties away from zero — NOT
+    * math.round's floor(x + 0.5), which differs on negative halves.
+    */
+  private def halfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Reference winnowing (Schleimer et al. 2003): k=5 char grams,
+    * window w=4, min-hash per window with rightmost tie-break —
+    * exactly the combined (hash, -pos) integer key the operator uses.
+    * Returns (n_grams, n_fingerprints, fp_digest).
+    */
+  private def winnowRef(text: String): (Long, Long, Long) = {
+    val n = math.max(text.length - 4, 0)
+    val hs = (1 to n).map { p =>
+      text.substring(p - 1, p + 4)
+        .foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    }
+    if (n < 4) (n.toLong, 0L, 0L)
+    else {
+      val selPos = (0 to n - 4).map { s0 =>
+        (s0 until s0 + 4).minBy(i => hs(i) * 1048576L + (1048576L - (i + 1)))
+      }.distinct
+      val selHash = selPos.map(hs).distinct
+      (n.toLong, selHash.size.toLong, selHash.sum)
+    }
+  }
+
+  test("text_winnowing matches a plain-Scala winnowing recompute") {
+    val got = SparkEntry.queries("text_winnowing")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      assert(got(id) === winnowRef(text), s"doc $id")
+    }
+  }
+
+  test("winnowing selects at least one gram from every window (gap <= w)") {
+    // the density guarantee: consecutive SELECTED POSITIONS are at
+    // most w=4 apart, so any >= 8-char match shares a fingerprint
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    docs.filter(_.length >= 8).take(50).foreach { text =>
+      val n = text.length - 4
+      val hs = (1 to n).map { p =>
+        text.substring(p - 1, p + 4)
+          .foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      }
+      val selPos = (0 to n - 4).map { s0 =>
+        (s0 until s0 + 4).minBy(i => hs(i) * 1048576L + (1048576L - (i + 1)))
+      }.distinct.sorted
+      selPos.sliding(2).foreach {
+        case Seq(a, b) => assert(b - a <= 4, s"gap $a -> $b")
+        case _         =>
+      }
+    }
+  }
+
+  test("graph_kcore equals the fixpoint 3-core (8 rounds converge)") {
+    val out = SparkEntry.queries("graph_kcore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // at fixpoint every survivor has in-core degree >= k
+    out.values.foreach(dg => assert(dg >= 3L))
+    // reference: peel the collected edge set to TRUE fixpoint
+    val e = SparkEntry.queries("graph_edges_topk")(spark, sfDir)
+      .select(col("supplier"), col("neighbor")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var und = e.flatMap { case (u, v) => Seq((u, v), (v, u)) }.distinct
+    var changed = true
+    while (changed) {
+      val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = und.filter { case (x, y) => keep(x) && keep(y) }
+      changed = next.length != und.length
+      und = next
+    }
+    val ref = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(out === ref,
+      "8 fixed peel rounds did not reach the 3-core fixpoint at sf0.001")
+  }
+
+  test("ts_burstiness matches a plain-Scala recompute") {
+    val got = SparkEntry.queries("ts_burstiness")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = ts.sliding(2).collect {
+        case Array(a, b) => Math.floorDiv(b - a, 1000000L)
+      }.toSeq
+      val n = gaps.size.toLong
+      val s = gaps.sum
+      val q = gaps.map(g => g * g).sum
+      if (n >= 2 && s > 0) {
+        val rad = (BigDecimal(n) * BigDecimal(q) -
+          BigDecimal(s) * BigDecimal(s)).toDouble
+        val b = (math.sqrt(rad) - s.toDouble) / (math.sqrt(rad) + s.toDouble)
+        Some(u -> ((n, halfUp(b * 1e6))))
+      } else None
+    }
+    assert(got === ref)
+    // burstiness is a bounded score: B in (-1, 1)
+    got.values.foreach { case (_, b) =>
+      assert(b > -1000000L && b < 1000000L)
+    }
+  }
+
+  test("agg_welch_ttest matches a plain-Scala recompute") {
+    val row = SparkEntry.queries("agg_welch_ttest")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .filter(r => r._1 == "1-URGENT" || r._1 == "5-LOW")
+    def moments(grp: String) = {
+      val xs = o.filter(_._1 == grp).map(_._2)
+      (xs.length.toLong, xs.sum,
+        xs.map(x => BigDecimal(x) * BigDecimal(x)).sum)
+    }
+    val (n1, s1, q1) = moments("1-URGENT")
+    val (n2, s2, q2) = moments("5-LOW")
+    def vn(n: Long, s: Long, q: BigDecimal): Double =
+      (n.toDouble * q.toDouble - s.toDouble * s.toDouble) /
+        (n.toDouble * (n.toDouble - 1.0) * n.toDouble)
+    val (v1, v2) = (vn(n1, s1, q1), vn(n2, s2, q2))
+    val t = (s1.toDouble / n1 - s2.toDouble / n2) / math.sqrt(v1 + v2)
+    val df = (v1 + v2) * (v1 + v2) /
+      (v1 * v1 / (n1 - 1.0) + v2 * v2 / (n2 - 1.0))
+    val r = row(0)
+    assert(r.getLong(0) === n1)
+    assert(r.getLong(1) === n2)
+    assert(r.getLong(2) === halfUp(t * 1e6))
+    assert(r.getLong(3) === halfUp(df * 1e3))
+    // Welch df is bounded by min(n1,n2)-1 below and n1+n2-2 above
+    assert(r.getLong(3) >= (math.min(n1, n2) - 1) * 1000L)
+    assert(r.getLong(3) <= (n1 + n2 - 2) * 1000L)
+  }
+}
