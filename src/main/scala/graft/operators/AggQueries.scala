@@ -1056,6 +1056,56 @@ object AggQueries {
             .as("df_milli"))
     }),
 
+    // Mann-Whitney U rank-sum test (r12): the NONPARAMETRIC
+    // companion of agg_welch_ttest — does quantity stochastically
+    // dominate between returned and accepted items, with no
+    // normality assumption (the robust default when distributions
+    // are skewed). EXACT: over the ≤50-row counts table, U doubles
+    // to the pure integer 2U = Σ_v ca(v)·(2·cumR(<v) + cr(v)) (ties
+    // count half — hence the doubling), and the tie-corrected
+    // normal-approximation variance σ² = nA·nR·[(n³−n) − Σ(t³−t)] /
+    // (12·n·(n−1)) keeps its radicand in DECIMAL(38,0) (n³ ~ 10²⁰
+    // at sf1); ONE double sqrt on identical exact inputs, micro
+    // units out. The exact 2U lands in the output as hash-checked
+    // integer evidence next to the rounded z. Scale: one partial-agg
+    // counts shuffle, then ≤50-row arithmetic — the agg_ks_test
+    // shape verbatim.
+    "agg_mann_whitney" -> ((s, d) => {
+      val counts = lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("f"),
+          expr("cast(round(l_quantity) as bigint)").as("q"))
+        .groupBy(col("q"))
+        .agg(sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"))
+      val below = counts.as("a")
+        .join(counts.as("b"), col("b.q") < col("a.q"))
+        .groupBy(col("a.q"))
+        .agg(sum(col("b.cr")).as("crb"))
+      counts.join(below, Seq("q"), "left")
+        .select(col("q"), col("ca"), col("cr"),
+          coalesce(col("crb"), lit(0L)).as("crb"))
+        .agg(
+          sum(col("ca")).as("n_a"), sum(col("cr")).as("n_r"),
+          sum(col("ca") * (lit(2L) * col("crb") + col("cr"))).as("u2"),
+          sum(((col("ca") + col("cr")) * (col("ca") + col("cr")) *
+            (col("ca") + col("cr")) - (col("ca") + col("cr")))
+            .cast("decimal(38,0)")).cast("decimal(38,0)").as("ties"))
+        .withColumn("radn",
+          (col("n_a").cast("decimal(38,0)") + col("n_r").cast("decimal(38,0)"))
+            .cast("decimal(38,0)"))
+        .withColumn("tfree", expr(
+          "cast(cast(radn * radn * radn - radn - ties as decimal(38,0)) " +
+            "as double)"))
+        .select(col("n_a"), col("n_r"), col("u2"),
+          expr("cast(round((cast(u2 as double) - " +
+            "cast(n_a as double) * cast(n_r as double)) / " +
+            "(2.0d * sqrt(cast(n_a as double) * cast(n_r as double) * " +
+            "tfree / (12.0d * cast(radn as double) * " +
+            "(cast(radn as double) - 1.0d)))) * 1e6) as bigint)")
+            .as("z_micro"))
+    }),
+
     // Mutual information of the (status, priority) pair (r9): the
     // information-theoretic companion of agg_chi2_contingency —
     // I = Σ (O/N)·log2(O·N/(R·C)) in micro-bits, the dependence
@@ -1626,6 +1676,41 @@ object AggQueries {
         |    (vn1 * vn1 / (CAST(n1 AS DOUBLE) - 1.0) +
         |     vn2 * vn2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1e3) AS BIGINT)
         |    AS df_milli
+        |FROM v""".stripMargin,
+    // same exact integer 2U and DECIMAL/HUGEINT tie radicand, same
+    // fixed double tree
+    "agg_mann_whitney" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+        |), below AS (
+        |  SELECT a.q, CAST(sum(b.cr) AS BIGINT) AS crb
+        |  FROM counts a JOIN counts b ON b.q < a.q GROUP BY a.q
+        |), t AS (
+        |  SELECT
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cr) AS BIGINT) AS n_r,
+        |    CAST(sum(ca * (2 * coalesce(crb, 0) + cr)) AS BIGINT) AS u2,
+        |    sum((ca + cr) * (ca + cr) * (ca + cr) - (ca + cr)) AS ties
+        |  FROM counts LEFT JOIN below USING (q)
+        |), v AS (
+        |  SELECT n_a, n_r, u2,
+        |    CAST(n_a + n_r AS DOUBLE) AS radn,
+        |    CAST((n_a + n_r)::HUGEINT * (n_a + n_r)::HUGEINT *
+        |      (n_a + n_r)::HUGEINT - (n_a + n_r)::HUGEINT - ties
+        |      AS DOUBLE) AS tfree
+        |  FROM t
+        |)
+        |SELECT n_a, n_r, u2,
+        |  CAST(round((CAST(u2 AS DOUBLE) -
+        |    CAST(n_a AS DOUBLE) * CAST(n_r AS DOUBLE)) /
+        |    (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_r AS DOUBLE) *
+        |    tfree / (12.0 * radn * (radn - 1.0)))) * 1e6) AS BIGINT)
+        |    AS z_micro
         |FROM v""".stripMargin,
     // same sorted fold of (O/N)·log2(O·N/(R·C)) micro-bit terms
     "agg_mutual_info" ->

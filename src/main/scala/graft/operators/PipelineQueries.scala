@@ -44,6 +44,25 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Weighted deterministic sampling (r12): keep each document with
+    // probability ∝ its quality weight (length capped at 200 chars —
+    // any integer score plugs in), the importance-sampling step a
+    // training mix uses to up-sample high-quality sources WITHOUT an
+    // RNG: u = xxhash64(doc_id) mod 2^20 is a uniform integer, keep
+    // iff u·maxW < w·2^20 — repeatable across runs, partitionings
+    // and engines (the oracle replays Spark's XXH64 bit-exact in
+    // HUGEINT via OracleXxh64; mod 2^20 is congruent for the signed
+    // and unsigned views since 2^64 ≡ 0). Pure map-side filter: no
+    // shuffle, no state, fraction-of-input output at any scale.
+    "sample_weighted_hash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          least(col("n_chars"), lit(200L)).as("w"),
+          pmod(xxhash64(col("doc_id")), lit(1048576L)).as("u"))
+        .filter(col("u") * lit(200L) < col("w") * lit(1048576L))
+        .select(col("doc_id"), col("lang"), col("w"))
+        .orderBy(col("doc_id"))),
+
     // Deterministic global training-order shuffle: order by a salted
     // key hash. One range-partitioned sort; changing the salt literal
     // is a fresh epoch permutation.
@@ -327,6 +346,19 @@ object PipelineQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE substr(md5(text), 1, 1) < '4'
         |ORDER BY doc_id""".stripMargin,
+    // Spark's xxhash64(doc_id, seed 42) replayed bit-exact in
+    // HUGEINT; u mod 2^20 is congruent for signed/unsigned views
+    "sample_weighted_hash" -> {
+      import OracleXxh64._
+      val base = chain(
+        "SELECT doc_id, lang, least(n_chars, 200) AS w, " +
+          s"${toUnsigned("doc_id")} AS u FROM documents",
+        hashLongSteps("u", "42::HUGEINT", "s"))
+      s"""SELECT doc_id, lang, CAST(w AS BIGINT) AS w
+         |FROM ($base)
+         |WHERE (sf5 % 1048576) * 200 < w * 1048576
+         |ORDER BY doc_id""".stripMargin
+    },
     // same per-language serpentine over the same total rank order
     "pack_balanced_bins" ->
       """WITH t AS (

@@ -534,6 +534,31 @@ object SimilarityQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Per-label centroids (r12): the class-mean vector table —
+    // the primitive behind IVF coarse quantizers, contrastive
+    // negative mining and embedding-drift monitors (compare a
+    // snapshot's centroids against the blessed ones). Components
+    // quantized to exact integer MILLI units first (the
+    // emb_covariance playbook), so the per-(label, dim) sums are
+    // associative integer arithmetic — partitioning/order-invariant
+    // where a float fold would hash-diverge — then ONE IEEE division
+    // to micro-units per output row (sum·1000 < 2^53, exact in
+    // double; `div` is avoided: Spark truncates toward zero while
+    // DuckDB floors, which diverges on negative sums). Scale: one
+    // narrow posexplode map + one map-combined (label, dim) agg —
+    // shuffled bytes ∝ labels × d, never ∝ corpus.
+    "emb_label_centroids" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"),
+          posexplode(expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("col")).as("sum_milli"))
+        .select(col("label"), col("pos").cast("long").as("dim"), col("n"),
+          expr("cast(round(cast(sum_milli as double) * 1000.0d / " +
+            "cast(n as double)) as bigint)").as("centroid_micro"))
+        .orderBy(col("label"), col("dim"))),
+
     // Dominant principal component via POWER ITERATION (r9): five
     // matrix-vector products against the exact integer covariance
     // numerator (the emb_covariance algebra — every entry < 2^53, so
@@ -1330,6 +1355,20 @@ object SimilarityQueries {
         |  count(*) AS n
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY a.i, b.i ORDER BY i, j""".stripMargin,
+    // same milli quantization, same exact integer sums, same single
+    // IEEE division to micro-units (no integer div: floor-vs-truncate
+    // diverges on negative sums)
+    "emb_label_centroids" ->
+      """WITH g AS (
+        |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)
+        |)
+        |SELECT label, dim, count(*) AS n,
+        |  CAST(round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) * 1000.0 /
+        |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS centroid_micro
+        |FROM g GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     // same exact-integer matrix, same ordered j-folds, same max-norm
     // and sign algebra, unrolled five rounds
     "emb_pca_power" ->

@@ -152,4 +152,70 @@ class R12NewOpsSpec extends SparkSpecBase {
     assert(r.getLong(3) >= (math.min(n1, n2) - 1) * 1000L)
     assert(r.getLong(3) <= (n1 + n2 - 2) * 1000L)
   }
+
+  test("emb_label_centroids matches a plain-Scala recompute") {
+    val got = SparkEntry.queries("emb_label_centroids")(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val ref = vecs.flatMap { case (lab, e) =>
+      e.zipWithIndex.map { case (x, i) =>
+        (lab, i.toLong) -> halfUp(x.toDouble * 1000.0)
+      }
+    }.groupBy(_._1).map { case (k, vs) =>
+      val qs = vs.map(_._2)
+      k -> ((qs.length.toLong,
+        halfUp(qs.sum.toDouble * 1000.0 / qs.length)))
+    }
+    assert(got === ref)
+  }
+
+  test("agg_mann_whitney matches a plain-Scala recompute") {
+    val row = SparkEntry.queries("agg_mann_whitney")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val xs = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1))))
+      .filter(r => r._1 == "A" || r._1 == "R")
+    val as = xs.filter(_._1 == "A").map(_._2)
+    val rs = xs.filter(_._1 == "R").map(_._2)
+    // 2U by direct pair enumeration (sf0.001 is small enough)
+    val u2 = as.iterator.map { a =>
+      rs.count(r => a > r) * 2L + rs.count(r => a == r)
+    }.sum
+    val r0 = row(0)
+    assert(r0.getLong(0) === as.length.toLong)
+    assert(r0.getLong(1) === rs.length.toLong)
+    assert(r0.getLong(2) === u2)
+    val (na, nr) = (as.length.toDouble, rs.length.toDouble)
+    val n = na + nr
+    val ties = (as ++ rs).groupBy(identity).values
+      .map(g => g.length.toLong)
+      .map(t => BigInt(t) * BigInt(t) * BigInt(t) - BigInt(t)).sum
+    val tfree = (BigInt(n.toLong).pow(3) - BigInt(n.toLong) - ties).toDouble
+    val z = (u2.toDouble - na * nr) /
+      (2.0 * math.sqrt(na * nr * tfree / (12.0 * n * (n - 1.0))))
+    assert(r0.getLong(3) === halfUp(z * 1e6))
+  }
+
+  test("sample_weighted_hash keeps max-weight docs and matches XXH64") {
+    val got = SparkEntry.queries("sample_weighted_hash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), math.min(r.getLong(1), 200L)))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, w) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(id, 42L)
+      val u = ((h % 1048576L) + 1048576L) % 1048576L
+      val kept = u * 200L < w * 1048576L
+      assert(got.contains(id) === kept, s"doc $id")
+      if (w == 200L) assert(got.contains(id), s"max-weight doc $id dropped")
+      if (kept) assert(got(id) === w)
+    }
+  }
 }
