@@ -38,7 +38,9 @@ class PlanHygieneSpec extends SparkSpecBase {
     "agg_benford" -> "1-row digit-total aggregate crossed onto the <=9 digit rows",
     "text_zipf_fit" -> "non-equi rank self-join over the vocab-bounded count table",
     "graph_modularity" -> "1-row |E2| aggregate crossed onto the 1-row stats aggregate",
+    "emb_diversity_histogram" -> "bounded all-pairs cosine over the 1/16 hash sample (C(sample,2) by construction)",
     "agg_ks_test" -> "1-row sample-sizes aggregate crossed onto the <=50 cum rows",
+    "agg_mann_whitney" -> "non-equi cum join over the <=50-row counts table (the ks shape)",
     "ts_seasonality_strength" -> "1-row sum-of-squares aggregate crossed onto the 1-row hour stats",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )
