@@ -1056,6 +1056,56 @@ object AggQueries {
             .as("df_milli"))
     }),
 
+    // Brown-Forsythe variance-equality test (r12; Levene's test with
+    // median centers — the robust spread-difference screen run before
+    // trusting a pooled-variance analysis, completing the inference
+    // family: means (welch), location ranks (mann-whitney), shape
+    // (ks), spread (this)). EXACT through the float boundary: group
+    // medians are percentile_disc picks off the ≤50-row counts table
+    // (2·cum ≥ n, never a value buffer), deviations z = |q − med| are
+    // integers, per-group moments (n, Σz, Σz²) are map-combined
+    // integer sums, and the one order-sensitive float reduction —
+    // Σ S_g²/n_g over the k=3 groups — is a BOUNDED group-sorted
+    // fold (the chi2 playbook), so the F statistic is identical at
+    // any partitioning. Micro-units out. Scale: one counts shuffle +
+    // one broadcast of 3 medians onto a map-only fact pass.
+    "agg_levene" -> ((s, d) => {
+      val base = lineitem(s, d)
+        .select(col("l_returnflag").as("f"),
+          expr("cast(round(l_quantity) as bigint)").as("q"))
+      val counts = base.groupBy(col("f"), col("q"))
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.as("a")
+        .join(counts.as("b"),
+          col("a.f") === col("b.f") && col("b.q") <= col("a.q"))
+        .groupBy(col("a.f").as("f"), col("a.q").as("q"))
+        .agg(sum(col("b.c")).as("cc"))
+      val tot = counts.groupBy(col("f")).agg(sum(col("c")).as("n"))
+      val med = cum.join(tot, "f")
+        .filter(col("cc") * 2 >= col("n"))
+        .groupBy(col("f")).agg(min(col("q")).as("med"))
+      base.join(broadcast(med), "f")
+        .select(col("f"), abs(col("q") - col("med")).as("z"))
+        .groupBy(col("f"))
+        .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
+          sum(col("z") * col("z")).as("qg"))
+        .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+          sum(col("sg")).as("s"), sum(col("qg")).as("qq"),
+          sort_array(collect_list(struct(col("f"), col("ng"), col("sg"))))
+            .as("lst"))
+        .select(col("k"), col("n"),
+          expr("""aggregate(lst, cast(0.0 as double), (acc, x) ->
+                 acc + cast(x.sg as double) * cast(x.sg as double) /
+                       cast(x.ng as double))""").as("ssg"),
+          col("s"), col("qq"))
+        .select(col("k"), col("n"),
+          expr("cast(round((cast(n as double) - cast(k as double)) / " +
+            "(cast(k as double) - 1.0d) * " +
+            "(ssg - cast(s as double) * cast(s as double) / " +
+            "cast(n as double)) / " +
+            "(cast(qq as double) - ssg) * 1e6) as bigint)").as("f_micro"))
+    }),
+
     // Mann-Whitney U rank-sum test (r12): the NONPARAMETRIC
     // companion of agg_welch_ttest — does quantity stochastically
     // dominate between returned and accepted items, with no
@@ -1677,6 +1727,46 @@ object AggQueries {
         |     vn2 * vn2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1e3) AS BIGINT)
         |    AS df_milli
         |FROM v""".stripMargin,
+    // same disc medians off the counts table, same integer moments,
+    // same group-sorted Σ S²/n fold, same fixed double tree
+    "agg_levene" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT l_returnflag AS f, CAST(round(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem
+        |), counts AS MATERIALIZED (
+        |  SELECT f, q, count(*) AS c FROM base GROUP BY f, q
+        |), cum AS (
+        |  SELECT a.f, a.q, CAST(sum(b.c) AS BIGINT) AS cc
+        |  FROM counts a JOIN counts b ON a.f = b.f AND b.q <= a.q
+        |  GROUP BY a.f, a.q
+        |), tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY f),
+        |med AS (
+        |  SELECT cum.f, min(cum.q) AS med
+        |  FROM cum JOIN tot ON cum.f = tot.f
+        |  WHERE cc * 2 >= n GROUP BY cum.f
+        |), g AS (
+        |  SELECT base.f, count(*) AS ng,
+        |    CAST(sum(abs(q - med)) AS BIGINT) AS sg,
+        |    CAST(sum(abs(q - med) * abs(q - med)) AS BIGINT) AS qg
+        |  FROM base JOIN med ON base.f = med.f GROUP BY base.f
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS s,
+        |    CAST(sum(qg) AS BIGINT) AS qq,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+        |           CAST(ng AS DOUBLE) ORDER BY f)),
+        |      (acc, x) -> acc + x) AS ssg
+        |  FROM g
+        |)
+        |SELECT k, n,
+        |  CAST(round((CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) /
+        |    (CAST(k AS DOUBLE) - 1.0) *
+        |    (ssg - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |     CAST(n AS DOUBLE)) /
+        |    (CAST(qq AS DOUBLE) - ssg) * 1e6) AS BIGINT) AS f_micro
+        |FROM t""".stripMargin,
     // same exact integer 2U and DECIMAL/HUGEINT tie radicand, same
     // fixed double tree
     "agg_mann_whitney" ->

@@ -559,6 +559,39 @@ object SimilarityQueries {
             "cast(n as double)) as bigint)").as("centroid_micro"))
         .orderBy(col("label"), col("dim"))),
 
+    // Distance-to-centroid outliers (r12): the 20 vectors farthest
+    // from their own label's centroid — the mislabeled-embedding /
+    // corrupt-encode audit run after every batch embed job (a vector
+    // far from its class mean is a label error, a truncated decode,
+    // or genuine tail data — all worth a look before training).
+    // EXACT integer: milli-quantized components ×1000 minus the
+    // micro centroid give integer deviations (|dv| ≤ 2·10⁶, Σ of 64
+    // squares ≤ 2.6·10¹⁴ — comfortably int64), so dist² hash-matches
+    // and the (dist² DESC, vec_id) order is total. Scale: the
+    // centroid table (labels × d rows) BROADCASTS onto one narrow
+    // posexplode pass; per-vector sum is a map-combined vec_id agg;
+    // global top-20 is TakeOrderedAndProject, never a full sort.
+    "emb_outlier_distance" -> ((s, d) => {
+      val q = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))")))
+        .select(col("vec_id"), col("label"), col("pos").as("dim"),
+          col("col").as("qm"))
+      val cent = q.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("qm")).as("sm"))
+        .select(col("label"), col("dim"),
+          expr("cast(round(cast(sm as double) * 1000.0d / " +
+            "cast(n as double)) as bigint)").as("cm"))
+      q.join(broadcast(cent), Seq("label", "dim"))
+        .select(col("vec_id"), col("label"),
+          (col("qm") * 1000L - col("cm")).as("dv"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("dv") * col("dv")).as("dist2"))
+        .orderBy(col("dist2").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // Dominant principal component via POWER ITERATION (r9): five
     // matrix-vector products against the exact integer covariance
     // numerator (the emb_covariance algebra — every entry < 2^53, so
@@ -1369,6 +1402,26 @@ object SimilarityQueries {
         |  CAST(round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) * 1000.0 /
         |    CAST(count(*) AS DOUBLE)) AS BIGINT) AS centroid_micro
         |FROM g GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    // same quantization and centroid division, same exact integer
+    // deviations — (dist2 DESC, vec_id) is a total order
+    "emb_outlier_distance" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS qm
+        |  FROM embeddings,
+        |    unnest(generate_series(1, len(embedding))) AS u(i)
+        |), cent AS (
+        |  SELECT label, dim,
+        |    CAST(round(CAST(CAST(sum(qm) AS BIGINT) AS DOUBLE) * 1000.0 /
+        |      CAST(count(*) AS DOUBLE)) AS BIGINT) AS cm
+        |  FROM g GROUP BY label, dim
+        |)
+        |SELECT g.vec_id, g.label,
+        |  CAST(sum((g.qm * 1000 - c.cm) * (g.qm * 1000 - c.cm))
+        |    AS BIGINT) AS dist2
+        |FROM g JOIN cent c ON g.label = c.label AND g.dim = c.dim
+        |GROUP BY g.vec_id, g.label
+        |ORDER BY dist2 DESC, vec_id LIMIT 20""".stripMargin,
     // same exact-integer matrix, same ordered j-folds, same max-norm
     // and sign algebra, unrolled five rounds
     "emb_pca_power" ->

@@ -201,6 +201,62 @@ class R12NewOpsSpec extends SparkSpecBase {
     assert(r0.getLong(3) === halfUp(z * 1e6))
   }
 
+  test("agg_levene matches a plain-Scala recompute") {
+    val row = SparkEntry.queries("agg_levene")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val xs = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1))))
+    val byF = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // disc median: smallest value with 2*cum >= n
+    def med(vs: Array[Long]): Long = {
+      val sorted = vs.sorted
+      sorted((vs.length - 1) / 2) // 2*(idx+1) >= n <=> idx >= (n-1)/2... smallest such
+    }
+    val groups = byF.toSeq.sortBy(_._1).map { case (f, vs) =>
+      val m = med(vs)
+      val z = vs.map(v => math.abs(v - m))
+      (f, z.length.toLong, z.sum, z.map(x => x * x).sum)
+    }
+    val k = groups.length.toDouble
+    val n = groups.map(_._2).sum.toDouble
+    val s = groups.map(_._3).sum.toDouble
+    val qq = groups.map(_._4).sum.toDouble
+    val ssg = groups.foldLeft(0.0) { case (acc, (_, ng, sg, _)) =>
+      acc + sg.toDouble * sg.toDouble / ng.toDouble
+    }
+    val fStat = (n - k) / (k - 1.0) * (ssg - s * s / n) / (qq - ssg)
+    val r0 = row(0)
+    assert(r0.getLong(0) === groups.length.toLong)
+    assert(r0.getLong(1) === n.toLong)
+    assert(r0.getLong(2) === halfUp(fStat * 1e6))
+  }
+
+  test("emb_outlier_distance matches a plain-Scala recompute") {
+    val got = SparkEntry.queries("emb_outlier_distance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length === 20)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => halfUp(x.toDouble * 1000.0)).toArray))
+    val cents = vecs.groupBy(_._2).view.mapValues { vs =>
+      val d = vs.head._3.length
+      Array.tabulate(d) { i =>
+        val qs = vs.map(_._3(i))
+        halfUp(qs.sum.toDouble * 1000.0 / qs.length)
+      }
+    }.toMap
+    val ref = vecs.map { case (id, lab, q) =>
+      val c = cents(lab)
+      val d2 = q.zip(c).map { case (qm, cm) =>
+        val dv = qm * 1000L - cm; dv * dv
+      }.sum
+      (id, lab, d2)
+    }.sortBy(t => (-t._3, t._1)).take(20)
+    assert(got.toSeq === ref.toSeq)
+  }
+
   test("sample_weighted_hash keeps max-weight docs and matches XXH64") {
     val got = SparkEntry.queries("sample_weighted_hash")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
