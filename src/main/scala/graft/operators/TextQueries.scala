@@ -239,6 +239,44 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cohen's kappa of the language-ID heuristic against the labeled
+    // lang column (r12): chance-corrected agreement — the standard
+    // classifier-vs-truth audit run before trusting an automatic
+    // labeler for routing/filtering (raw accuracy flatters any
+    // skewed-prior classifier; kappa subtracts the chance floor).
+    // EXACT until one division: kappa = (N·Σdiag − Σ r_l·p_l) /
+    // (N² − Σ r_l·p_l) on pure integer confusion-matrix marginals
+    // (no sqrt, no transcendental), micro-units out. Scale: one
+    // (truth, pred) count shuffle over |langs|² groups, then
+    // marginal joins on the ≤25-row matrix — corpus size only
+    // enters the first map-combined count.
+    "text_langid_kappa" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val scores = profiles.map { case (lang, words) =>
+        val hits = size(array_intersect(
+          array_distinct(toks), array(words.map(lit): _*)))
+        struct(hits.as("score"), lit(lang).as("lang"))
+      }
+      val cm = documents(s, d)
+        .withColumn("best",
+          sort_array(array(scores: _*), asc = false).getItem(0))
+        .select(col("lang").as("truth"), col("best.lang").as("pred"))
+        .groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("c"))
+      val agree = cm.agg(sum(col("c")).as("n"),
+        sum(when(col("truth") === col("pred"), col("c")).otherwise(0L))
+          .as("diag"))
+      val rc = cm.groupBy(col("truth")).agg(sum(col("c")).as("r"))
+      val pc = cm.groupBy(col("pred")).agg(sum(col("c")).as("p"))
+      val pe = rc.join(pc, col("truth") === col("pred"))
+        .agg(coalesce(sum(col("r") * col("p")), lit(0L)).as("rp"))
+      agree.crossJoin(pe)
+        .select(col("n"), col("diag"),
+          expr("cast(round((cast(n as double) * cast(diag as double) - " +
+            "cast(rp as double)) / " +
+            "(cast(n as double) * cast(n as double) - " +
+            "cast(rp as double)) * 1e6) as bigint)").as("kappa_micro"))
+    }),
+
     // Quality scoring: token count, mean token length (centi-chars),
     // stopword ratio and short-token ratio in basis points, plus a
     // boolean gate — all integer math.
@@ -1136,6 +1174,37 @@ object TextQueries {
          |SELECT doc_id, ranked[1].lang AS pred_lang,
          |  ranked[1].score AS score
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    // same argmax profile scoring, same integer confusion marginals,
+    // one IEEE division
+    "text_langid_kappa" -> {
+      val scoreSql = profiles.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"{'score': len(list_intersect(list_distinct(string_split(text, ' ')), $arr)), 'lang': '$lang'}"
+      }.mkString(", ")
+      s"""WITH scored AS (
+         |  SELECT lang AS truth,
+         |    list_reverse_sort([$scoreSql])[1].lang AS pred
+         |  FROM documents
+         |), cm AS (
+         |  SELECT truth, pred, count(*) AS c FROM scored GROUP BY 1, 2
+         |), a AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN truth = pred THEN c ELSE 0 END)
+         |      AS BIGINT) AS diag
+         |  FROM cm
+         |), r AS (SELECT truth, CAST(sum(c) AS BIGINT) AS r FROM cm GROUP BY truth),
+         |p AS (SELECT pred, CAST(sum(c) AS BIGINT) AS p FROM cm GROUP BY pred),
+         |e AS (
+         |  SELECT CAST(coalesce(sum(r.r * p.p), 0) AS BIGINT) AS rp
+         |  FROM r JOIN p ON r.truth = p.pred
+         |)
+         |SELECT n, diag,
+         |  CAST(round((CAST(n AS DOUBLE) * CAST(diag AS DOUBLE) -
+         |    CAST(rp AS DOUBLE)) /
+         |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+         |    CAST(rp AS DOUBLE)) * 1e6) AS BIGINT) AS kappa_micro
+         |FROM a, e""".stripMargin
     },
     "text_quality_score" ->
       """WITH t AS (

@@ -623,6 +623,37 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // Poisson dispersion index (r12): per event type, the
+    // variance-to-mean ratio of HOURLY counts over the type's full
+    // observed span (zero-event hours included via the span length —
+    // dropping them would flatter any bursty feed) — D ≈ 1 is
+    // Poisson, ≫ 1 overdispersed (batch jobs, retry storms, bots);
+    // with ts_burstiness (gap view) the two standard count-process
+    // screens. EXACT: integer hour buckets (epoch div), integer
+    // count moments, D = (n·Q − S²)/(n·S) with the numerator in
+    // DECIMAL(38,0)/HUGEINT (a single-hour spike at 100 TB would
+    // overflow int64), ONE IEEE division, micro-units. Scale: one
+    // (type, hour) map-combined count + one tiny per-type agg — the
+    // fact table shuffles only its bucket keys.
+    "ts_poisson_dispersion" -> ((s, d) => {
+      val hours = events(s, d)
+        .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      hours.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
+          sum(col("c")).as("s"), sum(col("c") * col("c")).as("q"))
+        .select(col("event_type"),
+          (col("h1") - col("h0") + 1L).as("n_hours"),
+          col("s").as("n_events"),
+          expr("cast(round(cast(cast(h1 - h0 + 1 as decimal(38,0)) * " +
+            "cast(q as decimal(38,0)) - cast(s as decimal(38,0)) * " +
+            "cast(s as decimal(38,0)) as double) / " +
+            "(cast(h1 - h0 + 1 as double) * cast(s as double)) * 1e6) " +
+            "as bigint)").as("dispersion_micro"))
+        .orderBy(col("event_type"))
+    }),
+
     // Inter-event burstiness (r12; Goh & Barabási 2008): per user,
     // B = (σ − μ)/(σ + μ) of the inter-event gap distribution —
     // B → −1 for metronome traffic, ≈ 0 for Poisson, → +1 for
@@ -1611,6 +1642,25 @@ object TimeSeriesQueries {
         |SELECT user_id, event_type, max(len) AS max_streak
         |FROM runs GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // same integer hour buckets and count moments, HUGEINT numerator
+    // mirrors the engine's DECIMAL(38,0), one IEEE division
+    "ts_poisson_dispersion" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, min(hr) AS h0, max(hr) AS h1,
+        |    CAST(sum(c) AS BIGINT) AS s, sum(c * c) AS q
+        |  FROM h GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(h1 - h0 + 1 AS BIGINT) AS n_hours,
+        |  s AS n_events,
+        |  CAST(round(CAST((h1 - h0 + 1)::HUGEINT * q::HUGEINT -
+        |    s::HUGEINT * s::HUGEINT AS DOUBLE) /
+        |    (CAST(h1 - h0 + 1 AS DOUBLE) * CAST(s AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS dispersion_micro
+        |FROM t ORDER BY event_type""".stripMargin,
     // same integer gap seconds, same exact radicand (DuckDB's
     // HUGEINT sums mirror the engine's DECIMAL(38,0)), one double
     // sqrt on an identical input, micro-units out

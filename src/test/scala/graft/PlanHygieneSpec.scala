@@ -41,6 +41,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "emb_diversity_histogram" -> "bounded all-pairs cosine over the 1/16 hash sample (C(sample,2) by construction)",
     "agg_ks_test" -> "1-row sample-sizes aggregate crossed onto the <=50 cum rows",
     "agg_mann_whitney" -> "non-equi cum join over the <=50-row counts table (the ks shape)",
+    "text_langid_kappa" -> "1-row agreement aggregate crossed onto the 1-row chance-agreement aggregate",
     "ts_seasonality_strength" -> "1-row sum-of-squares aggregate crossed onto the 1-row hour stats",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )

@@ -257,6 +257,51 @@ class R12NewOpsSpec extends SparkSpecBase {
     assert(got.toSeq === ref.toSeq)
   }
 
+  test("text_langid_kappa matches a recompute from text_langid + labels") {
+    val row = SparkEntry.queries("text_langid_kappa")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val pred = SparkEntry.queries("text_langid")(spark, sfDir)
+      .select(col("doc_id"), col("pred_lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = truth.size.toLong
+    val diag = truth.count { case (id, t) => pred(id) == t }.toLong
+    val rm = truth.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val pm = pred.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val rp = rm.map { case (l, r) => r * pm.getOrElse(l, 0L) }.sum
+    val kappa = (n.toDouble * diag - rp.toDouble) /
+      (n.toDouble * n - rp.toDouble)
+    val r0 = row(0)
+    assert(r0.getLong(0) === n)
+    assert(r0.getLong(1) === diag)
+    assert(r0.getLong(2) === halfUp(kappa * 1e6))
+    // kappa never exceeds raw accuracy's ceiling
+    assert(r0.getLong(2) <= 1000000L)
+  }
+
+  test("ts_poisson_dispersion matches a plain-Scala recompute") {
+    val got = SparkEntry.queries("ts_poisson_dispersion")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts_us")).collect()
+      .map(r => (r.getString(0), Math.floorDiv(r.getLong(1), 3600000000L)))
+    val ref = ev.groupBy(_._1).map { case (t, rows) =>
+      val byHr = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+      val (h0, h1) = (byHr.keys.min, byHr.keys.max)
+      val n = h1 - h0 + 1
+      val s = byHr.values.sum
+      val q = byHr.values.map(c => c * c).sum
+      val disp = (BigDecimal(n) * BigDecimal(q) -
+        BigDecimal(s) * BigDecimal(s)).toDouble / (n.toDouble * s.toDouble)
+      t -> ((n, s, halfUp(disp * 1e6)))
+    }
+    assert(got === ref)
+  }
+
   test("sample_weighted_hash keeps max-weight docs and matches XXH64") {
     val got = SparkEntry.queries("sample_weighted_hash")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
