@@ -1056,6 +1056,36 @@ object AggQueries {
             .as("df_milli"))
     }),
 
+    // Bhattacharyya coefficient (r12): overlap BC = Σ √(pA·pR) of
+    // the quantity distributions between returned and accepted items
+    // — the [0,1] distribution-similarity scalar (1 = identical
+    // supports) that complements the ks DISTANCE with an overlap
+    // measure drift dashboards trend; −ln(BC) is the Bhattacharyya
+    // distance. The per-value √ terms are the one order-sensitive
+    // float reduction — summed in a BOUNDED q-sorted fold over the
+    // ≤50-row counts table (the chi2/levene playbook), each term
+    // √(ca·cr) / √(nA·nR) on exact integer inputs. Micro-units.
+    // Scale: one counts shuffle, then ≤50-row arithmetic.
+    "agg_bhattacharyya" -> ((s, d) => {
+      val counts = lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("f"),
+          expr("cast(round(l_quantity) as bigint)").as("q"))
+        .groupBy(col("q"))
+        .agg(sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"))
+      counts
+        .agg(sum(col("ca")).as("n_a"), sum(col("cr")).as("n_r"),
+          sort_array(collect_list(struct(col("q"), col("ca"), col("cr"))))
+            .as("lst"))
+        .select(col("n_a"), col("n_r"),
+          expr("""cast(round(aggregate(lst, cast(0.0 as double),
+                 (acc, x) -> acc +
+                   sqrt(cast(x.ca as double) * cast(x.cr as double)) /
+                   sqrt(cast(n_a as double) * cast(n_r as double)))
+                 * 1e6) as bigint)""").as("bc_micro"))
+    }),
+
     // Brown-Forsythe variance-equality test (r12; Levene's test with
     // median centers — the robust spread-difference screen run before
     // trusting a pooled-variance analysis, completing the inference
@@ -1727,6 +1757,26 @@ object AggQueries {
         |     vn2 * vn2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1e3) AS BIGINT)
         |    AS df_milli
         |FROM v""".stripMargin,
+    // same counts table, same q-sorted √-term fold
+    "agg_bhattacharyya" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cr
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cr) AS BIGINT) AS n_r FROM counts
+        |)
+        |SELECT n_a, n_r,
+        |  CAST(round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(sqrt(CAST(ca AS DOUBLE) * CAST(cr AS DOUBLE)) /
+        |         sqrt(CAST(n_a AS DOUBLE) * CAST(n_r AS DOUBLE))
+        |         ORDER BY q)),
+        |    (acc, x) -> acc + x) * 1e6) AS BIGINT) AS bc_micro
+        |FROM counts, tot GROUP BY n_a, n_r""".stripMargin,
     // same disc medians off the counts table, same integer moments,
     // same group-sorted Σ S²/n fold, same fixed double tree
     "agg_levene" ->

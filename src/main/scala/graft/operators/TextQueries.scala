@@ -431,6 +431,48 @@ object TextQueries {
             (acc, c) => (acc * 31 + c) % 1000000007L).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    // Corpus boilerplate fraction (r12): per document, the share of
+    // its word-3-gram OCCURRENCES that are corpus-frequent (gram
+    // appears in ≥ 2% of documents — a SCALE-INVARIANT rarity gate,
+    // unlike any fixed df cutoff) — the cross-document boilerplate
+    // signal (headers, navigation, license blurbs) CCNet/RefinedWeb
+    // pipelines strip, complementing text_repetition_filter's
+    // WITHIN-document view. Grams ride as 64-bit xxhash64 digests of
+    // the three tokens (the text_repetition_filter trick: fixed-width
+    // longs through every shuffle, never strings; the oracle counts
+    // the string grams directly — outputs are count-derived basis
+    // points, digest collisions ~1e-14/doc are the established
+    // hashed-shingle stance). Integer basis points. Scale: one
+    // distinct + map-combined df count keyed on digests, a semi join
+    // back, one doc-keyed count — text never shuffles.
+    "text_boilerplate_frac" -> ((s, d) => {
+      val docs = documents(s, d)
+      val g = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(t) - 2, 0)), " +
+            "i -> xxhash64(element_at(t, i), element_at(t, i + 1), " +
+            "element_at(t, i + 2)))")).as("dg"))
+      val df = g.distinct()
+        .groupBy(col("dg")).agg(count(lit(1)).as("df"))
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      val bp = df.crossJoin(broadcast(tot))
+        .filter(col("df") * 50L >= col("n_docs")).select(col("dg"))
+      val occ = g.join(bp, Seq("dg"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("bp_occ"))
+      docs
+        .select(col("doc_id"),
+          greatest(size(split(col("text"), " ")) - 2, lit(0)).cast("long")
+            .as("n_grams"))
+        .join(occ, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("bp_occ"), lit(0L)).as("bp_occ"),
+          when(col("n_grams") > 0L,
+            expr("coalesce(bp_occ, 0L) * 10000 div n_grams"))
+            .otherwise(0L).as("boiler_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprint selection (r12; Schleimer/Wilkerson/Aiken,
     // SIGMOD'03 — the MOSS algorithm): hash every 5-char gram with the
     // text_fingerprint modular polynomial, then keep only each
@@ -1305,6 +1347,36 @@ object TextQueries {
         |        i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // string grams where the engine uses digests (count-derived
+    // outputs, the hashed-shingle collision stance); same 2% gate
+    "text_boilerplate_frac" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS gram
+        |  FROM t
+        |), df AS (
+        |  SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY gram
+        |), nd AS (SELECT count(*) AS n_docs FROM documents),
+        |bp AS (SELECT gram FROM df, nd WHERE df * 50 >= n_docs),
+        |occ AS (
+        |  SELECT g.doc_id, count(*) AS bp_occ
+        |  FROM g JOIN bp ON g.gram = bp.gram GROUP BY g.doc_id
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(len(string_split(text, ' ')) - 2, 0) AS BIGINT)
+        |      AS n_grams
+        |  FROM documents
+        |)
+        |SELECT b.doc_id, b.n_grams,
+        |  CAST(coalesce(o.bp_occ, 0) AS BIGINT) AS bp_occ,
+        |  CAST(CASE WHEN b.n_grams > 0
+        |    THEN coalesce(o.bp_occ, 0) * 10000 // b.n_grams
+        |    ELSE 0 END AS BIGINT) AS boiler_bp
+        |FROM base b LEFT JOIN occ o USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // same gram hash, same combined (hash, -pos) window-min key, same
     // rightmost-tie decode; the ROWS frame is the Spark frame verbatim
     "text_winnowing" ->

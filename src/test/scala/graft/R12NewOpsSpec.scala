@@ -302,6 +302,55 @@ class R12NewOpsSpec extends SparkSpecBase {
     assert(got === ref)
   }
 
+  test("text_boilerplate_frac matches a string-gram recompute") {
+    // the STRING-gram recompute mirrors the oracle; the engine's
+    // digest counts must agree (collision stance: ~1e-14/doc)
+    val got = SparkEntry.queries("text_boilerplate_frac")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val grams = docs.map { case (id, t) =>
+      id -> (0 until math.max(t.length - 2, 0))
+        .map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+    }
+    val nDocs = docs.length.toLong
+    val dfm = grams.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length.toLong)
+    val boiler = dfm.filter { case (_, df) => df * 50L >= nDocs }.keySet
+    grams.foreach { case (id, gs) =>
+      val n = gs.length.toLong
+      val occ = gs.count(boiler).toLong
+      val bp = if (n > 0) occ * 10000L / n else 0L
+      assert(got(id) === ((n, occ, bp)), s"doc $id")
+    }
+  }
+
+  test("agg_bhattacharyya matches a plain-Scala recompute, BC in [0,1]") {
+    val row = SparkEntry.queries("agg_bhattacharyya")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val xs = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1))))
+      .filter(r => r._1 == "A" || r._1 == "R")
+    val byQ = xs.groupBy(_._2).view.mapValues { vs =>
+      (vs.count(_._1 == "A").toLong, vs.count(_._1 == "R").toLong)
+    }.toMap
+    val na = xs.count(_._1 == "A").toDouble
+    val nr = xs.count(_._1 == "R").toDouble
+    val bc = byQ.toSeq.sortBy(_._1).foldLeft(0.0) {
+      case (acc, (_, (ca, cr))) =>
+        acc + math.sqrt(ca.toDouble * cr.toDouble) / math.sqrt(na * nr)
+    }
+    val r0 = row(0)
+    assert(r0.getLong(0) === na.toLong)
+    assert(r0.getLong(1) === nr.toLong)
+    assert(r0.getLong(2) === halfUp(bc * 1e6))
+    assert(r0.getLong(2) >= 0L && r0.getLong(2) <= 1000000L)
+  }
+
   test("sample_weighted_hash keeps max-weight docs and matches XXH64") {
     val got = SparkEntry.queries("sample_weighted_hash")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
