@@ -207,15 +207,32 @@ object GraphQueries {
       // subtrees that wedge the optimizer/plan-stringify long before
       // execution (persist only caches execution results; analysis
       // still walks the full tree). The eager checkpoint pins each
-      // round to a LogicalRDD: 8 tiny jobs, linear plans.
-      var und = undirected(edgesTopK(s, d)).localCheckpoint()
-      for (_ <- 1 to KcoreRounds) {
+      // round to a LogicalRDD: 8 tiny jobs, linear plans. The loop
+      // runs on a narrow 8-partition session (the wcc playbook):
+      // 8 eager rounds × 32 shuffle partitions of a ~3·N-row edge
+      // table is pure task-scheduling overhead (measured 12 s cold at
+      // sf0.1; ~3 s at 8 partitions).
+      val cc = s.newSession()
+      cc.conf.set("spark.sql.shuffle.partitions", "8")
+      var und = undirected(edgesTopK(cc, d)).localCheckpoint()
+      // early exit once a round removes nothing: peeling only ever
+      // deletes edges, so an unchanged edge count IS the fixpoint and
+      // the remaining rounds are no-ops by construction — identical
+      // output to the full 8, ~2 rounds instead of 8 on the fixtures
+      var prevCnt = und.count()
+      var round = 0
+      var stable = false
+      while (round < KcoreRounds && !stable) {
         val keep = und.groupBy(col("x")).agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= KcoreK).select(col("x"))
         und = und.join(keep, Seq("x"), "left_semi")
           .join(keep.withColumnRenamed("x", "y"), Seq("y"), "left_semi")
           .select(col("x"), col("y"))
           .localCheckpoint()
+        val cnt = und.count()
+        stable = cnt == prevCnt
+        prevCnt = cnt
+        round += 1
       }
       und.groupBy(col("x")).agg(count(lit(1)).as("core_degree"))
         .write.mode("overwrite").parquet(dir)
@@ -296,11 +313,10 @@ object GraphQueries {
     // undirected degree < k (k = 3) until the remaining subgraph —
     // the 3-core, the standard dense-nucleus extraction (Seidman
     // 1983; community seeds, spam rings, influence cores) — is
-    // stable. FIXED 8 peel rounds, the pagerank/BFS fixed-iteration
-    // playbook: the plan is static, the oracle unrolls the identical
-    // 8 rounds, and KcoreConvergenceSpec pins that the fixture
-    // graphs converge well inside the budget (a round past fixpoint
-    // is a no-op, so extra rounds never change the answer). Built
+    // stable. AT MOST 8 peel rounds with an unchanged-count early
+    // exit (equal edge count IS the fixpoint — peeling only deletes);
+    // the oracle unrolls the full 8, equal because a round past
+    // fixpoint is a no-op, and the spec pins fixpoint equality. Built
     // once as a parquet artifact (the wcc playbook): per round one
     // map-combined degree count + two semi joins on node id over the
     // O(N·K) edge set, with per-round persist so lineage stays
