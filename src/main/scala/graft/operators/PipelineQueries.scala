@@ -63,6 +63,31 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("w"))
         .orderBy(col("doc_id"))),
 
+    // Source-mix balance (r12): Kish effective sample size of the
+    // corpus' source distribution — ESS = (Σw)²/Σw² with w = docs per
+    // source — and its [0,1] balance ratio ESS/n_sources (1 = a
+    // perfectly uniform mix, →1/n = one source dominates): the
+    // one-scalar audit a mixture design is tuned against before
+    // packing epochs. Integer counts, squares summed in DECIMAL(38,0)
+    // (w² overflows int64 once a source holds > 3·10⁹ docs), one
+    // fixed double tree to milli/micro units. Scale: one
+    // map-combined source count (|sources| rows), then 1-row math.
+    "mix_source_balance" -> ((s, d) =>
+      documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("w"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("w")).as("total_docs"),
+          sum((col("w") * col("w")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("sq"))
+        .select(col("n_sources"), col("total_docs"),
+          expr("cast(round(cast(total_docs as double) * " +
+            "cast(total_docs as double) / cast(sq as double) * 1e3) " +
+            "as bigint)").as("ess_milli"),
+          expr("cast(round(cast(total_docs as double) * " +
+            "cast(total_docs as double) / (cast(sq as double) * " +
+            "cast(n_sources as double)) * 1e6) as bigint)")
+            .as("balance_micro"))),
+
     // Deterministic global training-order shuffle: order by a salted
     // key hash. One range-partitioned sort; changing the salt literal
     // is a fresh epoch permutation.
@@ -346,6 +371,25 @@ object PipelineQueries {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE substr(md5(text), 1, 1) < '4'
         |ORDER BY doc_id""".stripMargin,
+    // same integer counts, HUGEINT squares mirror, same double tree
+    "mix_source_balance" ->
+      """WITH w AS (
+        |  SELECT source, count(*) AS w FROM documents GROUP BY source
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(w) AS BIGINT) AS total_docs,
+        |    sum(w::HUGEINT * w::HUGEINT) AS sq
+        |  FROM w
+        |)
+        |SELECT n_sources, total_docs,
+        |  CAST(round(CAST(total_docs AS DOUBLE) *
+        |    CAST(total_docs AS DOUBLE) / CAST(sq AS DOUBLE) * 1e3)
+        |    AS BIGINT) AS ess_milli,
+        |  CAST(round(CAST(total_docs AS DOUBLE) *
+        |    CAST(total_docs AS DOUBLE) / (CAST(sq AS DOUBLE) *
+        |    CAST(n_sources AS DOUBLE)) * 1e6) AS BIGINT)
+        |    AS balance_micro
+        |FROM t""".stripMargin,
     // Spark's xxhash64(doc_id, seed 42) replayed bit-exact in
     // HUGEINT; u mod 2^20 is congruent for signed/unsigned views
     "sample_weighted_hash" -> {

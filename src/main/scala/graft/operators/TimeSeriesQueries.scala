@@ -623,6 +623,31 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // DAU/MAU stickiness (r12): average daily-active over
+    // span-active users — the canonical engagement ratio (≈ 3-5%
+    // casual, > 20% habitual) product analytics tracks next to the
+    // retention cohort; zero-activity days count against the average
+    // via the SPAN length (dropping them flatters any bursty
+    // product). EXACT integers end to end: epoch-day buckets, two
+    // distinct-count aggregates, Σdau·10⁴ div (span·mau) basis
+    // points. Scale: one (user, day) distinct + one (user) distinct
+    // — both map-combined partial aggregates on small keys; the two
+    // 1-row summaries cross at the end.
+    "ts_dau_mau" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      val dau = ev.distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = ev.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("mau"))
+      dau.agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          sum(col("dau")).as("sum_dau"))
+        .crossJoin(mau)
+        .select((col("d1") - col("d0") + 1L).as("n_days"), col("mau"),
+          expr("sum_dau * 10000 div ((d1 - d0 + 1) * mau)")
+            .as("stickiness_bp"))
+    }),
+
     // Poisson dispersion index (r12): per event type, the
     // variance-to-mean ratio of HOURLY counts over the type's full
     // observed span (zero-event hours included via the span length —
@@ -1642,6 +1667,23 @@ object TimeSeriesQueries {
         |SELECT user_id, event_type, max(len) AS max_streak
         |FROM runs GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    // same epoch-day buckets, distinct counts, and integer bp
+    "ts_dau_mau" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |), dau AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ev GROUP BY day
+        |), mau AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM ev
+        |), t AS (
+        |  SELECT min(day) AS d0, max(day) AS d1,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau FROM dau
+        |)
+        |SELECT CAST(d1 - d0 + 1 AS BIGINT) AS n_days, mau,
+        |  CAST(sum_dau * 10000 // ((d1 - d0 + 1) * mau) AS BIGINT)
+        |    AS stickiness_bp
+        |FROM t, mau""".stripMargin,
     // same integer hour buckets and count moments, HUGEINT numerator
     // mirrors the engine's DECIMAL(38,0), one IEEE division
     "ts_poisson_dispersion" ->

@@ -43,6 +43,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "agg_mann_whitney" -> "non-equi cum join over the <=50-row counts table (the ks shape)",
     "text_langid_kappa" -> "1-row agreement aggregate crossed onto the 1-row chance-agreement aggregate",
     "text_boilerplate_frac" -> "1-row corpus-count aggregate crossed onto the gram df table (2% gate)",
+    "ts_dau_mau" -> "1-row span/DAU aggregate crossed onto the 1-row MAU aggregate",
     "ts_seasonality_strength" -> "1-row sum-of-squares aggregate crossed onto the 1-row hour stats",
     "ann_recall_audit" -> "ground-truth side: bounded 10-query probe set x corpus"
   )

@@ -351,6 +351,42 @@ class R12NewOpsSpec extends SparkSpecBase {
     assert(r0.getLong(2) >= 0L && r0.getLong(2) <= 1000000L)
   }
 
+  test("mix_source_balance matches a plain-Scala ESS recompute") {
+    val row = SparkEntry.queries("mix_source_balance")(spark, sfDir)
+      .collect()
+    assert(row.length === 1)
+    val ws = Tables.documents(spark, sfDir)
+      .select(col("source")).collect().map(_.getString(0))
+      .groupBy(identity).values.map(_.length.toLong).toSeq
+    val (n, tot) = (ws.length.toLong, ws.sum)
+    val sq = ws.map(w => BigDecimal(w) * BigDecimal(w)).sum
+    val ess = tot.toDouble * tot.toDouble / sq.toDouble
+    val r0 = row(0)
+    assert(r0.getLong(0) === n)
+    assert(r0.getLong(1) === tot)
+    assert(r0.getLong(2) === halfUp(ess * 1e3))
+    assert(r0.getLong(3) === halfUp(ess / n * 1e6))
+    // ESS is bounded by (0, n_sources]
+    assert(r0.getLong(3) > 0L && r0.getLong(3) <= 1000000L)
+  }
+
+  test("ts_dau_mau matches a plain-Scala recompute") {
+    val row = SparkEntry.queries("ts_dau_mau")(spark, sfDir).collect()
+    assert(row.length === 1)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L)))
+      .distinct
+    val days = ev.map(_._2)
+    val span = days.max - days.min + 1
+    val mau = ev.map(_._1).distinct.length.toLong
+    val sumDau = ev.groupBy(_._2).values.map(_.length.toLong).sum
+    val r0 = row(0)
+    assert(r0.getLong(0) === span)
+    assert(r0.getLong(1) === mau)
+    assert(r0.getLong(2) === sumDau * 10000L / (span * mau))
+  }
+
   test("sample_weighted_hash keeps max-weight docs and matches XXH64") {
     val got = SparkEntry.queries("sample_weighted_hash")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
