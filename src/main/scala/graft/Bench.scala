@@ -23,8 +23,41 @@ import java.nio.file.{Files, Paths}
   * for the judge to read directly.
   */
 object Bench {
+  /** Fixed-work single-thread CPU spin → ns/op. Run before and after the
+    * bench so a leg carries its own box-health evidence: the r12 verdict
+    * had to reconstruct "127.7 s quiet vs 265.6 s throttled, same binary"
+    * by hand from cross-leg diffs; a pre/post calibration pair makes every
+    * leg self-classifying (r12 VERDICT next-round task 1). The spin is a
+    * xorshift loop — pure ALU, no memory traffic — so its ns/op moves only
+    * with clock speed / hypervisor steal, not with cache state.
+    */
+  private def spinNsPerOp(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val n = 400000000L // ~0.3-0.5 s on a quiet box
+    val t0 = System.nanoTime()
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val dt = System.nanoTime() - t0
+    // data-dependent side effect defeats dead-code elimination
+    if (x == 42L) System.err.println("calib")
+    dt.toDouble / n
+  }
+
+  /** (steal, total) jiffies from the aggregate cpu line of /proc/stat.
+    * Cumulative counters — steal% over the bench is the delta ratio. */
+  private def procStatSample(): (Long, Long) =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      val steal = if (f.length > 7) f(7) else 0L
+      (steal, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val calibPre = spinNsPerOp()
+    val (steal0, jiffies0) = procStatSample()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // partition-sensitivity knob (r11, r10 verdict #7): override the
     // shuffle partition count independently of the thread count to
@@ -90,8 +123,19 @@ object Bench {
     // value/n_queries is a per-query average only when n_failed = 0 —
     // cross-round total comparisons need n_failed = 0 on both sides)
     val nSuccess = mins.size - nFailed
+    // box-health postamble (r12 VERDICT task 1): post-run spin + steal%
+    // over the whole bench interval. calib_post >> calib_pre = the box
+    // degraded DURING the leg; both >> ~0.4 ns/op = the leg started
+    // throttled. steal_pct > ~1% = hypervisor contention.
+    val calibPost = spinNsPerOp()
+    val (steal1, jiffies1) = procStatSample()
+    val stealPct =
+      if (jiffies1 > jiffies0) 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+      else 0.0
+    val calibJson =
+      f"""{"pre_ns_per_op":$calibPre%.4f,"post_ns_per_op":$calibPost%.4f,"steal_pct":$stealPct%.3f}"""
     def line(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_success":$nSuccess,"n_failed":$nFailed,"runs_per_query":$runsPerQuery,"agg":"min","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_success":$nSuccess,"n_failed":$nFailed,"runs_per_query":$runsPerQuery,"agg":"min","calibration":$calibJson,"queries":$qs,"sf":"$sfDir"}"""
     // full map (min + every run; negative run = that attempt threw) →
     // repo file (judge-readable; stdout would truncate it)
     val bySlowest = mins.toSeq.sortBy(-_._2)
@@ -99,9 +143,32 @@ object Bench {
       "\"" + k + "\":{\"min\":" + fmt(v) + ",\"runs\":[" +
         results(k).map(fmt).mkString(",") + "]}"
     }.mkString("{", ",", "}")
-    try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
+    // Artifact hygiene (r12 VERDICT task 8): every leg's full map goes to
+    // BENCH_LAST.json; BENCH_FULL.json is only REPLACED when this leg is
+    // better (lower total at equal surface/sf) or the surface changed
+    // (different query count / sf ⇒ old best is for a different binary).
+    // This stops an end-of-round throttled driver leg from overwriting
+    // the committed quiet best, which r12 lost to `git show`.
+    try Files.writeString(Paths.get("/root/repo/BENCH_LAST.json"),
       line(fullQs) + "\n")
     catch { case _: Throwable => () }
+    try {
+      val fullPath = Paths.get("/root/repo/BENCH_FULL.json")
+      val replace =
+        if (!Files.exists(fullPath)) true
+        else {
+          val old = Files.readString(fullPath)
+          def grab(re: String): Option[String] =
+            re.r.findFirstMatchIn(old).map(_.group(1))
+          val oldTotal = grab(""""value":([0-9.]+)""").map(_.toDouble)
+          val oldN = grab(""""n_queries":([0-9]+)""").map(_.toInt)
+          val oldSf = grab(""""sf":"([^"]+)"""")
+          oldTotal.isEmpty || oldN.isEmpty ||
+            oldN.get != mins.size || !oldSf.contains(sfDir) ||
+            (nFailed == 0 && total < oldTotal.get)
+        }
+      if (replace) Files.writeString(fullPath, line(fullQs) + "\n")
+    } catch { case _: Throwable => () }
     // stdout: drop fastest entries until the line fits the 2000-char
     // driver tail capture with headroom for sbt's trailing lines.
     // spark.stop() runs FIRST so no straggler WARN/progress line can

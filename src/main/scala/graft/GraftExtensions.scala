@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashSigExpr, MinHashSketchAgg,
-  MisraGriesAgg, SimHashAgg, SortedIntersectCountExpr}
+import graft.functions.{DotProductExpr, HllRegistersAgg, MinHashSigExpr,
+  MinHashSketchAgg, MisraGriesAgg, SimHashAgg, SortedIntersectCountExpr}
 
 /** Session extension that registers the engine's custom codegen
   * expressions as SQL functions, so the SQL-text API (SURVEY.md §2.N)
@@ -28,6 +28,8 @@ import graft.functions.{DotProductExpr, MinHashSigExpr, MinHashSketchAgg,
   *   SELECT graft_simhash_bands(tok_hash) ... GROUP BY doc -- 4x16-bit bands
   *   SELECT graft_misra_gries(term, 256)                  -- heavy-hitter
   *                                                        -- candidates
+  *   SELECT graft_hll_registers(key) ... GROUP BY day     -- m=4096 HLL
+  *                                                        -- registers
   *
   * Registration is additive metadata on the session — no planner
   * behavior changes, so every Catalyst rule and strategy continues to
@@ -98,6 +100,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("graft_simhash_bands", 1, children)
         SimHashAgg(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hll_registers"),
+      info("graft_hll_registers"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_hll_registers", 1, children)
+        HllRegistersAgg(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_misra_gries"),

@@ -108,7 +108,8 @@ object TempDirs {
     "minhash_hsets" -> 1, // 5-word shingles -> xxhash64 digests
     "srctok_hashes" -> 1, // whitespace tokens -> xxhash64, distinct
     "simhash_tok" -> 1, // doc-scoped token xxhash64 counts
-    "ivf_centroids" -> 1 // k=8, 2 Lloyd rounds, hash-seeded init
+    "ivf_centroids" -> 1, // k=8, 2 Lloyd rounds, hash-seeded init
+    "contain_grams" -> 1 // distinct 3-gram 60-bit md5-prefix digests
   )
 
   def durableOnce(kind: String, d: String, fingerprint: String)(

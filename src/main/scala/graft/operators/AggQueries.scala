@@ -221,32 +221,60 @@ object AggQueries {
           "measure", "val")
         .orderBy(col("l_returnflag"), col("measure"))),
 
-    // Mergeable distinct-count sketches (DataSketches HLL): per-group
-    // sketches, estimates, AND a union row proving sketch
-    // mergeability — the 100 TB pattern where per-partition/per-day
-    // sketches are built once and unioned at query time instead of
-    // re-scanning. Estimates are deterministic (register state depends
-    // only on the value set), but engine-specific — N-operator with
-    // tolerance tests against exact counts.
+    // Mergeable distinct-count sketches (register-deterministic HLL,
+    // r12 VERDICT task 2): per-group m=4096 register arrays via the
+    // from-scratch HllRegistersAgg (xxhash64 → top-12-bit index +
+    // leftmost-1 rho; see its scaladoc for the determinism contract),
+    // estimates, AND a union row proving sketch mergeability — the
+    // 100 TB pattern where per-partition/per-day sketches are built
+    // once and unioned at query time instead of re-scanning. The ALL
+    // row is an elementwise register max over the per-group arrays
+    // (4096 rows post-agg — corpus-independent). Unlike the r1-r12
+    // DataSketches version this estimator IS mirrorable: the oracle
+    // recomputes the identical registers in DuckDB HUGEINT via
+    // OracleXxh64 and exact-integer bit-length rho, so the operator is
+    // rows+schema+hash checked, closing the last declared-N row.
     "agg_hll_union" -> ((s, d) => {
-      // per-group rows carry the exact countDistinct for the accuracy
-      // comparison; the ALL row unions the per-group SKETCHES (the
-      // mergeability this operator demonstrates) from a sketch-only
-      // aggregate — the r7 review caught the union branch re-running
-      // the expensive exact-distinct Expand pass just to discard it
+      import graft.functions.HllRegistersAgg
       val per = lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+        .agg(HllRegistersAgg.registers(col("l_partkey")).as("regs"),
           countDistinct(col("l_partkey")).as("exact"))
+      // union sketch = elementwise max across groups (3 x 4096 rows)
+      val allRegs = per
+        .select(posexplode(col("regs")).as(Seq("pos", "reg")))
+        .groupBy(col("pos")).agg(max(col("reg")).as("reg"))
+        .select(lit("ALL").as("l_returnflag"), lit(-1L).as("exact"),
+          col("reg"))
+      val perRegs = per
+        .select(col("l_returnflag"), col("exact"),
+          posexplode(col("regs")).as(Seq("pos", "reg")))
+        .select(col("l_returnflag"), col("exact"), col("reg"))
+      // estimate from registers: Ssc = Σ 2^(53-M_j) exact in
+      // DECIMAL(38,0) (order-free; up to 4096·2^53 = 2^65), V = zero
+      // registers, then ONE double step — raw alpha_m·m²·2^53/Ssc with
+      // the classic linear-counting correction m·ln(m/V) below 2.5m.
+      // The alpha·m² constant is pasted from the SAME Double.toString
+      // into the oracle so both sides start bit-identical, and the
+      // output is milli-scaled to BIGINT (the chi2_micro discipline).
+      perRegs.unionByName(allRegs)
+        .groupBy(col("l_returnflag"), col("exact"))
+        .agg(
+          sum(expr("cast(shiftleft(cast(1 as bigint), 53 - reg) as decimal(38,0))"))
+            .as("ssc"),
+          sum(when(col("reg") === 0, 1L).otherwise(0L)).as("v"))
         .select(col("l_returnflag"),
-          hll_sketch_estimate(col("sk")).as("est"), col("exact"))
-      val all = lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
-        .agg(hll_union_agg(col("sk")).as("sku"))
-        .select(lit("ALL").as("l_returnflag"),
-          hll_sketch_estimate(col("sku")).as("est"), lit(-1L).as("exact"))
-      per.unionByName(all).orderBy(col("l_returnflag"))
+          round(
+            when(
+              (lit(HllRegistersAgg.ALPHA_M2) * lit(9007199254740992.0)
+                / col("ssc").cast(DoubleType)) <= lit(10240.0)
+                && col("v") > 0,
+              lit(4096.0) * log(lit(4096.0) / col("v").cast(DoubleType)))
+            .otherwise(lit(HllRegistersAgg.ALPHA_M2) * lit(9007199254740992.0)
+                / col("ssc").cast(DoubleType)) * lit(1000.0))
+            .cast(LongType).as("est_milli"),
+          col("exact"))
+        .orderBy(col("l_returnflag"))
     }),
 
     // Boolean aggregation + filtered counts per priority class.
@@ -1244,6 +1272,56 @@ object AggQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Register-deterministic HLL mirrored end to end (r12 VERDICT
+    // task 2): xxhash64 via the OracleXxh64 HUGEINT chain, register
+    // index = top 12 bits, rho via exact-integer bit length
+    // (ltrim(bin(w)) — no floating log2), per-register maxima, then
+    // the identical Ssc/V/estimate arithmetic as the engine. Absent
+    // registers are zeros: Ssc picks up (4096-present)·2^53 and
+    // V = 4096-present (present registers always have rho >= 1).
+    // alpha·m² is the engine's own Double.toString literal.
+    "agg_hll_union" -> {
+      import OracleXxh64._
+      val alpha = graft.functions.HllRegistersAgg.alphaM2Literal
+      val hashed = chain(
+        s"SELECT l_returnflag, ${toUnsigned("l_partkey")} AS u FROM " +
+          "(SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)",
+        hashLongSteps("u", "42::HUGEINT", "a"))
+      val est = s"(($alpha * 9007199254740992.0) / CAST(ssc AS DOUBLE))"
+      s"""WITH rr AS (
+         |  SELECT l_returnflag, af5 // 4503599627370496::HUGEINT AS pos,
+         |    CASE WHEN af5 % 4503599627370496::HUGEINT = 0 THEN 53
+         |         ELSE 53 - length(ltrim(bin(CAST(
+         |           af5 % 4503599627370496::HUGEINT AS UBIGINT)), '0'))
+         |    END AS rho
+         |  FROM ($hashed)
+         |), regs AS (
+         |  SELECT l_returnflag, pos, max(rho) AS reg
+         |  FROM rr GROUP BY 1, 2
+         |), grouped AS (
+         |  SELECT l_returnflag, pos, reg FROM regs
+         |  UNION ALL
+         |  SELECT 'ALL' AS l_returnflag, pos, max(reg) AS reg
+         |  FROM regs GROUP BY pos
+         |), stats AS (
+         |  SELECT l_returnflag,
+         |    sum(CAST(1::BIGINT << (53 - reg) AS HUGEINT))
+         |      + (4096 - count(*))::HUGEINT * 9007199254740992::HUGEINT AS ssc,
+         |    4096 - count(*) AS v
+         |  FROM grouped GROUP BY 1
+         |), exacts AS (
+         |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact
+         |  FROM lineitem GROUP BY 1
+         |  UNION ALL SELECT 'ALL', -1::BIGINT
+         |)
+         |SELECT s.l_returnflag,
+         |  CAST(round(CASE WHEN $est <= 10240.0 AND v > 0
+         |    THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+         |    ELSE $est END * 1000.0) AS BIGINT) AS est_milli,
+         |  e.exact
+         |FROM stats s JOIN exacts e USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
+    },
     "agg_group_sums" -> flagshipSql,
     "agg_count_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders

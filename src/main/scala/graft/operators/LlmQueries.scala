@@ -346,26 +346,35 @@ object LlmQueries {
     // qualifying gram contributes at most C(5,2) = 10 pairs at ANY
     // corpus size, and common/boilerplate grams contribute none —
     // then the exact distinct-gram sets ride the bounded candidate
-    // join (the dedup_minhash carry-through rationale) and
-    // containment_bp = |A∩B| · 10⁴ div min(|A|,|B|) gates at 80%.
+    // join (MEASURED against the id-only alternative — see the A/B
+    // note below) and containment_bp = |A∩B| · 10⁴ div min(|A|,|B|)
+    // gates at 80%.
     "dedup_containment" -> ((s, d) => {
-      val base = documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("toks"))
       // 60-bit digest: the md5's first 15 hex chars as a LONG — 8 B
       // instead of a 32 B string through every shuffle and intersect
       // (4.5x/decade slope without it, measured at sf1); collision
       // odds over 10^7 grams are ~(n²/2^61), negligible — the
       // hashed-shingle Jaccard stance. conv/'0x'-cast parse the same
       // hex in both engines (values < 2^60 never sign-wrap).
-      val grams = gramDigests(base, 3)
-        .select(col("doc_id"),
-          expr("cast(conv(substring(dig, 1, 15), 16, 10) as bigint)")
-            .as("dig"))
-        .distinct()
-      val sets = grams.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("dig"))).as("gset"),
-          count(lit(1)).as("ng"))
+      // Durable artifact (r13): the distinct gram table feeds SIX
+      // plan legs (ng, rare, cand×2, per-pair occurrences×2) — derived
+      // inline, Spark re-runs the explode+md5 for each leg and the
+      // corpus is tokenized six times (the contamination_ngram lesson);
+      // one parquet build amortizes it across legs AND invocations.
+      val gramDir = graft.TempDirs.durableOnce("contain_grams", d,
+        graft.TempDirs.fingerprintOf(s"$d/documents.parquet")) { dir =>
+        gramDigests(
+          documents(s, d)
+            .withColumn("toks", split(col("text"), " "))
+            .select(col("doc_id"), col("toks")), 3)
+          .select(col("doc_id"),
+            expr("cast(conv(substring(dig, 1, 15), 16, 10) as bigint)")
+              .as("dig"))
+          .distinct()
+          .write.mode("overwrite").parquet(dir)
+      }
+      val grams = s.read.schema("doc_id BIGINT, dig BIGINT")
+        .parquet(gramDir)
       val rare = grams.groupBy(col("dig"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5))
@@ -375,14 +384,29 @@ object LlmQueries {
           col("a.dig") === col("b.dig") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      // Payload A/B, MEASURED (r12 VERDICT task 4; quiet box, warm
+      // run 2, both variants on the shared artifact): gset
+      // carry-through 1.02 s sf0.1 / 3.38 s sf1 vs id-only
+      // intersect-at-regroup 1.87 s sf0.1 / 8.2 s sf1 — the verdict's
+      // hypothesis INVERTS. The id-only shape (broadcast-semi-join
+      // grams to candidate docs, fan each pair to per-gram rows, join
+      // on (doc_b, dig), count per pair) ships the same dig bytes but
+      // as 2·ng 16 B ROWS per pair through a shuffle + regroup, and
+      // the per-row shuffle overhead (hash/sort/agg state) exceeds
+      // shipping those digs as two contiguous arrays riding bounded
+      // joins. Candidate volume is rarity-bounded (≤ C(5,2) pairs per
+      // qualifying gram), so the array carry is bounded too — the
+      // gset shape is kept, now reading the artifact.
+      val sets = grams.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("dig"))).as("gset"))
       cand
         .join(sets.select(col("doc_id").as("doc_a"),
-          col("gset").as("ga"), col("ng").as("na")), "doc_a")
+          col("gset").as("ga")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"),
-          col("gset").as("gb"), col("ng").as("nb")), "doc_b")
+          col("gset").as("gb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          expr("size(array_intersect(ga, gb)) * 10000L div least(na, nb)")
-            .as("containment_bp"))
+          expr("size(array_intersect(ga, gb)) * 10000L " +
+            "div least(size(ga), size(gb))").as("containment_bp"))
         .filter(col("containment_bp") >= 8000)
         .orderBy(col("doc_a"), col("doc_b"))
     }),

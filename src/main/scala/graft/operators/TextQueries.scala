@@ -509,9 +509,19 @@ object TextQueries {
             (acc, c) => (acc * 31 + c) % 1000000007L).as("h"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         .rowsBetween(Window.currentRow, 3)
+      // The packed key h·2^20 + (2^20 - pos) needs pos < 2^20 or the
+      // hash stops dominating and the rightmost-min tie-break inverts;
+      // the assert_true is FUSED into the key (coalesce of its null)
+      // so column pruning can't drop it and a >2^20-gram document
+      // fails loudly instead of silently de-MOSSing (r12 ADVICE).
       val sel = grams
         .withColumn("mn",
-          min(col("h") * 1048576L + (lit(1048576L) - col("pos"))).over(w))
+          min(col("h") * 1048576L + (lit(1048576L) - col("pos")) +
+            coalesce(
+              assert_true(col("n_grams") < 1048576L,
+                lit("text_winnowing: >= 2^20 grams in one document — " +
+                  "packed window-min key would misorder")).cast("long"),
+              lit(0L))).over(w))
         .filter(col("pos") <= col("n_grams") - 3)
         .select(col("doc_id"), shiftright(col("mn"), 20).as("h"))
         .distinct()

@@ -4,6 +4,7 @@ import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.O — batch time-series completion over `events`: the
   * regularize-then-fill steps every telemetry/feature pipeline runs
@@ -634,8 +635,14 @@ object TimeSeriesQueries {
     // — both map-combined partial aggregates on small keys; the two
     // 1-row summaries cross at the end.
     "ts_dau_mau" -> ((s, d) => {
+      // FLOOR division for the day bucket (r12 ADVICE): Spark `div`
+      // truncates toward zero while the oracle's DuckDB `//` floors —
+      // identical on the fixture's post-1970 data but divergent on
+      // negative epoch-micros; (x - pmod(x,k)) div k floors for all x
       val ev = events(s, d)
-        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .select(col("user_id"),
+          expr("(ts_us - pmod(ts_us, 86400000000)) div 86400000000")
+            .as("day"))
       val dau = ev.distinct()
         .groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val mau = ev.select(col("user_id")).distinct()
@@ -661,13 +668,24 @@ object TimeSeriesQueries {
     // (type, hour) map-combined count + one tiny per-type agg — the
     // fact table shuffles only its bucket keys.
     "ts_poisson_dispersion" -> ((s, d) => {
+      // floor-division hour bucket — same pre-1970 hazard as
+      // ts_dau_mau (r12 ADVICE); ts_burstiness needs no change: its
+      // div operand ts_us - prev_us is >= 0 by the window order
       val hours = events(s, d)
-        .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+        .select(col("event_type"),
+          expr("(ts_us - pmod(ts_us, 3600000000)) div 3600000000")
+            .as("hr"))
         .groupBy(col("event_type"), col("hr"))
         .agg(count(lit(1)).as("c"))
       hours.groupBy(col("event_type"))
         .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
-          sum(col("c")).as("s"), sum(col("c") * col("c")).as("q"))
+          sum(col("c")).as("s"),
+          // per-element DECIMAL cast BEFORE the multiply+sum (r12
+          // ADVICE): c² in plain int64 wraps past c ≈ 3e9 and the
+          // int64 SUM wraps far sooner, while the DuckDB oracle sums
+          // in HUGEINT — the numerator must be exact on both sides
+          sum(col("c").cast(DecimalType(38, 0)) *
+            col("c").cast(DecimalType(38, 0))).as("q"))
         .select(col("event_type"),
           (col("h1") - col("h0") + 1L).as("n_hours"),
           col("s").as("n_events"),
@@ -705,7 +723,11 @@ object TimeSeriesQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_gaps"),
           sum(col("gap_s")).as("s"),
-          sum(col("gap_s") * col("gap_s")).as("q"))
+          // DECIMAL per element before the sum (r12 ADVICE): many
+          // large gaps overflow an int64 Σgap² while DuckDB's HUGEINT
+          // sum does not — the radicand must be exact on both sides
+          sum(col("gap_s").cast(DecimalType(38, 0)) *
+            col("gap_s").cast(DecimalType(38, 0))).as("q"))
         .filter(col("n_gaps") >= 2L && col("s") > 0L)
         .withColumn("rad",
           (col("n_gaps").cast("decimal(38,0)") *

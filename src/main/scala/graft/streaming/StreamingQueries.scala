@@ -188,6 +188,33 @@ object StreamingQueries {
     }
   }
 
+  /** TTL processor (r13): per-user event count in a ValueState whose
+    * entries EXPIRE `ttlMs` of processing time after their last
+    * update — `TTLConfig`, the retention-bound knob every production
+    * stateful job sets first (the §2.I surface the r12 verdict ranked
+    * top of the remaining API gaps). Each emission carries the PRIOR
+    * state the batch found alongside the updated total, so expiry is
+    * observable in the output: a batch that runs after the TTL has
+    * passed finds prior = 0, and a processor (or engine) that ignored
+    * the TTL would emit the surviving count and hash-mismatch against
+    * the oracle. TTL validates only in TimeMode.ProcessingTime
+    * (StatefulProcessorHandleImplBase rejects it elsewhere).
+    */
+  private class TtlPhaseCount(ttlMs: Long)
+      extends StatefulProcessor[Long, Ev, (Long, Long, Long)] {
+    @transient private var n: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      val prior = if (n.exists()) n.get() else 0L
+      val total = prior + rows.size
+      n.update(total)
+      Iterator((user, total, prior))
+    }
+  }
+
   /** The stateful pipe of `stream_stateful_count`, factored out so
     * StatefulRestartSpec drives the IDENTICAL logic through a
     * kill/restart cycle against a persistent checkpoint.
@@ -1018,6 +1045,84 @@ object StreamingQueries {
       val out = s.table(uname).orderBy(col("user_id"))
       s.catalog.dropTempView(uname)
       out
+    }),
+
+    // State TTL on transformWithState (r13, r12 VERDICT task 5): the
+    // retention knob of production stateful jobs — ValueState entries
+    // expire 2 s of processing time after their update. Replay is two
+    // AvailableNow passes against ONE checkpoint (the
+    // stream_watermark_late epoch discipline): pass 1 streams the
+    // even-event_id half and leaves per-user counts in state; a sleep
+    // strictly longer than the TTL guarantees every entry is expired
+    // (expiry anchors at pass 1's batch timestamp, the sleep starts
+    // after that batch COMMITS, so wall ordering is deterministic —
+    // no race with a slow box); pass 2 streams the odd half and each
+    // user's batch finds prior = 0. Emissions carry (total, prior),
+    // so the sink pins the semantics: per user exactly one row per
+    // non-empty half, Σemitted = their full event count, Σprior = 0 —
+    // a run where TTL failed to expire would emit prior = n_even and
+    // hash-mismatch. One-time cost (passes + sleep) is writeOnce per
+    // JVM; re-invocations read the committed sink.
+    "stream_tws_ttl" -> ((s0, d) => {
+      val srcDir = graft.TempDirs.scoped("ttl_src", d)
+      val outDir = graft.TempDirs.scoped("ttl_out", d)
+      writeOnce("ttl" + d) {
+        // wipe a half-committed retry's sink+checkpoint (the wmlate
+        // rationale: resuming against one would double-count)
+        graft.TempDirs.clearDir(outDir)
+        val ev = events(s0, d)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value"))
+        def pass(): Unit = {
+          // noDataBatches = false is LOAD-BEARING here, not a perf
+          // trim: in TimeMode.ProcessingTime the operator's
+          // shouldRunAnotherBatch is always true (a later batch could
+          // expire more TTL state), so AvailableNow + no-data batches
+          // enabled loops FOREVER (observed: 1297 empty micro-batches
+          // before the r13 build killed it). TTL reads stay correct
+          // without cleanup batches — expiry is checked against the
+          // batch timestamp at state read, not applied by sweeps.
+          val s = replaySession(s0, rocksDb = true, partitions = 4,
+            noDataBatches = false)
+          import s.implicits._
+          implicit val outEnc: Encoder[(Long, Long, Long)] =
+            Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+              Encoders.scalaLong)
+          val src = s.readStream
+            .schema(Encoders.product[Ev].schema)
+            .parquet(srcDir)
+            .as[Ev]
+          val q = src.groupByKey(_.user_id)
+            .transformWithState(new TtlPhaseCount(2000L),
+              TimeMode.ProcessingTime(), OutputMode.Append())
+            .toDF("user_id", "emitted_n", "prior")
+            .writeStream.format("parquet")
+            .option("path", s"$outDir/data")
+            .option("checkpointLocation", s"$outDir/ckpt")
+            .outputMode(OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        }
+        ev.filter(col("event_id") % 2 === 0).repartition(1)
+          .write.mode("overwrite").parquet(srcDir)
+        pass()
+        // sleep > TTL: every pass-1 entry (expiry = pass-1 batch
+        // timestamp + 2 s) is expired when pass 2's batch starts
+        Thread.sleep(3000L)
+        ev.filter(col("event_id") % 2 === 1).repartition(1)
+          .write.mode("append").parquet(srcDir)
+        pass()
+      }
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$outDir/data"))
+      s0.read.schema("user_id BIGINT, emitted_n BIGINT, prior BIGINT")
+        .parquet(s"$outDir/data")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_emissions"),
+          sum(col("emitted_n")).as("sum_emitted"),
+          sum(col("prior")).as("sum_prior"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -1064,6 +1169,17 @@ object StreamingQueries {
     "stream_tws_running_sum" ->
       """SELECT user_id,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // one emission per non-empty event_id-parity half (the two
+    // replay passes), full count across both, and zero surviving
+    // prior state — the TTL-expiry arithmetic in batch form
+    "stream_tws_ttl" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_id % 2 = 0) > 0 AS BIGINT)
+        |  + CAST(count(*) FILTER (WHERE event_id % 2 = 1) > 0 AS BIGINT)
+        |    AS n_emissions,
+        |  count(*) AS sum_emitted,
+        |  0::BIGINT AS sum_prior
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_static_join" ->
       """SELECT n_name, count(*) AS n_events

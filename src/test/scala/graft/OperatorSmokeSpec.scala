@@ -60,15 +60,35 @@ class OperatorSmokeSpec extends SparkSpecBase {
     val rows = SparkEntry.queries("agg_hll_union")(spark, sfDir).collect()
     val (allRow, perRows) = rows.partition(_.getString(0) == "ALL")
     perRows.foreach { r =>
-      val (est, exact) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(est - exact).toDouble / exact < 0.05,
+      val (est, exact) = (r.getLong(1) / 1000.0, r.getLong(2))
+      assert(math.abs(est - exact) / exact < 0.05,
         s"${r.getString(0)}: est=$est exact=$exact")
     }
     val globalExact = Tables.lineitem(spark, sfDir)
       .select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
-    val unionEst = allRow.head.getLong(1)
-    assert(math.abs(unionEst - globalExact).toDouble / globalExact < 0.05,
+    val unionEst = allRow.head.getLong(1) / 1000.0
+    assert(math.abs(unionEst - globalExact) / globalExact < 0.05,
       s"union est=$unionEst exact=$globalExact")
+  }
+
+  test("HLL registers merge = registers of the union of the value sets") {
+    // the mergeability contract the ALL row relies on: elementwise max
+    // of per-group register arrays equals the registers computed over
+    // the concatenated input — merge order and grouping must not matter
+    import graft.functions.HllRegistersAgg
+    val li = Tables.lineitem(spark, sfDir)
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(HllRegistersAgg.registers(col("l_partkey")).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("pos", "reg")))
+      .groupBy(col("pos")).agg(max(col("reg")).as("reg"))
+      .orderBy(col("pos")).collect().map(_.getInt(1))
+    val global = li
+      .agg(HllRegistersAgg.registers(col("l_partkey")).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("pos", "reg")))
+      .orderBy(col("pos")).collect().map(_.getInt(1))
+    assert(perGroup.length == 4096 && global.length == 4096)
+    assert(perGroup.sameElements(global),
+      "per-group register max != global registers")
   }
 
   test("approx_count_distinct is within declared rsd of exact") {
