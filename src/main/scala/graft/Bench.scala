@@ -163,9 +163,13 @@ object Bench {
           val oldTotal = grab(""""value":([0-9.]+)""").map(_.toDouble)
           val oldN = grab(""""n_queries":([0-9]+)""").map(_.toInt)
           val oldSf = grab(""""sf":"([^"]+)"""")
-          oldTotal.isEmpty || oldN.isEmpty ||
-            oldN.get != mins.size || !oldSf.contains(sfDir) ||
-            (nFailed == 0 && total < oldTotal.get)
+          // a leg at a DIFFERENT sf (scale sweeps) never touches the
+          // canonical file — only same-sf legs compete, and they win
+          // by growing the surface or by a faulless lower total
+          oldSf.contains(sfDir) && (
+            oldTotal.isEmpty || oldN.isEmpty ||
+              oldN.get != mins.size ||
+              (nFailed == 0 && total < oldTotal.get))
         }
       if (replace) Files.writeString(fullPath, line(fullQs) + "\n")
     } catch { case _: Throwable => () }

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, HllRegistersAgg, MinHashSigExpr,
-  MinHashSketchAgg, MisraGriesAgg, SimHashAgg, SortedIntersectCountExpr}
+import graft.functions.{CountMinAgg, DotProductExpr, HllRegistersAgg,
+  MinHashSigExpr, MinHashSketchAgg, MisraGriesAgg, SimHashAgg,
+  SortedIntersectCountExpr}
 
 /** Session extension that registers the engine's custom codegen
   * expressions as SQL functions, so the SQL-text API (SURVEY.md §2.N)
@@ -30,6 +31,8 @@ import graft.functions.{DotProductExpr, HllRegistersAgg, MinHashSigExpr,
   *                                                        -- candidates
   *   SELECT graft_hll_registers(key) ... GROUP BY day     -- m=4096 HLL
   *                                                        -- registers
+  *   SELECT graft_cms(key) ... GROUP BY day               -- 4x1024
+  *                                                        -- Count-Min
   *
   * Registration is additive metadata on the session — no planner
   * behavior changes, so every Catalyst rule and strategy continues to
@@ -107,6 +110,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         requireArity("graft_hll_registers", 1, children)
         HllRegistersAgg(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      info("graft_cms"),
+      (children: Seq[Expression]) => {
+        requireArity("graft_cms", 1, children)
+        CountMinAgg(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_misra_gries"),

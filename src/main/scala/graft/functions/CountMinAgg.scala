@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Count-Min sketch of a BIGINT column as the raw d=4 × w=1024 counter
+  * matrix (row-major array<long>), for `agg_cms_point` — the mergeable
+  * frequency sketch that answers point queries ("how often did key k
+  * occur?") with one-sided error ≤ e·N/w at confidence 1−(1/2)^d, the
+  * streaming-telemetry companion of the Misra-Gries heavy-hitter
+  * candidates (`MisraGriesAgg`), which bounds TOP-k but cannot answer
+  * arbitrary point lookups.
+  *
+  * Determinism contract (the HllRegistersAgg discipline): row d's
+  * bucket for value v is `XXH64.hashLong(v, 42 + d) mod 1024` in
+  * UNSIGNED arithmetic — the exact chain OracleXxh64 mirrors in DuckDB
+  * HUGEINT, where the mod is plain `% 1024` on the non-negative
+  * HUGEINT value. Counters are pure integer counts, the merge is
+  * elementwise add (associative + commutative → map-side partial
+  * aggregation), so the sketch — and every point estimate — is
+  * bit-identical across engines, partitionings, and merge orders:
+  * unlike HLL there is no floating step anywhere.
+  *
+  * Scale: 32 KB per group regardless of input size; per-day/partition
+  * sketches add elementwise at query time (the build-once-union
+  * pattern), and the probe side needs no data pass at all — bucket
+  * indices of literal probe keys are computed at plan-build time.
+  */
+case class CountMinAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  import CountMinAgg.{D, W}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_cms requires a BIGINT child, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](D * W)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val k = v.asInstanceOf[Long]
+      var d = 0
+      while (d < D) {
+        buf(d * W + CountMinAgg.bucket(k, d)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < D * W) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * D * W)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(D * W)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "graft_cms"
+}
+
+object CountMinAgg {
+  /** Depth (hash rows) and width (buckets/row): error ≤ N·e/1024 with
+    * confidence 1 − 2^-4 ≈ 94% — and EXACT for any key whose 4 buckets
+    * escape collision, which the spec checks against true counts. */
+  val D: Int = 4
+  val W: Int = 1024
+  /** Row d hashes with seed SEED + d (xxHash64 long finalizer). */
+  val SEED: Long = 42L
+
+  /** Bucket of value `k` in row `d` — shared by the aggregate's update
+    * and the plan-build-time probe-key indexing, so the two can never
+    * drift. */
+  def bucket(k: Long, d: Int): Int =
+    java.lang.Long.remainderUnsigned(XXH64.hashLong(k, SEED + d), W.toLong).toInt
+
+  /** Column-API entry point: the d×w row-major counter array of a
+    * BIGINT column within each group. */
+  def sketch(c: Column): Column =
+    ColumnBridge.column(
+      CountMinAgg(ColumnBridge.expression(c)).toAggregateExpression())
+}

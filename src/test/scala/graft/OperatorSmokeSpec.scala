@@ -91,6 +91,61 @@ class OperatorSmokeSpec extends SparkSpecBase {
       "per-group register max != global registers")
   }
 
+  test("HLL intersection estimates land near the exact overlaps") {
+    val rows = SparkEntry.queries("agg_hll_intersection")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3, s"expected 3 flag pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(2) / 1000.0, r.getLong(3))
+      // inclusion-exclusion compounds three sketch errors; the gate is
+      // a sanity envelope — exactness is the oracle hash's job
+      assert(math.abs(est - exact) <= math.max(25.0, 0.15 * exact),
+        s"${r.getString(0)}/${r.getString(1)}: est=$est exact=$exact")
+    }
+  }
+
+  test("CMS point estimates are one-sided and collision-bounded") {
+    val n = Tables.lineitem(spark, sfDir).count()
+    val rows = SparkEntry.queries("agg_cms_point")(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS undercounted key ${r.getLong(0)}")
+      assert(est - exact <= n / 64,
+        s"key ${r.getLong(0)}: overcount ${est - exact} beyond bound")
+    }
+  }
+
+  test("CMS sketches merge: sum of per-group sketches = global sketch") {
+    import graft.functions.CountMinAgg
+    val li = Tables.lineitem(spark, sfDir)
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(CountMinAgg.sketch(col("l_suppkey")).as("cms"))
+      .select(posexplode(col("cms")).as(Seq("pos", "c")))
+      .groupBy(col("pos")).agg(sum(col("c")).as("c"))
+      .orderBy(col("pos")).collect().map(_.getLong(1))
+    val global = li.agg(CountMinAgg.sketch(col("l_suppkey")).as("cms"))
+      .select(posexplode(col("cms")).as(Seq("pos", "c")))
+      .orderBy(col("pos")).collect().map(_.getLong(1))
+    assert(perGroup.length == 4096 && global.length == 4096)
+    assert(perGroup.sameElements(global),
+      "per-group sketch sum != global sketch")
+  }
+
+  test("transpose is the exact flip of the aggregated summary") {
+    val t = SparkEntry.queries("reshape_transpose")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(Tables.moneySumD(col("l_quantity")).as("q"),
+        Tables.moneySumD(col("l_extendedprice")).as("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(t("sum_qty") == ((agg("A")._1, agg("N")._1, agg("R")._1)))
+    assert(t("sum_price") == ((agg("A")._2, agg("N")._2, agg("R")._2)))
+  }
+
   test("approx_count_distinct is within declared rsd of exact") {
     // the QUERY now emits (exact, envelope flag) — the raw estimate is
     // engine-specific and stays out of the hashed output, so the tight
