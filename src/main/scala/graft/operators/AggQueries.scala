@@ -85,10 +85,20 @@ object AggQueries {
     import graft.functions.HllRegistersAgg
     val dir = graft.TempDirs.scoped("hll_regs", d)
     graft.TempDirs.writeOnce("hll_regs" + d) {
-      lineitem(s, d)
+      // sketch and exact in SEPARATE aggregates, joined on the 3-row
+      // result: one agg mixing countDistinct with the imperative
+      // sketch plans as the two-phase distinct rewrite whose FIRST
+      // aggregate keys on (flag, partkey) — ~|distinct keys| 4 KB HLL
+      // buffers (measured at sf1: 58.7 s mixed vs 8.1 s split,
+      // build-inclusive run 1; warm reads 0.9 s)
+      val sk = lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(HllRegistersAgg.registers(col("l_partkey")).as("regs"),
-          countDistinct(col("l_partkey")).as("exact"))
+        .agg(HllRegistersAgg.registers(col("l_partkey")).as("regs"))
+      val ex = lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+      sk.join(ex, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("regs"), col("exact"))
         .coalesce(1).write.mode("overwrite").parquet(dir)
     }
     dir

@@ -260,6 +260,43 @@ object GraphQueries {
           col("comp_size"))
         .orderBy(col("supplier"))
     }),
+    // Label propagation communities (r13): 3 SYNCHRONOUS rounds of
+    // "adopt the most frequent neighbor label" over the full
+    // undirected top-K graph — the near-linear community-detection
+    // baseline (Raghavan et al. 2007), the denser-graph complement of
+    // graph_wcc's 1-NN match chains (WCC partitions by connectivity;
+    // LPA partitions by neighborhood MAJORITY, so it splits the giant
+    // component wcc's scaladoc calls degenerate). Determinism: the
+    // argmax tie-breaks by (count DESC, label ASC) and rounds are
+    // synchronous (round i reads only round i-1 labels), so the
+    // result is partitioning/order-invariant and the oracle unrolls
+    // the identical 3 rounds. Fixed rounds keep the plan static —
+    // production iterates with a convergence delta (the cc-labels
+    // checkpointed-rounds pattern). Per round: one join + one
+    // map-combined count + one per-node row_number over O(N·K) rows.
+    "graph_lpa" -> ((s, d) => {
+      val und = undirected(edgesTopK(s, d))
+      var labels = und.select(col("x").as("v")).distinct()
+        .select(col("v"), col("v").as("label"))
+      for (_ <- 1 to 3) {
+        val w = Window.partitionBy(col("x"))
+          .orderBy(col("cnt").desc, col("label"))
+        labels = und
+          .join(labels.withColumnRenamed("v", "y"), "y")
+          .groupBy(col("x"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("x").as("v"), col("label"))
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("comm_size"))
+      labels.join(sizes, "label")
+        .select(col("v").as("supplier"), col("label").as("community"),
+          col("comm_size"))
+        .orderBy(col("supplier"))
+    }),
+
     // The graph construction IS the operator: per-node top-K strongest
     // co-suppliers. N·K rows out, deterministic tie-break (count DESC,
     // neighbor id).
@@ -589,6 +626,36 @@ object GraphQueries {
       """
         |SELECT u AS supplier, v AS neighbor, shared_parts
         |FROM e ORDER BY supplier, shared_parts DESC, neighbor""".stripMargin),
+    // identical 3 synchronous rounds, identical (count DESC, label
+    // ASC) argmax tie-break; each round reads only the previous
+    // round's labels
+    "graph_lpa" -> (edgeCte +
+      """,
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x, y FROM (
+        |    SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e)),
+        |l0 AS (SELECT DISTINCT x AS v, x AS label FROM und),
+        |r1 AS MATERIALIZED (SELECT x AS v, label FROM (
+        |  SELECT und.x, l.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY und.x
+        |      ORDER BY count(*) DESC, l.label) AS rn
+        |  FROM und JOIN l0 l ON l.v = und.y GROUP BY und.x, l.label) t
+        |  WHERE rn = 1),
+        |r2 AS MATERIALIZED (SELECT x AS v, label FROM (
+        |  SELECT und.x, l.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY und.x
+        |      ORDER BY count(*) DESC, l.label) AS rn
+        |  FROM und JOIN r1 l ON l.v = und.y GROUP BY und.x, l.label) t
+        |  WHERE rn = 1),
+        |r3 AS MATERIALIZED (SELECT x AS v, label FROM (
+        |  SELECT und.x, l.label, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY und.x
+        |      ORDER BY count(*) DESC, l.label) AS rn
+        |  FROM und JOIN r2 l ON l.v = und.y GROUP BY und.x, l.label) t
+        |  WHERE rn = 1),
+        |sz AS (SELECT label, count(*) AS comm_size FROM r3 GROUP BY label)
+        |SELECT r3.v AS supplier, r3.label AS community, sz.comm_size
+        |FROM r3 JOIN sz USING (label) ORDER BY supplier""".stripMargin),
 
     "graph_triangle_count" -> (edgeCte +
       """,

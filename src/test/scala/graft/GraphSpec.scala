@@ -119,6 +119,26 @@ class GraphSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("LPA matches a sequential 3-round synchronous propagation") {
+    // plain-Scala re-run of the exact algorithm: synchronous rounds,
+    // argmax by (count desc, label asc)
+    val und = edges.flatMap { case (u, v, _) => Seq((u, v), (v, u)) }.distinct
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      labels = nbrs.map { case (v, ns) =>
+        val hist = ns.groupBy(labels).view.mapValues(_.size)
+        v -> hist.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = labels.values.groupBy(identity).view.mapValues(_.size)
+    val expected = labels.toSeq.sortBy(_._1)
+      .map { case (v, l) => (v, l, sizes(l).toLong) }
+    val got = GraphQueries.queries("graph_lpa")(spark, sfDir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got == expected)
+  }
+
   test("pagerank is invariant under input repartitioning") {
     val a = GraphQueries.queries("graph_pagerank")(spark, sfDir)
       .collect().toSeq
