@@ -751,6 +751,34 @@ object SimilarityQueries {
           expr("cast(size(filter(q, x -> x != 0)) as bigint)").as("nnz_q"))
         .orderBy(col("vec_id"))),
 
+    // Sign-bit-packed Hamming retrieval (r13): binarize each 64-dim
+    // embedding to ONE long (bit i set iff dim i >= 0) and rank the
+    // corpus by Hamming distance to each probe — the 32× binary-
+    // embedding compression tier (256 B floats → 8 B) production
+    // retrieval uses as its first-pass filter at 100 TB: the scan
+    // reads 8 B/vector and distance is one xor+popcount. Packing and
+    // distance are pure integer ops on the exact float signs, so the
+    // ranking is oracle-paired bit-for-bit (unlike recall-
+    // probabilistic ANN); ties break (hamming ASC, vec_id ASC).
+    "emb_bitpack_hamming" -> ((s, d) => {
+      val packed = embeddings(s, d).select(col("vec_id"), expr(
+        "aggregate(transform(sequence(0, 63), " +
+          "i -> case when element_at(embedding, i + 1) >= 0f " +
+          "then shiftleft(cast(1 as bigint), i) else cast(0 as bigint) end), " +
+          "cast(0 as bigint), (a, x) -> a + x)").as("sig"))
+      val probes = packed.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("sig").as("psig"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("hamming"), col("vec_id"))
+      broadcast(probes).join(packed, col("probe_id") =!= col("vec_id"))
+        .withColumn("hamming", expr("cast(bit_count(psig ^ sig) as bigint)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("hamming"))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // Matryoshka (MRL) coarse-to-fine retrieval (r7): rank the corpus
     // by cosine over the FIRST 8 dims only (the truncation tier an
     // MRL-trained embedding is built for — an 8x smaller scan), keep
@@ -1516,6 +1544,34 @@ object SimilarityQueries {
          |    (a, x) -> a + x) * 1000000) AS BIGINT) AS adc_u
          |FROM codes CROSS JOIN qdt
          |ORDER BY adc_u, vec_id LIMIT 10""".stripMargin,
+    // Same sign convention (>= 0 sets the bit), signatures summed as
+    // HUGEINT then viewed signed like Spark's long; xor+bit_count on
+    // UBIGINT; same (hamming, vec_id) tie order.
+    "emb_bitpack_hamming" -> {
+      import graft.operators.OracleXxh64.{toSigned, toUnsigned}
+      s"""WITH packed AS MATERIALIZED (
+         |  SELECT vec_id, ${toSigned("sum(CAST(CASE WHEN x >= 0 " +
+             "THEN 1::UBIGINT << (i - 1)::INT ELSE 0::UBIGINT END AS HUGEINT))")} AS sig
+         |  FROM (SELECT vec_id, unnest(embedding) AS x,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings) t
+         |  GROUP BY vec_id
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, sig AS psig FROM packed WHERE vec_id < 3
+         |), dist AS (
+         |  SELECT probe_id, vec_id,
+         |    CAST(bit_count(xor(CAST(${toUnsigned("psig")} AS UBIGINT),
+         |      CAST(${toUnsigned("sig")} AS UBIGINT))) AS BIGINT) AS hamming
+         |  FROM probes JOIN packed ON probe_id != vec_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, hamming,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY hamming, vec_id) AS rank
+         |  FROM dist
+         |)
+         |SELECT probe_id, rank, vec_id AS neighbor_id, hamming
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     // Same elementwise round(x * 127 / max|x|) with the same double
     // literals; every emitted aggregate is an integer fold.
     "emb_quantize_int8" ->

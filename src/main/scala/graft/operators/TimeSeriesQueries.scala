@@ -1195,6 +1195,41 @@ object TimeSeriesQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Bollinger bands (r13): 20-row rolling mean ± 2σ per event type —
+    // the volatility envelope next to ts_sma_cross's crossover signal
+    // (a point outside the band is the classic mean-reversion /
+    // anomaly trigger; ts_anomaly_zscore is the whole-series cousin,
+    // this is the rolling-window one). EXACT sufficient statistics:
+    // cents Σx and Σx² in DECIMAL(38,0) per 20-row frame (full frames
+    // only), variance numerator 20·Σx² − (Σx)² exact, then mean, σ =
+    // sqrt (correctly rounded IEEE — identical both engines) and the
+    // ±2σ bands in ONE double step each, milli-scaled. Both window
+    // passes ride the family's one (type-keyed) shuffle.
+    "ts_bollinger" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val w20 = w.rowsBetween(-19, 0)
+      events(s, d)
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .withColumn("n20", count(lit(1)).over(w20))
+        .withColumn("sx", sum(col("c").cast(DecimalType(38, 0))).over(w20))
+        .withColumn("sxx", sum((col("c").cast(DecimalType(38, 0)) *
+          col("c").cast(DecimalType(38, 0)))).over(w20))
+        .filter(col("n20") === 20)
+        .withColumn("mean", col("sx").cast("double") / lit(20.0))
+        .withColumn("band", lit(2.0) * sqrt(
+          (col("sxx") * lit(20) - col("sx") * col("sx")).cast("double")
+            / lit(400.0)))
+        .select(col("event_type"), col("ts_us"), col("event_id"),
+          round(col("mean") * 1000).cast("long").as("mid_milli"),
+          round((col("mean") + col("band")) * 1000).cast("long")
+            .as("upper_milli"),
+          round((col("mean") - col("band")) * 1000).cast("long")
+            .as("lower_milli"))
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+    }),
+
     // Maximum drawdown (r9): per user, the largest peak-to-trough drop
     // of the event-value series in stored cents — the risk metric
     // every monitoring/finance series wants next to its running max.
@@ -1986,6 +2021,32 @@ object TimeSeriesQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+    // same exact Σx/Σx² per 20-row frame (HUGEINT mirrors the
+    // DECIMAL(38,0) window sums), same one-double-step mean/σ/bands
+    "ts_bollinger" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events
+        |), w AS (
+        |  SELECT event_type, tus, event_id,
+        |    count(*) OVER fr AS n20,
+        |    sum(CAST(c AS HUGEINT)) OVER fr AS sx,
+        |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) OVER fr AS sxx
+        |  FROM e
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), b AS (
+        |  SELECT event_type, tus, event_id,
+        |    CAST(sx AS DOUBLE) / 20.0 AS mean,
+        |    2.0 * sqrt(CAST(sxx * 20 - sx * sx AS DOUBLE) / 400.0) AS band
+        |  FROM w WHERE n20 = 20
+        |)
+        |SELECT event_type, tus AS ts_us, event_id,
+        |  CAST(round(mean * 1000) AS BIGINT) AS mid_milli,
+        |  CAST(round((mean + band) * 1000) AS BIGINT) AS upper_milli,
+        |  CAST(round((mean - band) * 1000) AS BIGINT) AS lower_milli
+        |FROM b ORDER BY event_type, ts_us, event_id""".stripMargin,
     // same cross-multiplied sign algebra; windowed HUGEINT sums cast
     "ts_sma_cross" ->
       """WITH e AS (

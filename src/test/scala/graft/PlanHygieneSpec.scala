@@ -19,6 +19,7 @@ class PlanHygieneSpec extends SparkSpecBase {
     "join_cross" -> "the operator IS a cross join (bounded dims)",
     "sim_search_topk" -> "brute-force baseline: bounded query side x corpus",
     "emb_mrl_topk" -> "coarse tier: bounded query side x corpus (8-dim prefix)",
+    "emb_bitpack_hamming" -> "3-probe broadcast x packed corpus (8 B signatures)",
     "sim_search_cosine" -> "brute-force baseline: bounded query side x corpus",
     "ann_ivf_topk" -> "16-centroid broadcast fan-out per vector",
     "dedup_semantic" -> "~sqrt(N)-centroid broadcast fan-out per vector (assignment)",
