@@ -32,7 +32,15 @@ object Bench {
     * with clock speed / hypervisor steal, not with cache state.
     */
   private def spinNsPerOp(): Double = {
-    var x = 0x9E3779B97F4A7C15L
+    // untimed warm-up (r13 ADVICE): calibPre is the first work in
+    // main(), and without this the timed loop includes interpreter/OSR
+    // JIT warm-up — the committed quiet legs showed pre ~2.50 vs post
+    // ~2.10 ns/op on a QUIET box, a ~20% inflation the "both >> quiet
+    // = started throttled" reading could misattribute to box weather
+    var w = 0x9E3779B97F4A7C15L
+    var j = 0L
+    while (j < 50000000L) { w ^= w << 13; w ^= w >>> 7; w ^= w << 17; j += 1 }
+    var x = w | 1L
     var i = 0L
     val n = 400000000L // ~0.3-0.5 s on a quiet box
     val t0 = System.nanoTime()
@@ -42,6 +50,30 @@ object Bench {
     if (x == 42L) System.err.println("calib")
     dt.toDouble / n
   }
+
+  /** Quiet-band manifest (tools/quiet_band.json, maintained by
+    * tools/make_quiet_band.py): per-query quiet minima + the band legs'
+    * calibration spins + the band's sf dir. Parsed with regexes — the
+    * file is flat and machine-written, and the bench binary must not
+    * grow a JSON dependency. Returns (sf, minBandSpin, name -> quietSec).
+    */
+  private def loadQuietBand(): Option[(String, Option[Double], Map[String, Double])] =
+    try {
+      val txt = Files.readString(Paths.get("/root/repo/tools/quiet_band.json"))
+      val bandAt = txt.indexOf("\"band\"")
+      if (bandAt < 0) None
+      else {
+        val head = txt.substring(0, bandAt)
+        val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(head).map(_.group(1))
+        val spins = """"post_ns_per_op":\s*([0-9.]+)""".r
+          .findAllMatchIn(head).map(_.group(1).toDouble).toSeq
+        val band = """"([A-Za-z0-9_]+)":\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(txt.substring(bandAt + 6))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        sf.filter(_ => band.nonEmpty)
+          .map(s => (s, if (spins.nonEmpty) Some(spins.min) else None, band))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** (steal, total) jiffies from the aggregate cpu line of /proc/stat.
     * Cumulative counters — steal% over the bench is the delta ratio. */
@@ -134,8 +166,39 @@ object Bench {
       else 0.0
     val calibJson =
       f"""{"pre_ns_per_op":$calibPre%.4f,"post_ns_per_op":$calibPost%.4f,"steal_pct":$stealPct%.3f}"""
+    // self-classifying leg verdict (r13 VERDICT task 1): the r13 driver
+    // record said 660 s / "2.5x regression" while the same binary
+    // measured 128.8 s quiet — the classifier that proved it weather
+    // lived only in tools/. Compute the same three signals
+    // classify_bench.py uses (median per-query ratio vs the committed
+    // quiet band, post-spin vs the band legs' spin, steal%) and emit
+    // them INTO the stdout JSON so the permanent BENCH_rNN.json record
+    // carries its own verdict. Thresholds mirror classify_bench.py
+    // exactly — the done-check is that the two agree on the same leg.
+    val legVerdictJson: String = loadQuietBand() match {
+      case Some((bandSf, bandSpin, band)) if bandSf == sfDir =>
+        val ratios = mins.toSeq.collect {
+          case (q, t) if t >= 0 && band.get(q).exists(_ > 0) => t / band(q)
+        }.sorted
+        if (ratios.isEmpty) """"leg":"NO-BAND""""
+        else {
+          val med =
+            if (ratios.length % 2 == 1) ratios(ratios.length / 2)
+            else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2
+          val spinRatio = bandSpin.map(calibPost / _)
+          val throttled = med > 1.3 ||
+            spinRatio.exists(_ > 1.3) || stealPct > 6.0
+          val label = if (throttled) "THROTTLED" else "QUIET"
+          f""""band_median_ratio":$med%.3f,""" +
+            spinRatio.map(r => f""""band_spin_ratio":$r%.3f,""").getOrElse("") +
+            s""""leg":"$label""""
+        }
+      // sweeps at other scales have no band — say so rather than omit
+      case Some(_) => """"leg":"NO-BAND""""
+      case None => """"leg":"NO-BAND""""
+    }
     def line(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_success":$nSuccess,"n_failed":$nFailed,"runs_per_query":$runsPerQuery,"agg":"min","calibration":$calibJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${mins.size},"n_success":$nSuccess,"n_failed":$nFailed,"runs_per_query":$runsPerQuery,"agg":"min","calibration":$calibJson,$legVerdictJson,"queries":$qs,"sf":"$sfDir"}"""
     // full map (min + every run; negative run = that attempt threw) →
     // repo file (judge-readable; stdout would truncate it)
     val bySlowest = mins.toSeq.sortBy(-_._2)
@@ -165,11 +228,15 @@ object Bench {
           val oldSf = grab(""""sf":"([^"]+)"""")
           // a leg at a DIFFERENT sf (scale sweeps) never touches the
           // canonical file — only same-sf legs compete, and they win
-          // by growing the surface or by a faulless lower total
-          oldSf.contains(sfDir) && (
+          // by growing the surface or by a lower total, and ONLY when
+          // faultless: a throttled/partially-failed first leg after a
+          // surface change must not become the committed quiet best
+          // either (r13 ADVICE — the surface-changed branch previously
+          // replaced unconditionally)
+          nFailed == 0 && oldSf.contains(sfDir) && (
             oldTotal.isEmpty || oldN.isEmpty ||
               oldN.get != mins.size ||
-              (nFailed == 0 && total < oldTotal.get))
+              total < oldTotal.get)
         }
       if (replace) Files.writeString(fullPath, line(fullQs) + "\n")
     } catch { case _: Throwable => () }

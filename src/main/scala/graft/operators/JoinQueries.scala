@@ -295,6 +295,33 @@ object JoinQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The NEAREST direction through the same native exec (r14,
+    // completing the merge_asof direction triangle): smaller |Δt| of
+    // the inclusive-backward candidate (last consumed right row) vs
+    // the strict-forward candidate (the buffered head), ties to
+    // backward — the same rule as join_asof_nearest's CASE, but
+    // carrying the matched signup's PAYLOAD row. Same single
+    // co-partitioning shuffle + sort, same O(1) walk state (one extra
+    // long: the consumed candidate's time). AsofJoinNativeSpec proves
+    // row-identity of nearest_us against the window spelling.
+    "join_asof_native_nearest" -> ((s, d) => {
+      val s2 = asofSession(s)
+      val ev = events(s2, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val signups = events(s2, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user_id"),
+          col("ts_us").as("nearest_signup_us"),
+          col("event_id").as("signup_event_id"))
+      graft.plans.AsofJoinApi.asofJoin(s2, ev, signups,
+          leftKeyCol = "user_id", rightKeyCol = "s_user_id",
+          leftTimeCol = "ts_us", rightTimeCol = "nearest_signup_us",
+          rightTiebreak = Seq("signup_event_id"), nearest = true)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("nearest_signup_us"), col("signup_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join, forward + nearest directions (r7): the other two
     // merge_asof semantics. prior = most recent signup with ts <= t
     // (RANGE unbounded-preceding..current-row — peers included, same
@@ -673,6 +700,39 @@ object JoinQueries {
         |    AND g.tus < e.tus
         |  ORDER BY g.tus DESC, g.event_id DESC LIMIT 1
         |) s ON true
+        |ORDER BY e.event_id""".stripMargin,
+    // lateral mirror of the native NEAREST direction, payload included:
+    // prior candidate = (tus <= t, ORDER BY tus DESC, event_id DESC),
+    // next candidate = (tus > t, ORDER BY tus ASC, event_id ASC) —
+    // strict next mirrors the walk, which consumes equal-time rows
+    // into the backward candidate; tie (equal deltas) goes to prior
+    "join_asof_native_nearest" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type
+        |  FROM events
+        |)
+        |SELECT e.event_id, e.user_id, e.tus AS ts_us,
+        |  CASE WHEN p.tus IS NULL THEN n.tus
+        |       WHEN n.tus IS NULL THEN p.tus
+        |       WHEN e.tus - p.tus <= n.tus - e.tus THEN p.tus
+        |       ELSE n.tus END AS nearest_signup_us,
+        |  CASE WHEN p.tus IS NULL THEN n.event_id
+        |       WHEN n.tus IS NULL THEN p.event_id
+        |       WHEN e.tus - p.tus <= n.tus - e.tus THEN p.event_id
+        |       ELSE n.event_id END AS signup_event_id
+        |FROM ev e
+        |LEFT JOIN LATERAL (
+        |  SELECT g.tus, g.event_id FROM ev g
+        |  WHERE g.event_type = 'signup' AND g.user_id = e.user_id
+        |    AND g.tus <= e.tus
+        |  ORDER BY g.tus DESC, g.event_id DESC LIMIT 1
+        |) p ON true
+        |LEFT JOIN LATERAL (
+        |  SELECT g.tus, g.event_id FROM ev g
+        |  WHERE g.event_type = 'signup' AND g.user_id = e.user_id
+        |    AND g.tus > e.tus
+        |  ORDER BY g.tus ASC, g.event_id ASC LIMIT 1
+        |) n ON true
         |ORDER BY e.event_id""".stripMargin,
     // correlated min/max mirrors of the two range-frame windows;
     // nearest = smaller integer-us delta, ties to prior

@@ -26,12 +26,17 @@ import org.apache.spark.sql.types.LongType
   * columns, null-extended when no match exists — not just the matched
   * time. Backward (default): the right row with the LARGEST time
   * strictly before the left time within the same key. Forward: the
-  * SMALLEST right time at-or-after the left time. Ties on the right's
-  * (key, time) are broken by the caller-supplied `rightTiebreak`
-  * columns (largest wins backward, smallest wins forward — the sort
-  * order's last/first row), making the payload deterministic under
-  * any partitioning; without a tiebreak, equal-time right rows would
-  * surface partition-order-dependent payloads.
+  * SMALLEST right time at-or-after the left time. Nearest (r14,
+  * completing the merge_asof direction triangle): the candidate with
+  * the smaller |time delta| among the inclusive-backward candidate
+  * (largest right time <= left time) and the strict-forward candidate,
+  * ties to backward — the window spelling's rule (`join_asof_nearest`),
+  * matched exactly. Ties on the right's (key, time) are broken by the
+  * caller-supplied `rightTiebreak` columns (largest wins backward,
+  * smallest wins forward — the sort order's last/first row), making
+  * the payload deterministic under any partitioning; without a
+  * tiebreak, equal-time right rows would surface
+  * partition-order-dependent payloads.
   *
   * Keys and times are ANY orderable Spark type (r9 — was LongType
   * only): the two key types must match, the two time types must
@@ -62,7 +67,8 @@ case class AsofJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreak: Seq[Expression] = Nil,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryNode {
   // left-outer shape: every right column is nullable in the output
   // (null-extended when no as-of match exists); exprIds are preserved
   // so downstream resolution works exactly as for a built-in Join
@@ -83,9 +89,9 @@ case class AsofJoin(
   */
 object AsofJoinStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, tb, fwd) =>
+    case AsofJoin(l, r, lk, rk, lt, rt, tb, fwd, near) =>
       AsofJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r),
-        fwd) :: Nil
+        fwd, near) :: Nil
     case _ => Nil
   }
 }
@@ -98,12 +104,20 @@ case class AsofJoinExec(
     rightTiebreak: Seq[Expression],
     left: SparkPlan,
     right: SparkPlan,
-    forward: Boolean = false) extends BinaryExecNode {
+    forward: Boolean = false,
+    nearest: Boolean = false) extends BinaryExecNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
   require(leftTime.dataType == rightTime.dataType,
     s"as-of time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+  require(!(forward && nearest),
+    "as-of direction must be one of backward (default), forward, nearest")
+  // nearest needs |time delta| ARITHMETIC, not just an ordering — the
+  // contract is integer time (the fixture's epoch-micros); other
+  // orderable time types have no engine-defined subtraction here
+  require(!nearest || leftTime.dataType == LongType,
+    s"nearest as-of requires BIGINT times, got ${leftTime.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -212,6 +226,7 @@ case class AsofJoinExec(
     val kOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val isFwd = forward
+    val isNear = nearest
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val proj = UnsafeProjection.create(
         inAttrs.map(a => a: Expression), inAttrs)
@@ -256,6 +271,10 @@ case class AsofJoinExec(
       // consumed right row (ADVICE r9).
       var matchRow: InternalRow = null
       var matchKey: Any = null
+      // nearest mode only: the consumed (backward-candidate) row's time
+      // — a primitive long (the mode requires LongType), so the value
+      // extracted from the sorter's reused row cannot rot
+      var matchTime: Long = 0L
       var matchBuf: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
       @inline def stash(consumed: InternalRow): InternalRow =
         consumed match {
@@ -280,16 +299,42 @@ case class AsofJoinExec(
             if (rkV == null || rtV == null) { rBuf.next() }
             else {
               val c = cmpK(rkV, lkV)
-              if (c < 0 || (c == 0 && cmpT(rtV, ltV) < 0)) {
+              // nearest consumes INCLUSIVE of equal times (its backward
+              // candidate is rt <= lt, the window spelling's prior_us)
+              // so the buffered head is then strictly after lt
+              val tc = if (c == 0) cmpT(rtV, ltV) else 0
+              if (c < 0 || (c == 0 && (tc < 0 || (isNear && tc == 0)))) {
                 matchRow = stash(rBuf.next())
                 // re-read the key from the STASHED copy: for buffer-
                 // backed key types (UTF8String) the value extracted
                 // from the sorter's reused row rots at the next head()
                 matchKey = if (useLong) rkV else rk(matchRow)
+                if (isNear) matchTime = rtV.asInstanceOf[Long]
               } else advance = false
             }
           }
-          if (isFwd) {
+          if (isNear) {
+            // nearest = smaller |delta| of the inclusive-backward
+            // candidate (last consumed row, when it belongs to this
+            // key) vs the strict-forward candidate (the buffered head,
+            // when it belongs to this key), ties to backward — exactly
+            // join_asof_nearest's CASE rule. Deltas are non-negative
+            // long subtractions; epoch-micros magnitudes cannot wrap.
+            val hasPrior = matchRow != null && cmpK(matchKey, lkV) == 0
+            var nextRow: InternalRow = null
+            if (rBuf.hasNext) {
+              val rRow = rBuf.head
+              val rkV = rk(rRow)
+              if (rkV != null && cmpK(rkV, lkV) == 0) nextRow = rRow
+            }
+            if (hasPrior && nextRow != null) {
+              val ltL = ltV.asInstanceOf[Long]
+              val dPrior = ltL - matchTime
+              val dNext = rt(nextRow).asInstanceOf[Long] - ltL
+              outRight = if (dPrior <= dNext) matchRow else nextRow
+            } else if (hasPrior) outRight = matchRow
+            else if (nextRow != null) outRight = nextRow
+          } else if (isFwd) {
             // forward as-of (earliest right with rt >= lt, same key):
             // everything strictly before (lk, lt) is consumed above —
             // it can never answer this or any LATER left row — so the
@@ -383,7 +428,9 @@ object AsofJoinApi {
   /** As-of join `leftDf` to `rightDf`: every left row + the payload
     * columns of the matched right row (backward: latest right time
     * strictly before the left time; forward: earliest right time
-    * at-or-after), null-extended when no match. `rightTiebreak` names
+    * at-or-after; nearest: smaller |delta| of inclusive-backward vs
+    * forward candidates, ties to backward — BIGINT times only),
+    * null-extended when no match. `rightTiebreak` names
     * right columns that pin which equal-(key, time) right row wins —
     * required for deterministic payloads when right rows can tie.
     */
@@ -391,7 +438,8 @@ object AsofJoinApi {
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
       rightTiebreak: Seq[String] = Nil,
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      nearest: Boolean = false): DataFrame = {
     val s2 = aqeOffSession(s)
     ensureStrategy(s2)
     val lPlan = leftDf.queryExecution.analyzed
@@ -403,7 +451,7 @@ object AsofJoinApi {
     val node = AsofJoin(lPlan, rPlan,
       attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol),
       attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
-      rightTiebreak.map(attr(rPlan, _)), forward)
+      rightTiebreak.map(attr(rPlan, _)), forward, nearest)
     org.apache.spark.sql.graft.DatasetBridge.ofRows(s2, node)
   }
 

@@ -171,6 +171,59 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     assert(got == Seq((1L, 100L, "a"), (2L, 250L, "b"), (3L, null, null)))
   }
 
+  test("nearest direction matches the window spelling's nearest_us row for row") {
+    // r13 VERDICT task 2: the native NEAREST walk must be
+    // row-identical with join_asof_nearest's CASE over the two
+    // range-frame windows (inclusive prior, inclusive next, ties to
+    // prior) — two algorithmically different spellings, one answer
+    val win = SparkEntry.queries("join_asof_nearest")(spark, sfDir)
+      .select(col("event_id"), col("nearest_us")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val native = asofTimes("join_asof_native_nearest", "nearest_signup_us")
+    assert(native.nonEmpty && native == win)
+  }
+
+  test("nearest semantics: deltas compared, ties to backward, equal-time wins") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val left = Seq(
+      (1L, 5L, 100L), // prior 90 (d=10) vs next 105 (d=5) -> next "b"
+      (2L, 5L, 95L),  // prior 90 (d=5) vs next 105 (d=10) -> prior "a"
+      (3L, 5L, 105L), // equal-time right row -> delta 0 -> "b"
+      (4L, 5L, 60L),  // no prior, next 90 -> "a"
+      (5L, 5L, 999L), // no next, prior 195 -> "c"
+      (6L, 5L, 150L), // prior 105 (d=45) vs next 195 (d=45): tie -> prior "b"
+      (7L, 9L, 100L)) // no right rows for the key at all -> null
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq((5L, 90L, "a"), (5L, 105L, "b"), (5L, 195L, "c"))
+      .toDF("s_user_id", "s_ts_us", "tag")
+    val got = graft.plans.AsofJoinApi.asofJoin(s2, left, right,
+        "user_id", "s_user_id", "ts_us", "s_ts_us", nearest = true)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(5)) null else r.getString(5))).toSeq
+    assert(got == Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, "a"),
+      (5L, "c"), (6L, "b"), (7L, null)))
+  }
+
+  test("nearest rejects non-BIGINT times loudly") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    import s2.implicits._
+    val left = Seq(("u", "2026-01-01")).toDF("k", "t")
+    val right = Seq(("u", "2026-01-02")).toDF("rk", "rt")
+    val e = intercept[Exception] {
+      graft.plans.AsofJoinApi.asofJoin(s2, left, right,
+        "k", "rk", "t", "rt", nearest = true).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("BIGINT"), s"wrong error: $msgs")
+  }
+
   test("strict-before semantics: an equal-time right row does not match") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
@@ -229,11 +282,13 @@ class AsofJoinNativeSpec extends SparkSpecBase {
     assert(got == Seq((1, "a"), (2, "b"), (3, null)))
   }
 
-  test("random tables: native walk equals a Scala reference, both directions") {
+  test("random tables: native walk equals a Scala reference, all three directions") {
     // generated micro-tables with DENSE collisions (6 keys, 40 time
     // values, duplicate (key, time) right rows) — the distributions
     // the fixture never produces; reference = per-left-row max/min-by
-    // (time, seq) over a plain Scala filter
+    // (time, seq) over a plain Scala filter; nearest = delta compare
+    // of the inclusive-backward vs strict-forward candidates, ties to
+    // backward
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val s2 = spark.newSession()
@@ -245,7 +300,7 @@ class AsofJoinNativeSpec extends SparkSpecBase {
       k <- Gen.chooseNum(0L, 5L)
       t <- Gen.chooseNum(0L, 39L)
     } yield (k, t)
-    for (case_ <- 0 until 6; fwd <- Seq(false, true)) {
+    for (case_ <- 0 until 6; dir <- Seq("back", "fwd", "near")) {
       val left = sample(Gen.listOfN(30, rowGen), 1000L + case_)
         .zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
       val right = sample(Gen.listOfN(25, rowGen), 2000L + case_)
@@ -254,18 +309,33 @@ class AsofJoinNativeSpec extends SparkSpecBase {
           left.toDF("lid", "k", "t"),
           right.toDF("rk", "rt", "seq"),
           "k", "rk", "t", "rt", rightTiebreak = Seq("seq"),
-          forward = fwd)
+          forward = dir == "fwd", nearest = dir == "near")
         .orderBy("lid").collect()
         .map(r => r.getLong(0) ->
           (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
       val want = left.map { case (lid, k, t) =>
-        val cands = right.filter { case (rk, rt, _) =>
-          rk == k && (if (fwd) rt >= t else rt < t) }
-        lid -> (if (cands.isEmpty) None
-          else if (fwd) Some(cands.minBy(c => (c._2, c._3))._3)
-          else Some(cands.maxBy(c => (c._2, c._3))._3))
+        def best(pred: Long => Boolean, fwdPick: Boolean): Option[(Long, Long)] = {
+          val cands = right.filter { case (rk, rt, _) => rk == k && pred(rt) }
+          if (cands.isEmpty) None
+          else if (fwdPick) Some(cands.minBy(c => (c._2, c._3)))
+            .map(c => (c._2, c._3))
+          else Some(cands.maxBy(c => (c._2, c._3))).map(c => (c._2, c._3))
+        }
+        val pick = dir match {
+          case "back" => best(_ < t, fwdPick = false).map(_._2)
+          case "fwd" => best(_ >= t, fwdPick = true).map(_._2)
+          case "near" =>
+            (best(_ <= t, fwdPick = false), best(_ > t, fwdPick = true)) match {
+              case (Some((pt, ps)), Some((nt, ns))) =>
+                Some(if (t - pt <= nt - t) ps else ns)
+              case (Some((_, ps)), None) => Some(ps)
+              case (None, Some((_, ns))) => Some(ns)
+              case _ => None
+            }
+        }
+        lid -> pick
       }.toMap
-      assert(got == want, s"case=$case_ forward=$fwd")
+      assert(got == want, s"case=$case_ dir=$dir")
     }
   }
 

@@ -58,10 +58,14 @@ def main():
     with open(args.band) as f:
         manifest = json.load(f)
     band = manifest["band"]
+    # filter None post_ns_per_op values (r13 ADVICE): a band built from
+    # a pre-calibration leg would otherwise put None in the list and
+    # min() would raise TypeError
     band_spins = [
-        leg.get("calibration", {}).get("post_ns_per_op")
+        spin
         for leg in manifest.get("legs", [])
-        if leg.get("calibration")
+        for spin in [leg.get("calibration", {}).get("post_ns_per_op")]
+        if spin is not None
     ]
     band_spin = min(band_spins) if band_spins else None
 
@@ -97,6 +101,15 @@ def main():
     print("leg verdict: "
           + (f"THROTTLED ({'; '.join(throttle_reasons)})" if throttled
              else "QUIET-comparable"))
+    # since r14 the bench emits its own verdict into the leg JSON
+    # (Bench.scala legVerdictJson, same three signals + thresholds);
+    # cross-check that the embedded label agrees with this tool's
+    embedded = leg.get("leg")
+    if embedded is not None:
+        agree = (embedded == "THROTTLED") == throttled
+        print(f"embedded leg verdict: {embedded} "
+              f"(band_median_ratio={leg.get('band_median_ratio')}) — "
+              + ("agrees" if agree else "DISAGREES with this tool"))
 
     gate = max(2.0, 2.0 * med)
     regressions, suspects = [], []
