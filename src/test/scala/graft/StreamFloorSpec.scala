@@ -10,47 +10,40 @@ import graft.streaming.StreamingQueries.Ev
   * (r12 VERDICT task 7). The r12 StreamProbe decomposition measured a
   * warm per-stateful-replay floor of ~0.15 s incremental planning +
   * ~0.14 s offset/WAL/getBatch + ~0.3 s query start/stop (+ addBatch
-  * real work on top) — prose in BASELINE.md until now. This spec runs
-  * a MINIMAL stateful replay (100-row file source → running count →
-  * memory sink, fresh checkpoint each time) three times warm and
-  * asserts the min wall time stays under 2× that floor, so the next
-  * "stream family slow" driver leg is classifiable: if this spec is
-  * green on the same binary, the per-replay lifecycle did not regress
-  * and the spike is box weather (the BENCH calibration preamble's
-  * complement on the test side).
+  * real work on top) — prose in BASELINE.md until now.
   *
-  * Weather-hardening: the gate scales with the same fixed-work spin
-  * calibration Bench embeds in every leg — on a throttled box the
-  * threshold loosens proportionally instead of flaking, and a
-  * genuinely regressed lifecycle (extra batches, session rebuilds,
-  * store re-opens) still trips it at any spin speed.
+  * Gate design (r13 ADVICE, medium): the first cut hard-coded a
+  * box-specific absolute floor (1.31 s on a 2.1 ns/op box) scaled only
+  * by CPU spin speed — but the floor includes checkpoint/WAL disk I/O
+  * and JVM/session overheads that do NOT scale with ALU speed, so on
+  * different storage the absolute gate could flake with no real
+  * regression (or bless one on a faster box). This version measures
+  * the baseline IN-PROCESS instead: a STATELESS replay of the same
+  * 100-row feed through the same source/sink/trigger machinery, run in
+  * the same JVM minutes apart, absorbs the box's actual lifecycle cost
+  * (planning, offset/WAL, start/stop, disk). The gate is then the
+  * RATIO stateful/stateless — what the state store, its commits, and
+  * the groupBy shuffle add per replay — which is hardware-independent:
+  * a structural regression (extra micro-batches, session rebuilds,
+  * store re-opens) multiplies the stateful numerator only, while box
+  * weather (slow disk, throttled CPU) multiplies both and cancels.
+  *
+  * Calibration 2026-08-16 (2.1 ns/op box): stateless min ~0.55 s,
+  * stateful min ~1.3 s → ratio ~2.4×. Gate = 4× (headroom for
+  * scheduler jitter on the smaller denominator). A loose absolute
+  * backstop (20 s per replay, deliberately far above any plausible
+  * quiet value) still catches a whole-lifecycle catastrophe that
+  * inflates both pipelines equally — documented as box-calibrated.
   */
 class StreamFloorSpec extends SparkSpecBase {
 
-  /** Quiet-box per-replay lifecycle floor (seconds) for the minimal
-    * pipeline below: planning + offset/WAL + start/stop + a ~100-row
-    * addBatch, measured 2026-08-16 on a 2.1 ns/op box: min of 3 warm
-    * replays 1.31 s (runs 1.36/1.33/1.31 at weather ×1.01) —
-    * consistent with the r12 StreamProbe anatomy (~0.6 s lifecycle +
-    * HDFS-backed memory-sink checkpoint + 2-partition state commits).
-    * The gate is 2× this.
-    */
-  private val floorQuietSec = 1.31
-  /** Spin speed of the box the floor was measured on (ns/op). */
-  private val calibQuietNsPerOp = 2.1
+  /** Max allowed stateful/stateless per-replay ratio (see scaladoc). */
+  private val maxStatefulRatio = 4.0
+  /** Absolute backstop per stateless replay — generous on purpose; a
+    * breach means the lifecycle itself broke, not weather. */
+  private val statelessCapSec = 20.0
 
-  private def spinNsPerOp(): Double = {
-    var x = 0x9E3779B97F4A7C15L
-    var i = 0L
-    val n = 200000000L
-    val t0 = System.nanoTime()
-    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-    val dt = System.nanoTime() - t0
-    if (x == 42L) System.err.println("calib")
-    dt.toDouble / n
-  }
-
-  test("warm per-replay lifecycle cost stays within 2x the quiet floor") {
+  test("stateful replay cost stays within 4x an in-JVM stateless baseline") {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "2")
     import s.implicits._
@@ -65,44 +58,61 @@ class StreamFloorSpec extends SparkSpecBase {
       .limit(100).coalesce(1)
       .write.mode("overwrite").parquet(srcDir)
 
-    def replay(i: Int): Double = {
-      val uname = s"floor_probe_$i"
+    def replay(tag: String, i: Int, stateful: Boolean): Double = {
+      val uname = s"floor_probe_${tag}_$i"
       val t0 = System.nanoTime()
-      val q = s.readStream
+      val src = s.readStream
         .schema(Encoders.product[Ev].schema)
         .parquet(srcDir)
         .as[Ev]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState[Long, (Long, Long)](
-          OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-          (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
-            val n = state.getOption.getOrElse(0L) + rows.size
-            state.update(n)
-            Iterator((user, n))
-        }.toDF("user_id", "n")
+      val out =
+        if (stateful)
+          src.groupByKey(_.user_id)
+            .flatMapGroupsWithState[Long, (Long, Long)](
+              OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+              (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+                val n = state.getOption.getOrElse(0L) + rows.size
+                state.update(n)
+                Iterator((user, n))
+            }.toDF("user_id", "n")
+        else
+          src.select(col("user_id"), col("event_id").as("n"))
+      val q = out
         .writeStream.format("memory").queryName(uname)
-        .outputMode(OutputMode.Update())
-        .option("checkpointLocation", s"$base/ckpt_$i")
+        .outputMode(if (stateful) OutputMode.Update() else OutputMode.Append())
+        .option("checkpointLocation", s"$base/ckpt_${tag}_$i")
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
       val rows = s.table(uname).count()
       s.catalog.dropTempView(uname)
-      assert(rows > 0, "floor probe replay produced no rows")
+      assert(rows > 0, s"floor probe replay ($tag) produced no rows")
       (System.nanoTime() - t0) / 1e9
     }
 
-    replay(0) // warm-up: absorbs codegen + parquet footer caching
-    val times = (1 to 3).map(replay)
-    val best = times.min
-    val weather = math.max(1.0, spinNsPerOp() / calibQuietNsPerOp)
-    val gate = 2.0 * floorQuietSec * weather
-    info(f"per-replay min ${best}%.3f s (runs ${times.map(t => f"$t%.2f").mkString("/")}), " +
-      f"gate ${gate}%.2f s (weather x$weather%.2f)")
-    assert(best <= gate,
-      f"per-replay lifecycle ${best}%.3f s exceeds ${gate}%.3f s " +
-        "(2x quiet floor, weather-scaled) — a structural regression, " +
-        "not box noise: check for extra micro-batches, session " +
-        "rebuilds, or state-store re-opens per replay")
+    // warm-up replays absorb codegen + parquet footer caching for both
+    // pipeline shapes, then 3 timed replays each, INTERLEAVED so a
+    // transient box gust hits both pipelines symmetrically rather than
+    // biasing whichever family ran during it
+    replay("warm", 0, stateful = false)
+    replay("warm", 1, stateful = true)
+    val pairs = (1 to 3).map { i =>
+      (replay("base", i, stateful = false), replay("stful", i, stateful = true))
+    }
+    val baseMin = pairs.map(_._1).min
+    val statefulMin = pairs.map(_._2).min
+    val ratio = statefulMin / baseMin
+    info(f"stateless min $baseMin%.3f s, stateful min $statefulMin%.3f s, " +
+      f"ratio $ratio%.2f (gate ${maxStatefulRatio}%.1f)")
+    assert(baseMin <= statelessCapSec,
+      f"stateless lifecycle $baseMin%.3f s exceeds the $statelessCapSec%.0f s " +
+        "backstop — the replay lifecycle itself broke (or the box is " +
+        "unusably overloaded); this cap is box-calibrated and generous")
+    assert(ratio <= maxStatefulRatio,
+      f"stateful/stateless per-replay ratio $ratio%.2f exceeds " +
+        f"$maxStatefulRatio%.1f — a structural regression in the stateful " +
+        "path (extra micro-batches, state-store re-opens, session " +
+        "rebuilds), not box weather: weather inflates both pipelines " +
+        "and cancels in the ratio")
   }
 }
