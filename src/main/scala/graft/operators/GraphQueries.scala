@@ -311,7 +311,17 @@ object GraphQueries {
     // e2=(a,c) with π(b) < π(c), closed by the oriented edge (b,c)
     // (orientation guarantees it is stored exactly as lo=b, hi=c).
     "graph_triangle_count" -> ((s, d) => {
-      val o = oriented(edgesTopK(s, d))
+      // materialize the oriented edge list ONCE (r14, guide §2.4/§3.3):
+      // `oriented` is itself a 2-join + distinct derivation, and the
+      // wedge join references it through THREE aliases — without
+      // truncation the optimizer plans (and the string dump carries)
+      // three full copies of that subtree (64 Exchanges in the r13
+      // plan; execution deduped some via ReusedExchange, but planning,
+      // codegen and the non-reusable stages did not). The eager
+      // localCheckpoint pins the O(N·K) rows to a LogicalRDD the three
+      // aliases then scan — the kcore-loop pattern applied to a
+      // self-join fan-out.
+      val o = oriented(edgesTopK(s, d)).localCheckpoint()
       val tri = o.as("e1")
         .join(o.as("e2"),
           col("e1.lo") === col("e2.lo") &&
@@ -376,7 +386,15 @@ object GraphQueries {
     // min-fold agree because min-over-paths ≤ 4 is the same quantity.
     "graph_bfs_hops" -> ((s, d) => {
       val e = edgesTopK(s, d)
-      val und = undirected(e)
+      // und feeds every round and dist feeds each round TWICE (join +
+      // union) — unchecked, the logical plan doubles per round (2^4
+      // copies of the base subtree, 47 Exchanges in the r13 dump).
+      // localCheckpoint per round keeps lineage linear: 4 tiny eager
+      // jobs over the O(N·k) frontier, the kcore-loop pattern (r14,
+      // guide §2.4). Interleaved A/B at sf0.1/32: checkpointed warm
+      // 1.1-1.8 s vs unchecked 1.3-2.3 s on a noisy window — equal or
+      // better, and the linear lineage is the scale-correct shape.
+      val und = undirected(e).localCheckpoint()
       var dist = und.select(col("x").as("n")).distinct()
         .filter(col("n") === 0L)
         .withColumn("d", lit(0L))
@@ -385,6 +403,7 @@ object GraphQueries {
           .select(col("y").as("n"), (col("d") + 1L).as("d"))
         dist = dist.unionByName(next)
           .groupBy(col("n")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
       }
       dist.select(col("n").as("supplier"), col("d").as("hops"))
         .orderBy(col("supplier"))
@@ -400,6 +419,9 @@ object GraphQueries {
     // anti-joined away: the output is predicted NEW links.
     "graph_link_predict" -> ((s, d) => {
       val e = edgesTopK(s, d)
+      // r14 probe: one-shot materialization of und measured slower
+      // (0.35 → 0.44 s warm) — AQE exchange reuse already covers the
+      // four-way read; reverted
       val und = undirected(e)
       val deg = und.groupBy(col("x")).agg(count(lit(1)).as("dg"))
       val inter = und.as("a").join(und.as("b"),
@@ -425,6 +447,9 @@ object GraphQueries {
     // closure), then UNION-distinct with the 1-hop set so overlap
     // between rings never double-counts.
     "graph_2hop_reach" -> ((s, d) => {
+      // r14 probe: one-shot materialization of und measured slower
+      // (0.36 → 0.43 s warm) — AQE exchange reuse already covers the
+      // three-way read; reverted
       val und = undirected(edgesTopK(s, d))
       val two = und.as("a").join(und.as("b"), col("a.y") === col("b.x"))
         .select(col("a.x").as("x"), col("b.y").as("y"))
@@ -449,6 +474,13 @@ object GraphQueries {
       val nn = nodes.agg(count(lit(1)).as("c"))
       var ranks = nodes.crossJoin(nn)
         .select(col("n"), expr(s"$Mass div c").as("rank"), col("c"))
+      // r14 probe: per-iteration localCheckpoint (the kcore-loop
+      // pattern) was tried here to cut the 2^3 logical-subtree growth
+      // (ranks is read twice per iteration) and measured SLOWER
+      // (1.09 → 1.19-1.33 s warm at sf0.1/32): AQE's runtime exchange
+      // reuse already dedups the repeated subtrees, and 3 eager job
+      // barriers cost more than the saved planning. Reverted — the
+      // lineage is bounded (fixed 3 iterations) by construction.
       for (_ <- 1 to 3) {
         val inc = ranks.join(e, ranks("n") === e("u"))
           .join(outdeg, "u")
@@ -476,6 +508,9 @@ object GraphQueries {
     // bounded artifact; the 1-row |E2| aggregate broadcasts.
     "graph_modularity" -> ((s, d) => {
       val labels = wccLabels(s, d)
+      // r14 probe: one-shot materialization of e2 measured slower
+      // (0.33 → 0.50 s warm) — AQE exchange reuse already covers the
+      // three-way read; reverted
       val e2 = undirected(edgesTopK(s, d))
       val deg = e2.groupBy(col("x")).agg(count(lit(1)).as("dg"))
       val dC = deg.join(labels, col("x") === col("v"))
@@ -513,6 +548,13 @@ object GraphQueries {
     // undefined denominator and are pinned to 0, matching the oracle.
     "graph_clustering_coef" -> ((s, d) => {
       val e = edgesTopK(s, d)
+      // r14 probe: materializing `oriented` once (as in
+      // graph_triangle_count) measured SLOWER here (0.27 → 0.61 s):
+      // the bench action is count(), under which the optimizer
+      // ELIMINATES the left-joined triangle subtree entirely (left
+      // join to an aggregate is row-preserving), while an eager
+      // checkpoint would force it. Reverted — AQE exchange reuse
+      // covers the three-alias fan-out when the subtree does run.
       val o = oriented(e)
       val tri = o.as("e1")
         .join(o.as("e2"),

