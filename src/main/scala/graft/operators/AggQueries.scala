@@ -548,24 +548,38 @@ object AggQueries {
       val cumV = Window.partitionBy(col("l_returnflag"), col("q"))
         .orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // r14 optimization (guide §1.2/§2.4 "don't compute things you
+      // throw away"): the output needs only the four bucket COUNTS,
+      // and the cut search already walks cumulative counts — the
+      // crossing row's below + cum_in IS the number of rows <= that
+      // cut. Grabbing it with the same min_by that pins the cut
+      // removes the entire third fact-table pass (scan + broadcast
+      // join + hash agg over every lineitem row) the old spelling
+      // spent re-bucketing li against the cut values: bucket_q counts
+      // are le_q differences (le1, le2-le1, le3-le2, n-le3). Zero
+      // buckets are filtered, matching the old groupBy which never
+      // emitted an empty bucket (le_q ties collapse exactly when two
+      // cuts coincide). 3 lineitem scans -> 2, one fewer shuffle.
       val cutRows = inBkt.withColumn("cum_in", sum(col("vn")).over(cumV))
         .filter((col("below") + col("cum_in")) * 4 >= col("q") * col("n"))
-        .groupBy(col("l_returnflag"), col("q"))
-        .agg(min(col("cents")).as("cut"))
-      val cuts = cutRows.groupBy(col("l_returnflag"))
-        .agg(min(when(col("q") === 1, col("cut"))).as("c1"),
-          min(when(col("q") === 2, col("cut"))).as("c2"),
-          min(when(col("q") === 3, col("cut"))).as("c3"))
-      li.join(broadcast(cuts), "l_returnflag")
-        .withColumn("bucket",
-          when(col("cents") <= col("c1"), 0)
-            .when(col("cents") <= col("c2"), 1)
-            .when(col("cents") <= col("c3"), 2)
-            .otherwise(3))
-        .groupBy(col("l_returnflag"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("bucket").cast("long").as("bucket"),
-          col("n"))
+        .groupBy(col("l_returnflag"), col("q"), col("n"))
+        .agg(min_by(struct(col("cents"),
+          (col("below") + col("cum_in")).as("le")), col("cents")).as("cb"))
+        .select(col("l_returnflag"), col("q"), col("n"),
+          col("cb.le").as("le"))
+      val les = cutRows.groupBy(col("l_returnflag"), col("n"))
+        .agg(min(when(col("q") === 1, col("le"))).as("le1"),
+          min(when(col("q") === 2, col("le"))).as("le2"),
+          min(when(col("q") === 3, col("le"))).as("le3"))
+      les.select(col("l_returnflag"), explode(array(
+          struct(lit(0L).as("bucket"), col("le1").as("bn")),
+          struct(lit(1L).as("bucket"), (col("le2") - col("le1")).as("bn")),
+          struct(lit(2L).as("bucket"), (col("le3") - col("le2")).as("bn")),
+          struct(lit(3L).as("bucket"), (col("n") - col("le3")).as("bn"))))
+          .as("b"))
+        .filter(col("b.bn") > 0)
+        .select(col("l_returnflag"), col("b.bucket").as("bucket"),
+          col("b.bn").as("n"))
         .orderBy(col("l_returnflag"), col("bucket"))
     }),
 
@@ -1289,11 +1303,19 @@ object AggQueries {
       val med = cum.join(tot, "f")
         .filter(col("cc") * 2 >= col("n"))
         .groupBy(col("f")).agg(min(col("q")).as("med"))
-      base.join(broadcast(med), "f")
-        .select(col("f"), abs(col("q") - col("med")).as("z"))
+      // r14 optimization (guide §1.2/§2.3): the per-group moments
+      // (n, Σz, Σz²) were re-aggregated from a SECOND full lineitem
+      // scan (broadcast med onto base, 600k-row map + agg); but with
+      // z = |q − med| constant per distinct q, every moment is exactly
+      // the count-weighted sum over the ≤ |flags|·|quantities| counts
+      // table already in hand: Σ_rows z = Σ_q c·z, Σ_rows z² = Σ_q c·z².
+      // Integer arithmetic, identical result, one fact-table scan
+      // fewer at any corpus size.
+      counts.join(broadcast(med), "f")
+        .select(col("f"), col("c"), abs(col("q") - col("med")).as("z"))
         .groupBy(col("f"))
-        .agg(count(lit(1)).as("ng"), sum(col("z")).as("sg"),
-          sum(col("z") * col("z")).as("qg"))
+        .agg(sum(col("c")).as("ng"), sum(col("c") * col("z")).as("sg"),
+          sum(col("c") * col("z") * col("z")).as("qg"))
         .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
           sum(col("sg")).as("s"), sum(col("qg")).as("qq"),
           sort_array(collect_list(struct(col("f"), col("ng"), col("sg"))))

@@ -358,6 +358,13 @@ object SimilarityQueries {
       .filter(col("pos") <= col("n_grams") -
         expr("(2 * n_grams + 4) div 5") + 1)
       .select(col("gram"), col("doc_id"), col("len_bkt"), col("n_grams"))
+      // r14 probe (guide §1.2): localCheckpoint here — the self-join
+      // consumes this subtree twice — measured NO gain (anchored A/B:
+      // jaccard 1.09-1.18 s plain vs 1.19-1.44 s checkpointed, prefix
+      // flat). AQE runtime exchange reuse already dedups the two
+      // identically-keyed probe sides; the eager materialization only
+      // adds a job barrier. REVERTED — same verdict as the r14 graph
+      // materialization probes.
     val cands = prefixRows.as("a")
       .join(prefixRows.as("b"),
         col("a.gram") === col("b.gram") &&

@@ -518,6 +518,17 @@ object TimeSeriesQueries {
     // by design in this fixture family, and the 100 TB path is the
     // companion ts_outlier_sampled below (fraction-bounded buffering
     // via a deterministic hash sample) — reach for that one first.
+    // r14 probe (guide §1.2 measure-first discipline): the single-scan
+    // count-table decomposition — groupBy(user, value) counts feeding
+    // both disc50 medians as windows, the ts_outlier_sampled shape
+    // minus sampling — was built, oracle-verified identical at
+    // sf0.001/sf0.1, and A/B'd same-box against this spelling with an
+    // untouched anchor query in both sessions: old 0.98-1.19 s warm,
+    // decomposed 1.51-1.71 s warm (anchor equal both sides). The extra
+    // window sorts + exchanges cost more at bench scale than the four
+    // ObjectHashAggregate scans they remove, so the probe was REVERTED;
+    // the bounded-buffering scale story remains ts_outlier_sampled's
+    // job (see its scaladoc), exactly as this comment block documents.
     "ts_outlier_mad" -> ((s, d) => {
       val ev = events(s, d).select(col("user_id"), col("value"))
       val med = ev.groupBy(col("user_id")).agg(
