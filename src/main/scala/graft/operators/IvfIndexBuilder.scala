@@ -44,6 +44,7 @@ object IvfIndexBuilder {
     // tie-break tweak cannot desynchronize the build from the lookups
     val assigned = SimilarityQueries.centRanked(vecs, broadcast(cents))
       .filter(col("rn") === 1)
+      .join(vecs, "vec_id") // id-only centRanked since r14 (see its doc)
       .select(col("cent_id"), col("vec_id"), col("emb_n"))
     val means = assigned
       .select(col("cent_id"),

@@ -374,20 +374,30 @@ object JoinQueries {
     }),
 
     // 5-way star join (TPC-H Q5 shape) + group aggregation.
-    "join_multiway" -> ((s, d) =>
-      customer(s, d)
+    // r14 (guide §3.1): spelled fact-table-last so lineitem is the
+    // STREAM side — the old customer-first chain made Catalyst
+    // broadcast lineitem itself at sf0.1 (a 600k-row fact build side,
+    // and the backwards strategy at any scale); now the date-filtered
+    // orders ⋈ dims chain is the (estimate- or AQE-picked) build side
+    // and the fact table is never exchanged. Inner joins commute, the
+    // date filter still reaches the orders scan (PushedFilters) —
+    // result and oracle unchanged.
+    "join_multiway" -> ((s, d) => {
+      val ord = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
-        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
-          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
           .cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
-        .orderBy(col("n_name"))),
+        .orderBy(col("n_name"))
+    }),
 
     // Skew-salted join: l_returnflag has only 3 values, so a plain
     // shuffle join on it puts a third of lineitem on one reducer.

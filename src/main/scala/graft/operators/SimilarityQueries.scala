@@ -102,9 +102,21 @@ object SimilarityQueries {
                                     cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("cent_id").asc)
+    // r14 (guide §2.3 "project before the exchange"): the rank window
+    // repartitions the (vector × centroid) product by vec_id, and the
+    // old spelling carried the 64-double emb_n payload through that
+    // exchange — N·nlist rows × ~520 B, an N^1.5-byte shuffle at IVF's
+    // √N centroid sizing. The dot product only needs the payload
+    // BEFORE the exchange, so compute cos map-side and shuffle the
+    // 24 B (vec_id, cent_id, cos) triple instead; callers that need
+    // the vectors join them back on vec_id AFTER their rn slice (the
+    // id-only-then-join-back shape dedup_embedding_cosine already
+    // uses). Ranking inputs are bit-identical, so the assignment —
+    // and every oracle pairing built on it — is unchanged.
     vecs.crossJoin(cents)
-      .withColumn("cos",
-        graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec")))
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.DotProductExpr.dot(col("emb_n"), col("cent_vec"))
+          .as("cos"))
       .withColumn("rn", row_number().over(w))
   }
 
@@ -399,10 +411,14 @@ object SimilarityQueries {
     */
   private def ivfTopk(nrm: DataFrame, cents: DataFrame): DataFrame = {
     val ranked = centRanked(nrm, cents)
+    // centRanked is id-only since r14 — join the normalized vectors
+    // back AFTER the rn slices (bounded rows), not through the window
     val assigned = ranked.filter(col("rn") === 1)
+      .join(nrm, "vec_id")
       .select(col("cent_id"), col("vec_id").as("c_id"),
         col("emb_n").as("c_n"))
     val probes = ranked.filter(col("vec_id") < 10 && col("rn") <= 2)
+      .join(nrm, "vec_id")
       .select(col("vec_id").as("q_id"), col("emb_n").as("q_n"),
         col("cent_id"))
     val wTop = Window.partitionBy(col("q_id"))
@@ -1051,6 +1067,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("cent_id"), col("emb_n").as("cent_vec")))
       val assigned = centRanked(nrm, cents)
         .filter(col("rn") === 1)
+        .join(nrm, "vec_id") // id-only centRanked since r14 (see its doc)
         .select(col("vec_id"), col("cent_id"), col("emb_n"))
       val dups = assigned.as("a").join(assigned.as("b"),
           col("a.cent_id") === col("b.cent_id") &&
