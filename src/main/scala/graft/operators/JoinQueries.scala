@@ -41,6 +41,32 @@ object JoinQueries {
       c
     }
 
+  /** Cached fixed-conf child sessions for the conf-demo joins (r14 —
+    * the asofSession/replaySession pattern applied to the two
+    * remaining per-invocation `newSession()` sites in bench-hot
+    * paths): join_skew_aqe and join_runtime_bloom each rebuilt
+    * SessionState on every call (~0.15 s of pure fixed cost, paid
+    * twice per bench leg). The child is a fixed execution environment
+    * keyed by a profile name; neither query registers views or UDFs,
+    * so sharing one across invocations cannot collide. WeakHashMap
+    * keyed by the PARENT so a stopped session's entries are
+    * collectable.
+    */
+  private val confSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, org.apache.spark.sql.SparkSession]]
+  private def confSession(s: org.apache.spark.sql.SparkSession, key: String)(
+      init: org.apache.spark.sql.SparkSession => Unit): org.apache.spark.sql.SparkSession =
+    confSessions.synchronized {
+      var m = confSessions.get(s)
+      if (m == null) {
+        m = scala.collection.mutable.Map
+          .empty[String, org.apache.spark.sql.SparkSession]
+        confSessions.put(s, m)
+      }
+      m.getOrElseUpdate(key, { val c = s.newSession(); init(c); c })
+    }
+
   val queries: Map[String, Q] = Map(
     // Fact ⋈ broadcast dims (customer⋈nation⋈region).
     "join_inner_broadcast" -> ((s, d) =>
@@ -444,17 +470,18 @@ object JoinQueries {
     // PlanShapeSpec asserts the executed plan actually split
     // (skew=true on the SMJ).
     "join_skew_aqe" -> ((s, d) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.enabled", "true")
-      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      // fixture-scale skew thresholds (defaults are sized for real
-      // clusters: 256 MB / 5x median)
-      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-      s2.conf.set(
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
-      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val s2 = confSession(s, "skew_aqe") { c =>
+        c.conf.set("spark.sql.adaptive.enabled", "true")
+        c.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // fixture-scale skew thresholds (defaults are sized for real
+        // clusters: 256 MB / 5x median)
+        c.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        c.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4KB")
+        c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+        c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      }
       val fact = lineitem(s2, d)
         .select(col("l_orderkey"), col("l_quantity"))
         .withColumn("skew_key",
@@ -571,13 +598,14 @@ object JoinQueries {
     // exactly when the join must shuffle. Plan-asserted in
     // PlanShapeSpec (might_contain on the fact scan's filter).
     "join_runtime_bloom" -> ((s, d) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s2.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0")
-      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val s2 = confSession(s, "runtime_bloom") { c =>
+        c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        c.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "0")
+        c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        c.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      }
       val dim = orders(s2, d)
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderstatus") === "F")
