@@ -529,23 +529,42 @@ object TimeSeriesQueries {
     // ObjectHashAggregate scans they remove, so the probe was REVERTED;
     // the bounded-buffering scale story remains ts_outlier_sampled's
     // job (see its scaladoc), exactly as this comment block documents.
+    // r15 restructure (r14 VERDICT task 5 — the "halfway point" the
+    // failed r14 window probe left open): med, mad AND the outlier
+    // count all derive from ONE sorted per-user value array, so the
+    // whole query is a single fact scan + a single user_id-keyed
+    // aggregation exchange instead of 3 scans + 4 percentile_disc
+    // ObjectHashAggregates + 2 joins + a final aggregate. Exactness:
+    // percentile_disc(0.5) IS element ceil(n/2) (1-based) of the
+    // sorted multiset — the same (n+1)/2 lower-median convention
+    // ts_rolling_median pins — and dev_i = |v_i − med| over the SAME
+    // rows, so mad is element ceil(n/2) of the sorted dev array and
+    // n_outliers counts devs > 3·mad; the per-row arithmetic is the
+    // identical IEEE ops the old spelling ran. Memory caveat is
+    // UNCHANGED from the old spelling: percentile_disc already
+    // buffered every value of a user in one aggregation buffer, the
+    // collect_list buffers exactly the same values (bounded per-user
+    // groups by fixture design; the 100 TB path stays
+    // ts_outlier_sampled, see its scaladoc). Measured (anchored A/B,
+    // warm, anchors within 10%): 0.95-1.15 s old vs 0.31-0.35 s new
+    // (~3x); plan 4 scans -> 1, 8 Exchanges -> 2 (plans/r15/); oracle
+    // (unchanged SQL) identical at sf0.001 AND sf0.1.
     "ts_outlier_mad" -> ((s, d) => {
-      val ev = events(s, d).select(col("user_id"), col("value"))
-      val med = ev.groupBy(col("user_id")).agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
-          .as("med"))
-      val dev = ev.join(med, "user_id")
-        .withColumn("dev", abs(col("value") - col("med")))
-      val mad = dev.groupBy(col("user_id")).agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
-          .as("mad"))
-      dev.join(mad, "user_id")
-        .groupBy(col("user_id"), col("med"), col("mad"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(when(col("dev") > col("mad") * 3.0, 1L).otherwise(0L))
-            .as("n_outliers"))
-        .select(col("user_id"), col("n_events"), col("med"), col("mad"),
-          col("n_outliers"))
+      val half = (c: org.apache.spark.sql.Column) =>
+        ((size(c) + 1) / lit(2)).cast("int")
+      events(s, d).select(col("user_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("value"))).as("vals"))
+        .withColumn("med", element_at(col("vals"), half(col("vals"))))
+        .withColumn("devs",
+          array_sort(transform(col("vals"),
+            v => abs(v - col("med")))))
+        .withColumn("mad", element_at(col("devs"), half(col("devs"))))
+        .select(col("user_id"),
+          size(col("vals")).cast("long").as("n_events"),
+          col("med"), col("mad"),
+          size(filter(col("devs"), x => x > col("mad") * 3.0))
+            .cast("long").as("n_outliers"))
         .orderBy(col("user_id"))
     }),
 
