@@ -18,6 +18,22 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetMeta {
 
+  /** Total on-disk bytes of a parquet file/dir — the input-size basis
+    * for scale-derived tuning knobs (r15: join_skew_aqe's fixture-scale
+    * AQE thresholds derive from the fact table's bytes instead of the
+    * r6 2 KB/4 KB constants).
+    */
+  def byteSize(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(f => java.nio.file.Files.size(f)).sum
+      finally s.close()
+    } else java.nio.file.Files.size(p)
+  }
+
   def rowCount(path: String): Long = {
     val p = java.nio.file.Paths.get(path)
     val files: Seq[java.nio.file.Path] =
