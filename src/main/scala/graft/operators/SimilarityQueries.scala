@@ -370,14 +370,36 @@ object SimilarityQueries {
       // prefix length n - ceil(0.4 n) + 1; ceil(0.4 n) = (2n + 4) div 5
       .filter(col("pos") <= col("n_grams") -
         expr("(2 * n_grams + 4) div 5") + 1)
+      // df = 1 grams can never match in the self-join (they exist in
+      // ONE doc), so they are dead weight in the candidate exchange —
+      // dropping them here is exact and, on a natural Zipfian
+      // vocabulary, removes the long hapax tail before the join (r15;
+      // no-op on the fixture's 931-gram synthetic vocabulary)
+      .filter(col("df") >= 2)
       .select(col("gram"), col("doc_id"), col("len_bkt"), col("n_grams"))
       // r14 probe (guide §1.2): localCheckpoint here — the self-join
       // consumes this subtree twice — measured NO gain (anchored A/B:
       // jaccard 1.09-1.18 s plain vs 1.19-1.44 s checkpointed, prefix
-      // flat). AQE runtime exchange reuse already dedups the two
-      // identically-keyed probe sides; the eager materialization only
-      // adds a job barrier. REVERTED — same verdict as the r14 graph
-      // materialization probes.
+      // flat). AQE exchange reuse dedups the two probe sides only up
+      // to the LAST exchange, which sits below the rank window — the
+      // sort + window + prefix filter DO run twice, once per join
+      // side. REVERTED.
+      // r15 probe (guide §2.4): an explicit gram-keyed repartition
+      // here would move the reuse point ABOVE the window (both join
+      // sides read one materialized shuffle, window computes once —
+      // verified in TaskProbe: the duplicate window stage disappeared
+      // and per-stage task time dropped 1.41 -> 1.22 s). Measured
+      // SLOWER wall both ways it can be spelled (anchored A/B):
+      // keyless-count repartition gets AQE-coalesced to ONE partition
+      // (1.9 MB << the 64 MB advisory) and serializes the whole
+      // downstream join+verify (jaccard 1.37-1.58 -> 1.88-1.99 s);
+      // pinning shuffle-partitions-count explicitly restores
+      // parallelism but still loses ~0.2-0.3 s/consumer to the extra
+      // exchange + 32-task stage scheduling. At bench scale the
+      // duplicated 3-task window recompute costs ~0.15 s wall — less
+      // than one more shuffle boundary. REVERTED both; at cluster
+      // scale the self-join's own gram exchanges make the same
+      // subtree shareable without any extra hop.
     val cands = prefixRows.as("a")
       .join(prefixRows.as("b"),
         col("a.gram") === col("b.gram") &&
